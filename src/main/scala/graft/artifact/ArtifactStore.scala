@@ -1,0 +1,210 @@
+package graft.artifact
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.core.{Hashing, Versioning}
+import graft.query.{DoesNotExist, QuerySet}
+
+/** Artifact lifecycle: idempotent creation, versioning, open/load,
+  * trash/restore — the data-plane half of the reference
+  * (`lamindb/models/artifact.py`).
+  *
+  * Creation follows `get_stat_or_artifact` (`artifact.py:384-505`):
+  * same content hash → return the existing artifact (idempotency);
+  * same key+storage with a new hash → a new version in the same uid
+  * family (`revises` semantics); otherwise a fresh artifact.
+  */
+final class ArtifactStore(val cat: Catalog) {
+  private def spark: SparkSession = cat.spark
+
+  /** Ensure a storage root exists; return its id. */
+  def ensureStorage(root: String): Long = {
+    val existing = cat.table("storage").filter(col("root") === root).select("id").head(1)
+    if (existing.nonEmpty) existing.head.getLong(0)
+    else cat.insert("storage", Map("root" -> root, "typ" -> "local"))("id").asInstanceOf[Long]
+  }
+
+  /** Register an existing file/directory as an artifact (ingest-by-
+    * reference). Idempotent on content hash; versions on key conflict.
+    * Returns the artifact row as a Map.
+    */
+  def registerPath(path: String, key: String, storageRoot: String,
+                   kind: String = "dataset", description: String = null): Map[String, Any] = {
+    val storageId = ensureStorage(storageRoot)
+    val (hash, hashType, nFiles, size) = Hashing.stat(path)
+    val suffix = {
+      val name = path.split('/').last
+      val i = name.lastIndexOf('.')
+      if (i >= 0) name.substring(i) else ""
+    }
+    createArtifact(hash, hashType, size, nFiles, key, suffix, storageId, kind, description)
+  }
+
+  /** Write a DataFrame to the storage area under the auto-key
+    * `.lamindb/{uid}{suffix}` and register it (reference
+    * `Artifact.from_dataframe`, `artifact.py:2245-2348`).
+    */
+  def fromDataFrame(df: DataFrame, key: String, storageRoot: String,
+                    description: String = null): Map[String, Any] = {
+    val storageId = ensureStorage(storageRoot)
+    // stage, hash the staged parquet, then dedup-or-register
+    val stagePath = s"$storageRoot/.staging/${cat.uid(8)}"
+    df.write.mode("overwrite").parquet(stagePath)
+    val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
+    val existing = findByHash(hash)
+    if (existing.isDefined) {
+      deletePath(stagePath)
+      return existing.get
+    }
+    val row = createArtifact(hash, hashType, size, nFiles, key, ".parquet", storageId,
+      "dataset", description, nObservations = Some(df.count()))
+    val finalPath = artifactPath(row, storageRoot)
+    movePath(stagePath, finalPath)
+    row
+  }
+
+  private def findByHash(hash: String): Option[Map[String, Any]] = {
+    // hash lookup bypasses branch filtering (`query_set.py:273-293`)
+    val rows = cat.table("artifact").filter(col("hash") === hash).head(1)
+    rows.headOption.map(rowToMap)
+  }
+
+  private def createArtifact(hash: String, hashType: String, size: Long, nFiles: Long,
+                             key: String, suffix: String, storageId: Long, kind: String,
+                             description: String, nObservations: Option[Long] = None): Map[String, Any] = {
+    findByHash(hash) match {
+      case Some(existing) => existing // content-identical: idempotent return
+      case None =>
+        // same key + storage, different content → new version of that family
+        val family = cat.table("artifact")
+          .filter(col("key") === key && col("storage_id") === storageId)
+          .select("uid", "id", "branch_id").collect()
+        val (uid, isRevision) =
+          if (family.nonEmpty) (Versioning.nextUidInFamily(family.map(_.getString(0)).toSeq), true)
+          else (cat.newUidFor(cat.tableDef("artifact")), false)
+        if (isRevision) demoteFamilyHeads(Versioning.stem(uid))
+        cat.insert("artifact", Map(
+          "uid" -> uid, "key" -> key, "suffix" -> suffix, "kind" -> kind,
+          "description" -> description, "size" -> size, "hash" -> hash,
+          "hash_type" -> hashType, "n_files" -> nFiles,
+          "n_observations" -> nObservations.orNull,
+          "storage_id" -> storageId,
+          "run_id" -> cat.currentRunId.map(Long.box).orNull,
+          "is_latest" -> true))
+    }
+  }
+
+  /** Flip previous is_latest heads of a family off (within the current
+    * branch) before inserting the new head.
+    */
+  private def demoteFamilyHeads(stem: String): Unit = {
+    cat.flush("artifact")
+    val t = cat.table("artifact")
+    cat.overwrite("artifact",
+      t.withColumn("is_latest",
+        when(col("uid").startsWith(stem) && col("branch_id") === cat.currentBranchId, lit(false))
+          .otherwise(col("is_latest"))))
+  }
+
+  def rowToMap(r: Row): Map[String, Any] =
+    r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+
+  /** Physical URI: `storage.root` + (real `key` path or the auto-key
+    * `.lamindb/{uid}{suffix}`) — `artifact.py:2096-2116`.
+    */
+  def artifactPath(a: Map[String, Any], storageRoot: String): String = {
+    val autoKey = s".lamindb/${a("uid")}${a.getOrElse("suffix", "")}"
+    val key = Option(a.getOrElse("key", null)).map(_.toString)
+    // registered-by-reference artifacts (registerPath with absolute key) use the key itself
+    key match {
+      case Some(k) if k.startsWith("/") => k
+      case _                            => s"$storageRoot/$autoKey"
+    }
+  }
+
+  def pathsFor(artifacts: DataFrame): Seq[String] = {
+    val storages = cat.table("storage").select(col("id").as("storage_id"), col("root"))
+    artifacts.join(broadcast(storages), "storage_id")
+      .select(
+        when(col("key").startsWith("/"), col("key"))
+          .otherwise(concat(col("root"), lit("/.lamindb/"), col("uid"), coalesce(col("suffix"), lit(""))))
+          .as("path"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Open a set of catalog-resolved artifacts as ONE lazy multi-path scan
+    * (`ArtifactSet.open`, `artifact_set.py:63-82`): all members must share
+    * a suffix (pre-read validation like the reference).
+    * Auto-links run inputs when a run is active (`track_run_input`).
+    */
+  def open(artifacts: DataFrame): DataFrame = {
+    val suffixes = artifacts.select("suffix").distinct().collect().map(_.getString(0))
+    require(suffixes.length == 1,
+      s"cannot open artifacts with mixed suffixes: ${suffixes.mkString(", ")}")
+    trackRunInputs(artifacts)
+    val paths = pathsFor(artifacts)
+    suffixes.head match {
+      case ".parquet" => spark.read.parquet(paths: _*)
+      case ".csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+      case ".tsv"     => spark.read.option("header", "true").option("sep", "\t").option("inferSchema", "true").csv(paths: _*)
+      case ".json" | ".ndjson" => spark.read.json(paths: _*)
+      case other      => throw new IllegalArgumentException(s"unsupported suffix for open(): $other")
+    }
+  }
+
+  def openByUid(uid: String): DataFrame =
+    open(cat.table("artifact").filter(col("uid") === uid))
+
+  /** Lineage side-effect: any open/load against an active run records the
+    * artifacts as run inputs (`track_run_input`, `artifact.py:3783-3955`).
+    */
+  private def trackRunInputs(artifacts: DataFrame): Unit =
+    cat.currentRunId.foreach { runId =>
+      val ids = artifacts.select("id").collect().map(_.getLong(0))
+      val existing = cat.table("run_inputs")
+        .filter(col("run_id") === runId && col("artifact_id").isin(ids.toIndexedSeq: _*))
+        .select("artifact_id").collect().map(_.getLong(0)).toSet
+      ids.filterNot(existing).foreach { aid =>
+        cat.insert("run_inputs", Map("run_id" -> runId, "artifact_id" -> aid))
+      }
+    }
+
+  // --------------------------------------------------- trash / restore
+
+  /** Soft delete: move to trash branch (`branch_id = -1`); `restore` moves
+    * back to main (`query_set.py:1312-1376`).
+    */
+  def trash(artifactIds: Seq[Long]): Unit = setBranch(artifactIds, Catalog.TrashBranchId)
+  def restore(artifactIds: Seq[Long]): Unit = setBranch(artifactIds, Catalog.MainBranchId)
+
+  private def setBranch(ids: Seq[Long], branch: Long): Unit = {
+    cat.flush("artifact")
+    cat.overwrite("artifact",
+      cat.table("artifact").withColumn("branch_id",
+        when(col("id").isin(ids: _*), lit(branch)).otherwise(col("branch_id"))))
+  }
+
+  /** Hard delete: remove rows and storage payloads (permanent=true path). */
+  def deletePermanently(ids: Seq[Long], storageRoot: String): Unit = {
+    cat.flush("artifact")
+    val doomed = cat.table("artifact").filter(col("id").isin(ids: _*))
+    val paths = pathsFor(doomed)
+    cat.overwrite("artifact", cat.table("artifact").filter(!col("id").isin(ids: _*)))
+    paths.filter(_.contains("/.lamindb/")).foreach(deletePath)
+  }
+
+  private def deletePath(p: String): Unit = {
+    val fs = Hashing.fileSystem(p)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+  }
+
+  private def movePath(from: String, to: String): Unit = {
+    val fs = Hashing.fileSystem(from)
+    val toPath = new org.apache.hadoop.fs.Path(to)
+    fs.mkdirs(toPath.getParent)
+    fs.rename(new org.apache.hadoop.fs.Path(from), toPath)
+  }
+
+  def querySet: QuerySet = QuerySet(cat, "artifact")
+}

@@ -1,0 +1,188 @@
+package graft.catalog
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.core.Base62
+
+/** Parquet-backed metadata catalog with copy-on-write snapshots.
+  *
+  * Mirrors the role of the reference's SQL metadata database
+  * (SQLite/Postgres behind Django, `lamindb/models/sqlrecord.py`), adapted
+  * to an immutable data-lake substrate:
+  *
+  *  - each registry table is a directory of versioned parquet snapshots
+  *    `<root>/<table>/v<N>`; `_manifest.json` points at the current version
+  *    (atomic rename commit, single writer);
+  *  - inserts accumulate in a driver-side buffer (the reference batches
+  *    bulk saves at 10k rows, `models/save.py:31`) and are unioned into
+  *    reads until flushed;
+  *  - updates (trash/restore, `is_latest` flips) are whole-table
+  *    copy-on-write rewrites — registry tables are metadata (small relative
+  *    to the data plane), and rewrites are Spark jobs so they scale with
+  *    the cluster, not the driver.
+  *
+  * `seed` makes uid generation and the clock deterministic, which the
+  * correctness harness needs; production use passes seed=None semantics via
+  * `Catalog.random`.
+  */
+final class Catalog(
+    val spark: SparkSession,
+    val root: String,
+    rng: java.util.Random,
+    val clock: () => Timestamp
+) {
+  import Catalog._
+
+  private val buffers = mutable.Map.empty[String, mutable.ArrayBuffer[Row]]
+  private val maxIds = mutable.Map.empty[String, Long]
+  private val snapshotCache = mutable.Map.empty[String, DataFrame]
+  private val manifest = mutable.Map.empty[String, Int] // table -> version
+
+  /** Branch visibility context (reference: `branch_id` on SQLRecord). */
+  var currentBranchId: Long = MainBranchId
+  /** Active run for lineage auto-linking; set by Lineage.track. */
+  var currentRunId: Option[Long] = None
+
+  locally { loadManifest() }
+
+  def uid(n: Int): String = Base62.randomWith(n, rng)
+  def newUidFor(t: TableDef): String =
+    if (t.versioned) graft.core.Versioning.createUid(rng) else uid(t.uidLen)
+
+  def tableDef(name: String): TableDef =
+    Schemas.byName.getOrElse(name, throw new IllegalArgumentException(s"unknown registry '$name'"))
+
+  // ---------------------------------------------------------------- reads
+
+  private def snapshotDf(name: String): Option[DataFrame] =
+    manifest.get(name).map { v =>
+      snapshotCache.getOrElseUpdate(s"$name/v$v",
+        spark.read.schema(tableDef(name).schema).parquet(s"$root/$name/v$v"))
+    }
+
+  private def bufferDf(name: String): Option[DataFrame] =
+    buffers.get(name).filter(_.nonEmpty).map { rows =>
+      spark.createDataFrame(rows.toList.asJava, tableDef(name).schema)
+    }
+
+  /** Current view of a registry table (snapshot ∪ unflushed buffer). */
+  def table(name: String): DataFrame = {
+    val t = tableDef(name)
+    (snapshotDf(name), bufferDf(name)) match {
+      case (Some(s), Some(b)) => s.unionByName(b)
+      case (Some(s), None)    => s
+      case (None, Some(b))    => b
+      case (None, None)       => spark.createDataFrame(List.empty[Row].asJava, t.schema)
+    }
+  }
+
+  // --------------------------------------------------------------- writes
+
+  def nextId(name: String): Long = {
+    val cur = maxIds.getOrElseUpdate(name, {
+      snapshotDf(name) match {
+        case Some(df) => Option(df.agg(org.apache.spark.sql.functions.max("id")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        case None => 0L
+      }
+    })
+    maxIds(name) = cur + 1
+    cur + 1
+  }
+
+  /** Insert one row given by field map; fills id/uid/audit/branch defaults.
+    * Returns the completed row as a Map.
+    */
+  def insert(name: String, values: Map[String, Any]): Map[String, Any] = {
+    val t = tableDef(name)
+    val withDefaults: Map[String, Any] = {
+      var m = values
+      if (!m.contains("id")) m += "id" -> nextId(name)
+      if (t.uidLen > 0 && !m.contains("uid")) m += "uid" -> newUidFor(t)
+      if (t.hasBranch && !m.contains("branch_id")) m += "branch_id" -> currentBranchId
+      if (t.fieldNames.contains("is_latest") && !m.contains("is_latest")) m += "is_latest" -> true
+      if (t.fieldNames.contains("created_at") && !m.contains("created_at")) m += "created_at" -> clock()
+      m
+    }
+    val unknown = withDefaults.keySet -- t.fieldNames
+    require(unknown.isEmpty, s"unknown fields $unknown for registry '$name'")
+    val row = Row.fromSeq(t.schema.fields.map(f => withDefaults.get(f.name).orNull).toSeq)
+    buffers.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += row
+    withDefaults
+  }
+
+  def insertAll(name: String, rows: Seq[Map[String, Any]]): Seq[Map[String, Any]] =
+    rows.map(insert(name, _))
+
+  /** Copy-on-write full-table rewrite (trash/restore, is_latest flips,
+    * bulk updates). The new content replaces snapshot AND buffer.
+    */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val t = tableDef(name)
+    val aligned = df.select(t.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    writeSnapshot(name, aligned)
+    buffers.remove(name)
+  }
+
+  /** Persist buffered inserts of one table into a new snapshot version. */
+  def flush(name: String): Unit =
+    if (buffers.get(name).exists(_.nonEmpty)) { writeSnapshot(name, table(name)); buffers.remove(name) }
+
+  def flushAll(): Unit = Schemas.all.map(_.name).foreach(flush)
+
+  private def writeSnapshot(name: String, df: DataFrame): Unit = {
+    val v = manifest.getOrElse(name, 0) + 1
+    val path = s"$root/$name/v$v"
+    // registry tables are metadata-scale; a handful of files is plenty and
+    // keeps every downstream catalog join broadcast-able
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    manifest(name) = v
+    snapshotCache.remove(s"$name/v${v - 1}")
+    saveManifest()
+  }
+
+  // ------------------------------------------------------------- manifest
+
+  private def manifestPath = Paths.get(root, "_manifest.json")
+
+  private def loadManifest(): Unit =
+    if (Files.exists(manifestPath)) {
+      val txt = Files.readString(manifestPath)
+      """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt).foreach { m =>
+        manifest(m.group(1)) = m.group(2).toInt
+      }
+    }
+
+  private def saveManifest(): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_manifest.json.tmp")
+    val json = manifest.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object Catalog {
+  val MainBranchId = 1L
+  val TrashBranchId = -1L
+  val ArchiveBranchId = 0L
+
+  /** Default visible branches: current + main (`query_set.py:71-90`). */
+  def defaultBranchIds(current: Long): Seq[Long] =
+    if (current == MainBranchId) Seq(MainBranchId) else Seq(current, MainBranchId)
+
+  /** Deterministic catalog (fixed seed + fixed clock) for tests/verify. */
+  def deterministic(spark: SparkSession, root: String, seed: Long = 42L): Catalog =
+    new Catalog(spark, root, new java.util.Random(seed),
+      () => new Timestamp(1700000000000L))
+
+  def random(spark: SparkSession, root: String): Catalog =
+    new Catalog(spark, root, new java.security.SecureRandom(),
+      () => new Timestamp(System.currentTimeMillis()))
+}

@@ -1,0 +1,215 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+
+/** Foreign key: `fieldName` traverses to `target` registry joining
+  * `localCol == target.pk`.
+  */
+final case class FK(field: String, target: String, localCol: String, targetCol: String = "id")
+
+/** Many-to-many: `fieldName` traverses through `link` table. */
+final case class M2M(field: String, link: String, leftCol: String, rightCol: String, target: String)
+
+/** Registry (table) definition: schema + query-relevant metadata.
+  *
+  * Mirrors the reference's model layer (`lamindb/models/sqlrecord.py`):
+  * every registry has `id` (catalog-local) + `uid` (universal base62);
+  * registries with `hasBranch` carry `branch_id` visibility semantics
+  * (`branch_id = -1` trash, `0` archived, `1` default main).
+  */
+final case class TableDef(
+    name: String,
+    schema: StructType,
+    uidLen: Int = 0,
+    versioned: Boolean = false,
+    hasBranch: Boolean = false,
+    searchFields: Seq[String] = Seq("name"),
+    fks: Map[String, FK] = Map.empty,
+    m2ms: Map[String, M2M] = Map.empty,
+    aliases: Map[String, String] = Map.empty,
+    pk: String = "id"
+) {
+  def fieldNames: Set[String] = schema.fieldNames.toSet
+}
+
+/** All registry table definitions (SURVEY §1.1). */
+object Schemas {
+  private def f(n: String, t: DataType, nullable: Boolean = true) = StructField(n, t, nullable)
+  private val S = StringType; private val L = LongType; private val I = IntegerType
+  private val B = BooleanType; private val T = TimestampType; private val D = DoubleType
+
+  private val audit = Seq(f("created_at", T), f("created_by_id", L))
+  private val branchSpace = Seq(f("branch_id", L, nullable = false), f("space_id", L))
+
+  val storage = TableDef(
+    "storage",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("root", S, false),
+      f("typ", S), f("region", S)) ++ audit),
+    uidLen = 12, searchFields = Seq("root"))
+
+  val artifact = TableDef(
+    "artifact",
+    StructType(Seq(
+      f("id", L, false), f("uid", S, false), f("key", S), f("suffix", S),
+      f("kind", S), f("otype", S), f("description", S),
+      f("size", L), f("hash", S), f("hash_type", S),
+      f("n_files", L), f("n_observations", L),
+      f("storage_id", L), f("run_id", L), f("schema_id", L),
+      f("version_tag", S), f("is_latest", B, false)) ++ branchSpace ++ audit),
+    uidLen = 20, versioned = true, hasBranch = true,
+    searchFields = Seq("key", "description"),
+    fks = Map(
+      "storage" -> FK("storage", "storage", "storage_id"),
+      "run" -> FK("run", "run", "run_id"),
+      "schema" -> FK("schema", "schema", "schema_id")),
+    m2ms = Map(
+      "ulabels" -> M2M("ulabels", "artifact_ulabels", "artifact_id", "ulabel_id", "ulabel"),
+      "collections" -> M2M("collections", "collection_artifacts", "artifact_id", "collection_id", "collection")),
+    aliases = Map("version" -> "version_tag", "transform" -> "run__transform"))
+
+  val collection = TableDef(
+    "collection",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("key", S),
+      f("description", S), f("hash", S),
+      f("version_tag", S), f("is_latest", B, false)) ++ branchSpace ++ audit),
+    uidLen = 20, versioned = true, hasBranch = true,
+    searchFields = Seq("key", "description"),
+    m2ms = Map("artifacts" -> M2M("artifacts", "collection_artifacts", "collection_id", "artifact_id", "artifact")),
+    aliases = Map("version" -> "version_tag"))
+
+  val collectionArtifacts = TableDef(
+    "collection_artifacts",
+    StructType(Seq(f("id", L, false), f("collection_id", L, false),
+      f("artifact_id", L, false), f("position", I))))
+
+  val transform = TableDef(
+    "transform",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("key", S),
+      f("typ", S), f("description", S), f("source_code_hash", S),
+      f("version_tag", S), f("is_latest", B, false)) ++ branchSpace ++ audit),
+    uidLen = 16, versioned = true, hasBranch = true,
+    searchFields = Seq("key", "description"),
+    aliases = Map("version" -> "version_tag"))
+
+  val run = TableDef(
+    "run",
+    StructType(Seq(f("id", L, false), f("uid", S, false),
+      f("transform_id", L, false), f("status_code", I, false),
+      f("started_at", T), f("finished_at", T), f("params_json", S)) ++ audit),
+    uidLen = 20,
+    fks = Map("transform" -> FK("transform", "transform", "transform_id")),
+    aliases = Map("status" -> "status_code"),
+    searchFields = Seq("uid"))
+
+  val runInputs = TableDef(
+    "run_inputs",
+    StructType(Seq(f("id", L, false), f("run_id", L, false), f("artifact_id", L, false))))
+
+  val feature = TableDef(
+    "feature",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false),
+      f("dtype", S), f("description", S), f("synonyms", S),
+      f("is_latest", B, false)) ++ branchSpace ++ audit),
+    uidLen = 12, hasBranch = true)
+
+  val schemaT = TableDef(
+    "schema",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S),
+      f("itype", S), f("hash", S),
+      f("minimal_set", B), f("maximal_set", B), f("ordered_set", B),
+      f("coerce", B), f("flexible", B), f("n_features", I),
+      f("is_latest", B, false)) ++ branchSpace ++ audit),
+    uidLen = 20, hasBranch = true,
+    m2ms = Map("features" -> M2M("features", "schema_features", "schema_id", "feature_id", "feature")))
+
+  val schemaFeatures = TableDef(
+    "schema_features",
+    StructType(Seq(f("id", L, false), f("schema_id", L, false),
+      f("feature_id", L, false), f("position", I), f("optional", B))))
+
+  val ulabel = TableDef(
+    "ulabel",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false),
+      f("type_id", L), f("is_type", B), f("synonyms", S), f("description", S)) ++ branchSpace ++ audit),
+    uidLen = 8, hasBranch = true,
+    fks = Map("type" -> FK("type", "ulabel", "type_id")),
+    m2ms = Map("parents" -> M2M("parents", "ulabel_parents", "child_id", "parent_id", "ulabel")))
+
+  val ulabelParents = TableDef(
+    "ulabel_parents",
+    StructType(Seq(f("id", L, false), f("child_id", L, false), f("parent_id", L, false))))
+
+  val artifactUlabels = TableDef(
+    "artifact_ulabels",
+    StructType(Seq(f("id", L, false), f("artifact_id", L, false),
+      f("ulabel_id", L, false), f("feature_id", L))))
+
+  val artifactSchemas = TableDef(
+    "artifact_schemas",
+    StructType(Seq(f("id", L, false), f("artifact_id", L, false),
+      f("schema_id", L, false), f("slot", S))))
+
+  /** Scalar feature values on artifacts — flattened form of the reference's
+    * deduplicated `JsonValue` + link table (`models/feature.py:1666`).
+    */
+  val artifactValues = TableDef(
+    "artifact_values",
+    StructType(Seq(f("id", L, false), f("artifact_id", L, false),
+      f("feature_id", L, false), f("value_json", S))))
+
+  val record = TableDef(
+    "record",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S),
+      f("type_id", L), f("is_type", B), f("description", S)) ++ branchSpace ++ audit),
+    uidLen = 16, hasBranch = true,
+    fks = Map("type" -> FK("type", "record", "type_id")))
+
+  val recordJson = TableDef(
+    "record_json",
+    StructType(Seq(f("id", L, false), f("record_id", L, false),
+      f("feature_id", L, false), f("value_json", S))))
+
+  val recordRecord = TableDef(
+    "record_record",
+    StructType(Seq(f("id", L, false), f("record_id", L, false),
+      f("feature_id", L, false), f("value_record_id", L, false))))
+
+  val recordUlabel = TableDef(
+    "record_ulabel",
+    StructType(Seq(f("id", L, false), f("record_id", L, false),
+      f("feature_id", L, false), f("ulabel_id", L, false))))
+
+  val recordArtifact = TableDef(
+    "record_artifact",
+    StructType(Seq(f("id", L, false), f("record_id", L, false),
+      f("feature_id", L, false), f("artifact_id", L, false))))
+
+  val user = TableDef(
+    "user",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("handle", S, false), f("name", S)) ++ audit),
+    uidLen = 8, searchFields = Seq("handle", "name"))
+
+  val branch = TableDef(
+    "branch",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false)) ++ audit),
+    uidLen = 12)
+
+  val space = TableDef(
+    "space",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false)) ++ audit),
+    uidLen = 12)
+
+  val project = TableDef(
+    "project",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false),
+      f("description", S)) ++ branchSpace ++ audit),
+    uidLen = 12, hasBranch = true)
+
+  val all: Seq[TableDef] = Seq(
+    storage, artifact, collection, collectionArtifacts, transform, run,
+    runInputs, feature, schemaT, schemaFeatures, ulabel, ulabelParents,
+    artifactUlabels, artifactSchemas, artifactValues, record, recordJson,
+    recordRecord, recordUlabel, recordArtifact, user, branch, space, project)
+
+  val byName: Map[String, TableDef] = all.map(t => t.name -> t).toMap
+}

@@ -1,0 +1,70 @@
+package graft.core
+
+import java.io.InputStream
+import java.security.MessageDigest
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Content hashing for idempotent artifact creation.
+  *
+  * The reference records an md5-family content hash per artifact
+  * (`lamindb/models/artifact.py:384-505`, `_hash_type` at `:1580`) and uses
+  * it to short-circuit duplicate ingestion. We hash through the Hadoop
+  * FileSystem API so the same code path works for local files and object
+  * stores on a real cluster.
+  */
+object Hashing {
+
+  def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  def md5String(s: String): String = md5Hex(s.getBytes("UTF-8"))
+
+  def md5Stream(in: InputStream): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](1 << 16)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** md5 of a single file's bytes. */
+  def hashFile(fs: FileSystem, path: Path): String = md5Stream(fs.open(path))
+
+  /** Directory hash = md5 of the sorted member hashes concatenated — the
+    * reference's dir hash is similarly an order-independent digest of member
+    * digests (`hash_dir`, implemented in lamindb-setup).
+    * Returns (hash, nFiles, totalSize).
+    */
+  def hashDir(fs: FileSystem, dir: Path): (String, Long, Long) = {
+    val it = fs.listFiles(dir, true)
+    var hashes = List.empty[String]
+    var nFiles = 0L
+    var size = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        hashes ::= md5Stream(fs.open(st.getPath))
+        nFiles += 1
+        size += st.getLen
+      }
+    }
+    (md5String(hashes.sorted.mkString), nFiles, size)
+  }
+
+  def fileSystem(pathStr: String, conf: Configuration = new Configuration()): FileSystem =
+    new Path(pathStr).getFileSystem(conf)
+
+  /** Stat + hash one path (file or dir). Returns (hash, hashType, nFiles, size). */
+  def stat(pathStr: String): (String, String, Long, Long) = {
+    val fs = fileSystem(pathStr)
+    val p = new Path(pathStr)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      val (h, n, s) = hashDir(fs, p)
+      (h, "md5-d", n, s)
+    } else (hashFile(fs, p), "md5", 1L, st.getLen)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All operators are pure DataFrame plans (codegen'd expressions, no UDFs)
+  * designed for the 100 TB case:
+  *  - exact dedup is a hash window/groupBy (one shuffle on the content hash);
+  *  - MinHash+LSH shuffles once on (band, bandHash) buckets so candidate
+  *    generation is linear in corpus size, never O(n²);
+  *  - verification (true Jaccard) touches only bucket-local candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate marking: every row gets its content-group keeper
+    * (min id) and an `is_dup` flag. One shuffle on md5(content).
+    */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(contentCol)))
+    df.withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
+  }
+
+  /** Word n-gram shingles of a text column, distinct, as an array. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val tokens = split(trim(textCol), "\\s+")
+    array_distinct(
+      when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", tokens))))
+  }
+
+  /** Deterministic MinHash signature (k permutations) over a shingle
+    * array: h_j(x) = (a_j * xxhash64(x) + b_j) mod p, min over shingles.
+    * Seeded constants keep runs reproducible.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 16, seed: Long = 7L): Column = {
+    val rng = new scala.util.Random(seed)
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val abs = Seq.fill(k)((math.abs(rng.nextLong()) % (p - 1) + 1, math.abs(rng.nextLong()) % p))
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
+    array(abs.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * a + b, lit(p))))
+    }: _*)
+  }
+
+  /** LSH banding: a k-row signature split into `bands` buckets of k/bands
+    * rows; docs sharing any band bucket become candidate pairs. Statically
+    * unrolled so every slice/hash stays a codegen-able literal expression.
+    */
+  private def sigBands(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map(b =>
+      xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)))): _*)
+  }
+
+  /** Full MinHash-LSH near-duplicate pipeline:
+    * shingle → minhash → band → bucket self-join → true-Jaccard verify.
+    * Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4, threshold: Double = 0.4,
+                   shingleN: Int = 3): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(col("id"),
+      posexplode(sigBands(col("sig"), k, bands)).as(Seq("band", "band_hash")))
+    // candidate pairs: same (band, band_hash) bucket; dedup across bands
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify with true Jaccard over the shingle sets
+    val sa = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
+    * hash bit, take the sign. Pure expression (no UDF).
+    */
+  def simhash(textCol: Column): Column = {
+    val tokens = split(trim(textCol), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val vote = aggregate(hashes, lit(0L),
+        (s, h) => s + when(shiftright(h, bit).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: docs agreeing on any 16-bit quarter of
+    * the 64-bit simhash (standard band trick for hamming distance ≤ 3 per
+    * the pigeonhole principle).
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+    val banded = withSim.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(65535)): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b2, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // hamming distance between the two simhashes
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

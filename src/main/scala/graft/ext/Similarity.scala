@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, one pass
+  * over the corpus — the scalable shape when |queries| << |corpus|).
+  * Scale path: random-hyperplane LSH bucketing so candidate generation
+  * shuffles once on the bucket key instead of computing n×m cosines.
+  * Everything is built from codegen'd higher-order functions
+  * (`zip_with`/`aggregate`) — no UDFs in the hot path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a left-fold (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (self excluded when ids collide). Queries are broadcast; the
+    * corpus is scanned once; ranking is a per-query window.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
+    * a fixed integer mix mapped into [-0.5, 0.5). Keeps the LSH signature
+    * reproducible across runs and cluster sizes with zero stored state.
+    */
+  private def planeCoef(i: Int, j: Int): Double = {
+    val h = (i.toLong * 1315423911L) ^ (j.toLong * 2654435761L)
+    val mixed = ((h ^ (h >>> 31)) * 0x9E3779B97F4A7C15L) >>> 11
+    (mixed % 1000000L).toDouble / 1000000.0 - 0.5
+  }
+
+  /** nBits-bit random-hyperplane signature of a vector column. */
+  def lshSignature(vec: Column, dim: Int, nBits: Int = 16): Column =
+    (0 until nBits).map { i =>
+      val proj = (0 until dim).map(j =>
+        element_at(vec, j + 1).cast("double") * lit(planeCoef(i, j))).reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN via LSH buckets: corpus and queries hashed to nBits-bit buckets;
+    * cosine computed only within matching buckets (plus
+    * single-bit-flipped probes for recall), then per-query top-k.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              dim: Int, k: Int, nBits: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+      .withColumn("bucket", lshSignature(col("cvec"), dim, nBits))
+    // multi-probe: query also probes every bucket at hamming distance 1
+    val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+      .withColumn("qsig", lshSignature(col("qvec"), dim, nBits))
+      .withColumn("bucket", explode(transform(probes, m => col("qsig").bitwiseXOR(m))))
+      .drop("qsig")
+    val sims = c.join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+}

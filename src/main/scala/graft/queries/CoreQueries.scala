@@ -1,0 +1,394 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.catalog.{FK, M2M, TableDef}
+import graft.query.{Q, QuerySet}
+import graft.eav.{F, FeatureStore}
+import graft.artifact.Versions
+import graft.lineage.Graph
+
+/** Registry-semantics + TPC-H-shape queries over the driver's tables.
+  *
+  * Every entry returns a deterministic, explicitly-ordered DataFrame and
+  * has a DuckDB oracle in `oracle` producing identical values. Numeric
+  * aggregates go through DECIMAL so sums are exact and engine-independent,
+  * then cast to DOUBLE for a stable output type.
+  */
+object CoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as nanos-since-epoch and convert with integer
+    * division (a double division would lose microseconds at 1.7e18 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** TableDefs over the TPC-H-ish tables so the full lookup language
+    * (FK/M2M traversal) runs against them.
+    */
+  def tpchEnv(spark: SparkSession, dir: String): QuerySet.MapEnv = {
+    def df(n: String) = t(spark, dir, n)
+    def td(name: String, pk: String, fks: Map[String, FK] = Map.empty,
+           m2ms: Map[String, M2M] = Map.empty): (TableDef, DataFrame) = {
+      val d = df(name)
+      (TableDef(name, d.schema, fks = fks, m2ms = m2ms, pk = pk), d)
+    }
+    new QuerySet.MapEnv(Map(
+      "region" -> td("region", "r_regionkey"),
+      "nation" -> td("nation", "n_nationkey",
+        fks = Map("region" -> FK("region", "region", "n_regionkey", "r_regionkey"))),
+      "customer" -> td("customer", "c_custkey",
+        fks = Map("nation" -> FK("nation", "nation", "c_nationkey", "n_nationkey")),
+        m2ms = Map("orders" -> M2M("orders", "orders", "o_custkey", "o_orderkey", "orders"))),
+      "supplier" -> td("supplier", "s_suppkey",
+        fks = Map("nation" -> FK("nation", "nation", "s_nationkey", "n_nationkey"))),
+      "part" -> td("part", "p_partkey"),
+      "orders" -> td("orders", "o_orderkey",
+        fks = Map("customer" -> FK("customer", "customer", "o_custkey", "c_custkey")),
+        m2ms = Map("parts" -> M2M("parts", "lineitem", "l_orderkey", "l_partkey", "part"))),
+      "lineitem" -> td("lineitem", "l_orderkey")
+    ))
+  }
+
+  /** documents + a derived branch_id/uid so branch-visibility and uid
+    * semantics are oracle-checkable from the base table alone.
+    */
+  private def docsWithBranch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("branch_id", (col("doc_id") % 5 - 1).cast("long"))
+      .withColumn("uid", md5(col("doc_id").cast("string")))
+
+  // ------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_tpch_agg" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_lookup_suite" -> ((spark, dir) => {
+      tpchEnv(spark, dir).querySet("part")
+        .filter(
+          "p_name__contains" -> "bolt",
+          "p_size__gte" -> 10,
+          "p_type__in" -> Seq("ECONOMY", "PROMO"))
+        .orderBy("p_partkey").df
+    }),
+
+    "q03_q_or_not" -> ((spark, dir) => {
+      tpchEnv(spark, dir).querySet("customer")
+        .filterQ(Q("c_mktsegment" -> "BUILDING") | Q("c_acctbal__gt" -> 9000))
+        .excludeQ(Q("c_nationkey__in" -> Seq(1, 2, 3)))
+        .orderBy("c_custkey").df
+    }),
+
+    "q04_fk_traversal" -> ((spark, dir) => {
+      tpchEnv(spark, dir).querySet("customer")
+        .filter("nation__region__r_name" -> "ASIA")
+        .orderBy("c_custkey").df
+    }),
+
+    "q05_m2m_semi_join" -> ((spark, dir) => {
+      tpchEnv(spark, dir).querySet("orders")
+        .filter("parts__p_type" -> "PROMO", "o_orderstatus" -> "O")
+        .orderBy("o_orderkey").df
+    }),
+
+    "q06_anti_join" -> ((spark, dir) => {
+      tpchEnv(spark, dir).querySet("customer")
+        .excludeQ(Q("orders__o_totalprice__gt" -> 400000))
+        .orderBy("c_custkey").df
+    }),
+
+    "q07_branch_injection" -> ((spark, dir) => {
+      QuerySet.over(docsWithBranch(spark, dir), "documents", pk = "doc_id")
+        .filter("lang" -> "en")
+        .orderBy("doc_id").df
+        .select("doc_id", "lang", "branch_id", "n_chars")
+    }),
+
+    "q08_branch_bypass_uid" -> ((spark, dir) => {
+      // exact uid/id/hash keys bypass branch-default injection
+      // (`query_set.py:273-293`): doc 3 sits on branch 2 (invisible by
+      // default) yet is returned when addressed by uid
+      QuerySet.over(docsWithBranch(spark, dir), "documents", pk = "doc_id", uidLen = 32)
+        .filter("uid" -> "eccbc87e4b5ce2fe28308fd9f2a7baf3")
+        .orderBy("doc_id").df
+        .select("doc_id", "uid", "branch_id")
+    }),
+
+    "q09_search_rank" -> ((spark, dir) => {
+      tpchEnv(spark, dir).querySet("part")
+        .search("red", fields = Seq("p_name", "p_type"), limit = 20)
+        .select("p_partkey", "p_name", "rank")
+    }),
+
+    "q10_is_latest_window" -> ((spark, dir) => {
+      Versions.markLatest(t(spark, dir, "orders"), col("o_custkey"), col("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "is_latest")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q11_eav_filter" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val store = docFeatureStore(spark, docs)
+      store.filter(docs, "doc_id", F("n_chars") > 300, F("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q12_eav_pivot" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val store = docFeatureStore(spark, docs)
+      store.pivotWide(docs, "doc_id").orderBy("doc_id")
+    }),
+
+    "q13_eav_feature_ne" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val store = docFeatureStore(spark, docs)
+      store.filter(docs, "doc_id", F("source") =!= "src3")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q14_bfs_lineage" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val edges = docs.filter(col("doc_id") >= 1)
+        .select(floor((col("doc_id") - 1) / 2).cast("long").as("parent"),
+          col("doc_id").as("child"))
+      val start = docs.sparkSession.range(0, 1).select(col("id").as("node"))
+      Graph.descendants(edges, start, "parent", "child", maxDepth = 3)
+        .select(col("node"), col("depth").cast("long").as("depth"))
+        .orderBy("node")
+    }),
+
+    "q15_union_outer" -> ((spark, dir) => {
+      val c = t(spark, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+        .withColumn("src", lit("customer"))
+      val s = t(spark, dir, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_nationkey").cast("long").as("nation_id"))
+        .withColumn("src", lit("supplier"))
+      c.unionByName(s, allowMissingColumns = true).orderBy("src", "id")
+    }),
+
+    "q16_group_collect_set" -> ((spark, dir) => {
+      t(spark, dir, "documents").groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          array_join(sort_array(collect_set(col("source"))), "|").as("sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
+    "q17_topk" -> ((spark, dir) => {
+      t(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(15)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    "q18_json_extract" -> ((spark, dir) => {
+      events(spark, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    "q19_window_tumbling" -> ((spark, dir) => {
+      events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    "q20_date_parts" -> ((spark, dir) => {
+      t(spark, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("order_year")
+    })
+  )
+
+  /** documents EAV long form: n_chars (num), lang (str), source (str) —
+    * JSON-encoded values exactly like the reference's RecordJson rows.
+    */
+  private def docFeatureStore(spark: SparkSession, docs: DataFrame): FeatureStore = {
+    import spark.implicits._
+    val features = Seq((1L, "lang", "str"), (2L, "n_chars", "num"), (3L, "source", "str"))
+      .toDF("id", "name", "dtype")
+    val values = docs.select(col("doc_id").as("record_id"), lit(2L).as("feature_id"),
+        col("n_chars").cast("string").as("value_json"))
+      .unionByName(docs.select(col("doc_id").as("record_id"), lit(1L).as("feature_id"),
+        concat(lit("\""), col("lang"), lit("\"")).as("value_json")))
+      .unionByName(docs.select(col("doc_id").as("record_id"), lit(3L).as("feature_id"),
+        concat(lit("\""), col("source"), lit("\"")).as("value_json")))
+    new FeatureStore(features, values)
+  }
+
+  // -------------------------------------------------------------- oracles
+
+  /** DuckDB SQL mirror of `Search.rankColumn` for literal query strings
+    * (no regex metacharacters).
+    */
+  def searchRankSql(fields: Seq[String], query: String): (String, String) = {
+    val lq = query.trim.toLowerCase
+    def fe(f: String) = s"coalesce(CAST($f AS VARCHAR), '')"
+    def rx(f: String, pat: String, w: Int) =
+      s"(CASE WHEN regexp_matches(${fe(f)}, '$pat') THEN $w ELSE 0 END)"
+    val rankTerms = fields.flatMap { f =>
+      Seq(
+        s"(CASE WHEN lower(${fe(f)}) = '$lq' THEN 200 ELSE 0 END)",
+        rx(f, "(?i)(?:^|.*\\|)" + query + "(?:\\|.*|$)", 200),
+        rx(f, "(?i)(?:^|.*[ \\|\\.,;:])" + query + "(?:[ \\|\\.,;:].*|$)", 10),
+        rx(f, "(?i)(?:^|.*\\|)" + query + "[^ ]*(?:\\|.*|$)", 8),
+        rx(f, "(?i)(?:^|.*[ \\|])" + query + ".*", 2),
+        rx(f, "(?i).*" + query + "(?:$|[ \\|\\.,;:].*)", 2),
+        s"(CASE WHEN contains(lower(${fe(f)}), '$lq') THEN 1 ELSE 0 END)")
+    }
+    val prefilter = fields.map(f => s"contains(lower(${fe(f)}), '$lq')").mkString(" OR ")
+    (rankTerms.mkString(" + "), prefilter)
+  }
+
+  val oracle: Map[String, String] = {
+    val (rankExpr, prefilter) = searchRankSql(Seq("p_name", "p_type"), "red")
+    Map(
+      "q01_tpch_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q02_lookup_suite" ->
+        """SELECT * FROM part
+          |WHERE p_name LIKE '%bolt%' AND p_size >= 10 AND p_type IN ('ECONOMY','PROMO')
+          |ORDER BY p_partkey""".stripMargin,
+
+      "q03_q_or_not" ->
+        """SELECT * FROM customer
+          |WHERE (c_mktsegment = 'BUILDING' OR c_acctbal > 9000)
+          |  AND NOT (c_nationkey IN (1, 2, 3))
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q04_fk_traversal" ->
+        """SELECT c.* FROM customer c
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |WHERE r.r_name = 'ASIA' ORDER BY c.c_custkey""".stripMargin,
+
+      "q05_m2m_semi_join" ->
+        """SELECT * FROM orders
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem WHERE l_partkey IN (
+          |    SELECT p_partkey FROM part WHERE p_type = 'PROMO'))
+          |  AND o_orderstatus = 'O'
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "q06_anti_join" ->
+        """SELECT * FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q07_branch_injection" ->
+        """SELECT doc_id, lang, CAST(doc_id % 5 - 1 AS BIGINT) AS branch_id, n_chars
+          |FROM documents WHERE lang = 'en' AND (doc_id % 5 - 1) = 1
+          |ORDER BY doc_id""".stripMargin,
+
+      "q08_branch_bypass_uid" ->
+        """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS uid, CAST(doc_id % 5 - 1 AS BIGINT) AS branch_id
+          |FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) = 'eccbc87e4b5ce2fe28308fd9f2a7baf3'
+          |ORDER BY doc_id""".stripMargin,
+
+      "q09_search_rank" ->
+        s"""SELECT p_partkey, p_name, CAST($rankExpr AS INT) AS rank
+           |FROM part WHERE $prefilter
+           |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin,
+
+      "q10_is_latest_window" ->
+        """SELECT o_custkey, o_orderkey,
+          |  (row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1) AS is_latest
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "q11_eav_filter" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+
+      "q12_eav_pivot" ->
+        """SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars, source
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q13_eav_feature_ne" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE NOT (source = 'src3') ORDER BY doc_id""".stripMargin,
+
+      "q14_bfs_lineage" ->
+        """WITH RECURSIVE r(node, depth) AS (
+          |  SELECT CAST(0 AS BIGINT), 0
+          |  UNION ALL
+          |  SELECT d.doc_id, r.depth + 1 FROM r
+          |  JOIN documents d ON (d.doc_id - 1) // 2 = r.node AND d.doc_id >= 1
+          |  WHERE r.depth < 3)
+          |SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+      "q15_union_outer" ->
+        """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+          |       'customer' AS src, NULL AS nation_id
+          |FROM customer
+          |UNION ALL
+          |SELECT s_suppkey AS id, s_name AS name, NULL AS acctbal,
+          |       'supplier' AS src, CAST(s_nationkey AS BIGINT) AS nation_id
+          |FROM supplier
+          |ORDER BY src, id""".stripMargin,
+
+      "q16_group_collect_set" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  array_to_string(list_sort(list(DISTINCT source)), '|') AS sources,
+          |  sum(n_chars) AS total_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q17_topk" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+      "q18_json_extract" ->
+        """SELECT event_type, count(*) AS n,
+          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q19_window_tumbling" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+      "q20_date_parts" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, count(*) AS n_orders,
+          |  count(DISTINCT o_custkey) AS n_customers
+          |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** Training-data-pipeline queries over `documents` and `embeddings`:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force + LSH ANN), and text analysis (tokens, quality, langid,
+  * fingerprints). SQL-expressible ops carry DuckDB oracles; the
+  * hash-pipeline ops are deterministic but oracle-free (rows-only check).
+  */
+object TextQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ a mutated copy (first token dropped) of every 7th doc —
+    * guaranteed near-duplicates so the near-dup pipelines have signal.
+    */
+  private def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val mutated = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substr(text, instr(text, ' ') + 1)").as("text"))
+    docs.unionByName(mutated)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((spark, dir) => {
+      Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "keeper_id", "is_dup")
+        .orderBy("doc_id")
+    }),
+
+    "d02_token_stats" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"),
+          (length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") /
+            TextOps.tokenCount(col("text"))).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    "d03_fingerprint" -> ((spark, dir) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "d04_quality_score" -> ((spark, dir) => {
+      TextOps.qualityColumns(t(spark, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "stopword_ratio", "quality_ok")
+        .orderBy("doc_id")
+    }),
+
+    "d05_minhash_lsh" -> ((spark, dir) => {
+      Dedup.minhashPairs(corpusWithNearDups(spark, dir), "doc_id", "text",
+          k = 16, bands = 4, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d06_simhash" -> ((spark, dir) => {
+      Dedup.simhashCandidates(corpusWithNearDups(spark, dir), "doc_id", "text")
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d07_langid" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      TextOps.langId(docs, docs, "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+        .select(col("doc_id"), col("predicted_lang"), col("actual_lang"),
+          (col("predicted_lang") === col("actual_lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    "e01_knn_cosine" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "e02_ann_lsh" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, k = 10, nBits = 12)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d02_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |       t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT) AS n_subwords,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d03_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d04_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS mtl
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, stopword_ratio,
+        |  (n_tokens >= 20 AND n_tokens <= 100000 AND mtl >= 2 AND mtl <= 12) AS quality_ok
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "e01_knn_cosine" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.e, q.e) AS sim
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,337 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.catalog.{Catalog, Schemas, TableDef, FK, M2M}
+
+/** A lazily-composed registry query — the Spark re-expression of the
+  * reference's `QuerySet` (`lamindb/models/query_set.py`).
+  *
+  * Everything stays one Catalyst plan: lookups compile to `Column`
+  * predicates, relation traversals compile to joins (semi-joins for filter
+  * semantics), branch visibility is injected exactly like
+  * `process_expressions` (`query_set.py:216-305`), and terminal operations
+  * (`one/first/count/exists/toDF`) trigger execution.
+  *
+  * Immutable: every chained call returns a new QuerySet.
+  */
+/** Resolution environment: how a QuerySet finds related tables. */
+trait QueryEnv {
+  def table(name: String): DataFrame
+  def tableDef(name: String): TableDef
+  def currentBranchId: Long
+}
+
+final class QuerySet(
+    val t: TableDef,
+    baseDf: DataFrame,
+    env: QueryEnv,
+    filters: Seq[QNode] = Nil,
+    excludes: Seq[QNode] = Nil,
+    order: Seq[(String, Boolean)] = Nil, // (field, ascending)
+    limitN: Option[Int] = None,
+    featureHook: Option[QuerySet.FeatureHook] = None
+) {
+  import QuerySet._
+
+  private def tables(name: String): DataFrame = env.table(name)
+  private def currentBranchId: Long = env.currentBranchId
+
+  private def copyWith(
+      filters: Seq[QNode] = filters, excludes: Seq[QNode] = excludes,
+      order: Seq[(String, Boolean)] = order, limitN: Option[Int] = limitN): QuerySet =
+    new QuerySet(t, baseDf, env, filters, excludes, order, limitN, featureHook)
+
+  // ------------------------------------------------------------ chaining
+
+  def filter(kwargs: (String, Any)*): QuerySet =
+    copyWith(filters = filters ++ kwargs.map { case (k, v) => QPred(k, v) })
+
+  def filterQ(qs: QNode*): QuerySet = copyWith(filters = filters ++ qs)
+
+  def exclude(kwargs: (String, Any)*): QuerySet =
+    copyWith(excludes = excludes ++ kwargs.map { case (k, v) => QPred(k, v) })
+
+  def excludeQ(qs: QNode*): QuerySet = copyWith(excludes = excludes ++ qs)
+
+  /** `order_by("-created_at", "id")` — leading '-' means descending. */
+  def orderBy(fields: String*): QuerySet =
+    copyWith(order = fields.map { f =>
+      if (f.startsWith("-")) (f.drop(1), false) else (f, true)
+    })
+
+  def limit(n: Int): QuerySet = copyWith(limitN = Some(n))
+
+  // ---------------------------------------------------------- compilation
+
+  private def allNodes: Seq[QNode] = filters ++ excludes
+
+  /** Branch-default injection (`query_set.py:268-293`): inject
+    * `branch_id IN defaults` unless the query references id/uid/hash
+    * directly or filters branch explicitly.
+    */
+  private def branchInjection: Option[Column] = {
+    if (!t.hasBranch) return None
+    val keys = allNodes.flatMap(_.keys).map(aliased)
+    val idUidHash = Set("id", "uid", "hash", "id__in", "uid__in", "hash__in")
+    val referencesIdentity = keys.exists(idUidHash.contains)
+    val referencesBranch = keys.exists(k =>
+      k == "branch" || k == "branch_id" || k.startsWith("branch__") || k.startsWith("branch_id__"))
+    if (referencesIdentity || referencesBranch) None
+    else Some(col("branch_id").isin(Catalog.defaultBranchIds(currentBranchId): _*))
+  }
+
+  private def aliased(key: String): String = {
+    val seg = key.split("__", 2)
+    t.aliases.get(seg(0)) match {
+      case Some(mapped) => if (seg.length == 2) s"${mapped}__${seg(1)}" else mapped
+      case None         => key
+    }
+  }
+
+  private sealed trait Compiled
+  private final case class Cond(c: Column) extends Compiled
+  /** base.`localCol` IN (ids — a single-column DataFrame) */
+  private final case class Sub(localCol: String, ids: DataFrame) extends Compiled
+
+  private def fieldError(name: String, forT: TableDef): Nothing = {
+    val available = forT.schema.fieldNames.toSeq ++ forT.fks.keys ++ forT.m2ms.keys
+    val hint = if (forT.fks.contains(name) || forT.m2ms.contains(name))
+      s" Did you mean '${name}__name'?" else ""
+    throw new FieldError(
+      s"Unknown field '$name' for ${forT.name}. Available: ${available.sorted.mkString(", ")}.$hint")
+  }
+
+  /** Compile one `path__lookup=value` predicate against table `forT` whose
+    * DataFrame is `forDf`. Relation traversal recurses into related tables.
+    */
+  private def compilePred(forT: TableDef, forDf: DataFrame, key: String, value: Any): Compiled = {
+    val k = if (forT eq t) aliased(key) else key
+    val segs = k.split("__").toList
+    compileSegs(forT, forDf, segs, value)
+  }
+
+  private def compileSegs(forT: TableDef, forDf: DataFrame, segs: List[String], value: Any): Compiled =
+    segs match {
+      case field :: Nil if forT.fieldNames.contains(field) =>
+        Cond(Lookups.compile(col(field), "exact", value))
+      case field :: lookup :: Nil if forT.fieldNames.contains(field) && Lookups.all.contains(lookup) =>
+        Cond(Lookups.compile(col(field), lookup, value))
+      case fkName :: rest if forT.fks.contains(fkName) =>
+        val fk = forT.fks(fkName)
+        rest match {
+          case Nil =>
+            Cond(Lookups.compile(col(fk.localCol), "exact", value))
+          case lookup :: Nil if Lookups.all.contains(lookup) =>
+            Cond(Lookups.compile(col(fk.localCol), lookup, value))
+          case _ =>
+            val target = env.tableDef(fk.target)
+            val sub = compileToIds(target, tables(fk.target), QPred(rest.mkString("__"), value), fk.targetCol)
+            Sub(fk.localCol, sub)
+        }
+      case m2mName :: rest if forT.m2ms.contains(m2mName) =>
+        val m = forT.m2ms(m2mName)
+        val link = tables(m.link)
+        val matchingLinks = rest match {
+          case Nil =>
+            link.filter(Lookups.compile(col(m.rightCol), "exact", value))
+          case lookup :: Nil if Lookups.all.contains(lookup) =>
+            link.filter(Lookups.compile(col(m.rightCol), lookup, value))
+          case _ =>
+            val target = env.tableDef(m.target)
+            val targetIds = compileToIds(target, tables(m.target), QPred(rest.mkString("__"), value), target.pk)
+            link.join(targetIds.withColumnRenamed(target.pk, m.rightCol), m.rightCol, "left_semi")
+        }
+        Sub(forT.pk, matchingLinks.select(col(m.leftCol).as(forT.pk)))
+      case field :: restOrNil if featureHook.isDefined && (forT eq t) =>
+        // not a model field: route to the EAV feature layer
+        // (`filter_with_features`, `_feature_manager.py:1036-1089`)
+        featureHook.get.compile(field, restOrNil, value) match {
+          case Some(ids)                  => Sub(t.pk, ids)
+          case None                       => fieldError(field, forT)
+        }
+      case field :: _ => fieldError(field, forT)
+      case Nil        => throw new FieldError("empty lookup key")
+    }
+
+  /** Compile a node over a (possibly related) table into a DataFrame of the
+    * matching `idCol` values.
+    */
+  private def compileToIds(forT: TableDef, forDf: DataFrame, node: QNode, idCol: String): DataFrame =
+    compileNode(forT, forDf, node) match {
+      case Cond(c)        => forDf.filter(c).select(idCol)
+      case Sub(local, ids) =>
+        if (local == idCol) ids
+        else forDf.join(ids.withColumnRenamed(ids.columns.head, local), local, "left_semi").select(idCol)
+    }
+
+  private def compileNode(forT: TableDef, forDf: DataFrame, node: QNode): Compiled = node match {
+    case QPred(k, v) => compilePred(forT, forDf, k, v)
+    case QAnd(cs) =>
+      val compiled = cs.map(compileNode(forT, forDf, _))
+      if (compiled.forall(_.isInstanceOf[Cond]))
+        Cond(compiled.collect { case Cond(c) => c }.reduce(_ && _))
+      else {
+        var ids = forDf
+        compiled.foreach {
+          case Cond(c)         => ids = ids.filter(c)
+          case Sub(local, sub) => ids = ids.join(sub.withColumnRenamed(sub.columns.head, local), local, "left_semi")
+        }
+        Sub(forT.pk, ids.select(forT.pk))
+      }
+    case QOr(cs) =>
+      val compiled = cs.map(compileNode(forT, forDf, _))
+      if (compiled.forall(_.isInstanceOf[Cond]))
+        Cond(compiled.collect { case Cond(c) => c }.reduce(_ || _))
+      else {
+        val idDfs = compiled.map {
+          case Cond(c)         => forDf.filter(c).select(forT.pk)
+          case Sub(local, sub) =>
+            forDf.join(sub.withColumnRenamed(sub.columns.head, local), local, "left_semi").select(forT.pk)
+        }
+        Sub(forT.pk, idDfs.reduce(_ union _))
+      }
+    case QNot(c) =>
+      compileNode(forT, forDf, c) match {
+        case Cond(cc)        => Cond(!coalesce(cc, lit(false)))
+        case Sub(local, ids) =>
+          Sub(forT.pk,
+            forDf.join(ids.withColumnRenamed(ids.columns.head, local), local, "left_anti").select(forT.pk))
+      }
+  }
+
+  private def applyNode(df: DataFrame, node: QNode, negate: Boolean): DataFrame =
+    compileNode(t, df, node) match {
+      case Cond(c) => if (negate) df.filter(!coalesce(c, lit(false))) else df.filter(c)
+      case Sub(local, ids) =>
+        val renamed = ids.withColumnRenamed(ids.columns.head, local)
+        df.join(renamed, Seq(local), if (negate) "left_anti" else "left_semi")
+    }
+
+  /** The resolved, still-lazy plan. */
+  def df: DataFrame = {
+    var d = baseDf
+    branchInjection.foreach(c => d = d.filter(c))
+    filters.foreach(n => d = applyNode(d, n, negate = false))
+    excludes.foreach(n => d = applyNode(d, n, negate = true))
+    if (order.nonEmpty)
+      d = d.orderBy(order.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }: _*)
+    limitN.foreach(n => d = d.limit(n))
+    d
+  }
+
+  // ------------------------------------------------------------ terminals
+
+  def count(): Long = df.count()
+  def exists(): Boolean = !df.isEmpty
+
+  def first(): Option[Row] = {
+    val qs = if (order.isEmpty) orderBy(t.pk) else this
+    qs.df.head(1).headOption
+  }
+
+  def one(): Row = {
+    val rows = df.head(2)
+    if (rows.isEmpty) throw new DoesNotExist(s"no ${t.name} matching the query")
+    if (rows.length > 1) throw new MultipleResultsFound(s"multiple ${t.name} rows match the query")
+    rows.head
+  }
+
+  def oneOrNone(): Option[Row] = {
+    val rows = df.head(2)
+    if (rows.length > 1) throw new MultipleResultsFound(s"multiple ${t.name} rows match the query")
+    rows.headOption
+  }
+
+  def valuesList(field: String): Seq[Any] = df.select(field).collect().map(_.get(0)).toSeq
+
+  /** `get` decision tree (`query_set.py:308-366`): by int id; by full uid;
+    * by uid prefix with the is_latest retry ladder — non-standard semantics
+    * ported exactly.
+    */
+  def get(idlike: Any): Row = idlike match {
+    case i: Int  => filter("id" -> i.toLong).one()
+    case i: Long => filter("id" -> i).one()
+    case s: String =>
+      if (t.uidLen > 0 && s.length == t.uidLen) filter("uid" -> s).one()
+      else {
+        val base = filter("uid__startswith" -> s)
+        if (t.versioned && t.fieldNames.contains("is_latest")) {
+          val latest = base.filter("is_latest" -> true)
+          val rows = latest.df.head(2)
+          if (rows.length == 1) rows.head
+          else if (rows.length > 1)
+            // a stem matching several latest heads never raises: most recent wins
+            latest.orderBy("-created_at", "id").df.head(1).headOption
+              .getOrElse(throw new DoesNotExist(s"no ${t.name} with uid prefix '$s'"))
+          else
+            base.orderBy("-created_at", "id").df.head(1).headOption
+              .getOrElse(throw new DoesNotExist(s"no ${t.name} with uid prefix '$s'"))
+        } else base.one()
+      }
+    case other => throw new FieldError(s"get() accepts an int id or uid(-prefix) string, got $other")
+  }
+
+  def get(kwargs: (String, Any)*): Row = filter(kwargs: _*).one()
+
+  /** Weighted search (`query_manager.py:36-172`). Returns a QuerySet-like
+    * DataFrame ranked by `rank` desc (deterministic tie-break on pk),
+    * limited to `limit` (reference default 20).
+    */
+  def search(query: String, fields: Seq[String] = Nil, limit: Int = Search.DefaultLimit,
+             caseSensitive: Boolean = false): DataFrame = {
+    val searchFields = if (fields.nonEmpty) fields else defaultSearchFields
+    Search.rank(df, query, searchFields, limit, caseSensitive, t.pk)
+  }
+
+  private def defaultSearchFields: Seq[String] =
+    t.schema.fields.filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name).toSeq
+}
+
+object QuerySet {
+  /** EAV dispatch hook: given (featureName, lookupSegs, value), return the
+    * matching base-table pk ids, or None if the name is no known feature.
+    */
+  trait FeatureHook {
+    def compile(feature: String, lookupSegs: List[String], value: Any): Option[DataFrame]
+  }
+
+  /** QuerySet over a catalog registry. */
+  def apply(cat: Catalog, registry: String,
+            featureHook: Option[FeatureHook] = None): QuerySet = {
+    val envImpl = new QueryEnv {
+      def table(name: String): DataFrame = cat.table(name)
+      def tableDef(name: String): TableDef = cat.tableDef(name)
+      def currentBranchId: Long = cat.currentBranchId
+    }
+    new QuerySet(cat.tableDef(registry), cat.table(registry), envImpl, featureHook = featureHook)
+  }
+
+  /** Environment over an ad-hoc set of (TableDef, DataFrame) pairs —
+    * lets the full lookup language (FK/M2M traversal included) run over
+    * arbitrary DataFrames, not just catalog registries.
+    */
+  final class MapEnv(defs: Map[String, (TableDef, DataFrame)],
+                     val currentBranchId: Long = Catalog.MainBranchId) extends QueryEnv {
+    def table(name: String): DataFrame =
+      defs.getOrElse(name, throw new FieldError(s"no related table '$name'"))._2
+    def tableDef(name: String): TableDef =
+      defs.getOrElse(name, throw new FieldError(s"no related table '$name'"))._1
+    def querySet(name: String): QuerySet = {
+      val (t, df) = defs(name)
+      new QuerySet(t, df, this)
+    }
+  }
+
+  /** QuerySet over an arbitrary standalone DataFrame (registry-like
+    * semantics: branch injection iff a `branch_id` column exists).
+    */
+  def over(df: DataFrame, name: String = "anon", pk: String = "id",
+           uidLen: Int = 0, versioned: Boolean = false,
+           currentBranchId: Long = Catalog.MainBranchId,
+           aliases: Map[String, String] = Map.empty): QuerySet = {
+    val t = TableDef(name, df.schema, uidLen = uidLen, versioned = versioned,
+      hasBranch = df.columns.contains("branch_id"), aliases = aliases, pk = pk)
+    new QuerySet(t, df, new MapEnv(Map(name -> (t, df)), currentBranchId))
+  }
+}
