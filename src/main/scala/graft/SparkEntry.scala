@@ -17,11 +17,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.CoreQueries.queries ++
-      _root_.graft.queries.TextQueries.queries
+      _root_.graft.queries.TextQueries.queries ++
+      _root_.graft.queries.CurateQueries.queries ++
+      _root_.graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.CoreQueries.oracle ++
-      _root_.graft.queries.TextQueries.oracle
+      _root_.graft.queries.TextQueries.oracle ++
+      _root_.graft.queries.CurateQueries.oracle ++
+      _root_.graft.queries.PipelineQueries.oracle
 }

@@ -1,0 +1,227 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dtype.{Cat, Dtype, ListOf, Simple}
+
+/** Validation / curation operators — the reference's signature capability
+  * (`lamindb/models/can_curate.py`, `curators/core.py`), re-expressed as
+  * join plans: membership = broadcast semi/left join against the registry
+  * field; synonym standardization = explode the pipe-delimited `synonyms`
+  * field into a (synonym → name) dictionary and map through it.
+  */
+object Curate {
+
+  /** Vectorized membership check (`validate`, `can_curate.py:159-216`):
+    * adds a `validated` flag per value row via a broadcast left join.
+    */
+  def validate(values: DataFrame, valueCol: String, registry: DataFrame,
+               field: String, caseSensitive: Boolean = true): DataFrame = {
+    val reg = registry.select(col(field).as("__reg_value")).distinct()
+    val cond =
+      if (caseSensitive) col(valueCol) === col("__reg_value")
+      else lower(col(valueCol)) === lower(col("__reg_value"))
+    values.join(broadcast(reg), cond, "left")
+      .withColumn("validated", col("__reg_value").isNotNull)
+      .drop("__reg_value")
+  }
+
+  /** Partition into validated / non-validated (`inspect`,
+    * `can_curate.py:56-156`): synonym-aware — a value counts as validated
+    * if it matches the field OR any synonym, but synonym matches are
+    * reported separately so callers can suggest `standardize()`.
+    */
+  def inspect(values: DataFrame, valueCol: String, registry: DataFrame,
+              field: String, synonymsCol: Option[String] = Some("synonyms")): InspectResult = {
+    val direct = validate(values, valueCol, registry, field)
+    val bySynonym = synonymsCol.filter(registry.columns.contains) match {
+      case Some(sc) =>
+        val dict = synonymDict(registry, field, sc)
+        direct.filter(!col("validated"))
+          .join(broadcast(dict), col(valueCol) === col("__synonym"), "left_semi")
+      case None => direct.limit(0)
+    }
+    InspectResult(
+      validated = direct.filter(col("validated")).drop("validated"),
+      nonValidated = direct.filter(!col("validated")).drop("validated"),
+      synonymMatches = bySynonym.drop("validated"))
+  }
+
+  final case class InspectResult(validated: DataFrame, nonValidated: DataFrame,
+                                 synonymMatches: DataFrame)
+
+  /** (synonym, name, priority) dictionary: canonical names map to
+    * themselves with priority 0, pipe-delimited synonyms with priority 1
+    * (`"a|b|c"` storage, `can_curate.py:219-349`).
+    */
+  private def synonymDict(registry: DataFrame, field: String, synonymsCol: String): DataFrame = {
+    val canonical = registry.select(col(field).as("__name"), col(field).as("__synonym"),
+      lit(0).as("__prio"))
+    val syns = registry
+      .select(col(field).as("__name"),
+        explode(split(coalesce(col(synonymsCol), lit("")), "\\|")).as("__synonym"),
+        lit(1).as("__prio"))
+      .filter(col("__synonym") =!= "")
+    canonical.unionByName(syns)
+  }
+
+  /** Map synonyms → canonical names (`standardize`, `can_curate.py:
+    * 219-349`): adds a `standardized` column; unknown values pass through
+    * unchanged. Exact canonical matches win over synonym matches; synonym
+    * collisions resolve to the lexicographically first name
+    * (deterministic `keep="first"`).
+    */
+  def standardize(values: DataFrame, valueCol: String, registry: DataFrame,
+                  field: String, synonymsCol: String = "synonyms",
+                  caseSensitive: Boolean = true): DataFrame = {
+    val dict0 = synonymDict(registry, field, synonymsCol)
+    val dict = (if (caseSensitive) dict0
+                else dict0.withColumn("__synonym", lower(col("__synonym"))))
+      .groupBy("__synonym")
+      .agg(min(struct(col("__prio"), col("__name"))).getField("__name").as("__mapped"))
+    val key = if (caseSensitive) col(valueCol) else lower(col(valueCol))
+    values.join(broadcast(dict), key === col("__synonym"), "left")
+      .withColumn("standardized", coalesce(col("__mapped"), col(valueCol)))
+      .drop("__synonym", "__mapped")
+  }
+
+  /** Bulk get-or-reference (`from_values`, `_from_values.py:50-131`):
+    * split values into records that already exist in the registry
+    * (matched by field or synonym) vs values that would need creation.
+    * Never silently creates — the caller decides what to do with
+    * `creatable` (reference parity).
+    */
+  def fromValues(values: DataFrame, valueCol: String, registry: DataFrame,
+                 field: String, synonymsCol: String = "synonyms"): FromValuesResult = {
+    val dict =
+      if (registry.columns.contains(synonymsCol)) synonymDict(registry, field, synonymsCol)
+      else registry.select(col(field).as("__name"), col(field).as("__synonym"), lit(0).as("__prio"))
+    val matched = values.join(broadcast(dict.select("__synonym").distinct()),
+      col(valueCol) === col("__synonym"), "left_semi")
+    val existing = registry.join(
+      broadcast(matched.join(broadcast(dict), col(valueCol) === col("__synonym"))
+        .select(col("__name").as(field)).distinct()),
+      Seq(field), "left_semi")
+    val creatable = values.join(broadcast(dict.select("__synonym").distinct()),
+      col(valueCol) === col("__synonym"), "left_anti").distinct()
+    FromValuesResult(existing, creatable)
+  }
+
+  final case class FromValuesResult(existing: DataFrame, creatable: DataFrame)
+}
+
+/** A feature schema compiled to Spark-side validation (DataFrameCurator,
+  * `curators/core.py:652-909` + flags `models/schema.py:344-349`).
+  */
+final case class FeatureSpec(name: String, dtype: String, nullable: Boolean = true,
+                             optional: Boolean = false,
+                             catRegistry: Option[(DataFrame, String)] = None)
+
+final case class SchemaSpec(features: Seq[FeatureSpec],
+                            minimalSet: Boolean = true,
+                            maximalSet: Boolean = false,
+                            orderedSet: Boolean = false,
+                            coerce: Boolean = false)
+
+final case class ValidationIssue(check: String, column: String, detail: String, n: Long)
+
+final case class ValidationReport(passed: Boolean, issues: Seq[ValidationIssue])
+
+object SchemaValidator {
+
+  /** Validate a DataFrame against a schema spec. Structural checks
+    * (presence / extra-column / ordering) are driver-side over
+    * `df.schema`; content checks (dtype conformance, nullability,
+    * categorical membership) compile to ONE aggregate pass plus one
+    * anti-join per categorical feature.
+    */
+  def validate(df: DataFrame, spec: SchemaSpec): ValidationReport = {
+    val issues = Seq.newBuilder[ValidationIssue]
+    val present = df.columns.toSeq
+    val required = spec.features.filterNot(_.optional).map(_.name)
+
+    // minimal_set: required features must be present
+    if (spec.minimalSet)
+      required.filterNot(present.contains).foreach { m =>
+        issues += ValidationIssue("missing_column", m, "required by schema (minimal_set)", 0L)
+      }
+    // maximal_set (strict): no columns beyond the schema
+    if (spec.maximalSet) {
+      val allowed = spec.features.map(_.name).toSet
+      present.filterNot(allowed.contains).foreach { e =>
+        issues += ValidationIssue("unexpected_column", e, "not in schema (maximal_set)", 0L)
+      }
+    }
+    // ordered_set: schema features must appear as a prefix in order
+    if (spec.orderedSet) {
+      val want = spec.features.map(_.name)
+      if (present.take(want.length) != want)
+        issues += ValidationIssue("column_order", want.mkString(","),
+          s"expected prefix order, got ${present.take(want.length).mkString(",")}", 0L)
+    }
+
+    // one aggregate pass: null counts + dtype-violation counts
+    val checkable = spec.features.filter(f => present.contains(f.name))
+    val aggs: Seq[Column] = checkable.flatMap { f =>
+      val c = col(f.name)
+      val nullAgg =
+        if (!f.nullable) Some(sum(when(c.isNull, 1L).otherwise(0L)).as(s"__null__${f.name}"))
+        else None
+      val dtypeAgg = dtypeViolation(c, f.dtype).map(v =>
+        sum(when(v, 1L).otherwise(0L)).as(s"__dtype__${f.name}"))
+      nullAgg.toSeq ++ dtypeAgg.toSeq
+    }
+    if (aggs.nonEmpty) {
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      row.schema.fieldNames.zipWithIndex.foreach { case (n, i) =>
+        val cnt = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (cnt > 0) {
+          val Array(_, kind, colName) = n.split("__", 3)
+          issues += ValidationIssue(
+            if (kind == "null") "null_values" else "dtype_mismatch",
+            colName, s"$cnt violating rows", cnt)
+        }
+      }
+    }
+
+    // categorical membership: anti-join per cat feature
+    checkable.filter(_.catRegistry.isDefined).foreach { f =>
+      val (reg, field) = f.catRegistry.get
+      val bad = catViolations(df, f.name, reg, field)
+      bad.collect().foreach { r =>
+        issues += ValidationIssue("non_validated", f.name,
+          Option(r.get(0)).map(_.toString).getOrElse("null"), r.getLong(1))
+      }
+    }
+
+    val result = issues.result()
+    ValidationReport(result.isEmpty, result)
+  }
+
+  /** Distinct non-member values of a categorical column with counts. */
+  def catViolations(df: DataFrame, column: String, registry: DataFrame, field: String): DataFrame =
+    df.select(col(column))
+      .join(broadcast(registry.select(col(field).as(column)).distinct()), Seq(column), "left_anti")
+      .groupBy(column).agg(count(lit(1)).as("n"))
+      .orderBy(column)
+
+  /** A Column that is true where the value does NOT conform to the dtype
+    * (`check_dtype` closures, `base/dtypes.py:20-85`). Physical strings
+    * are checked by try_cast; correctly-typed physical columns need no
+    * check (None).
+    */
+  private def dtypeViolation(c: Column, dtypeStr: String): Option[Column] = {
+    val d = Dtype.parse(dtypeStr)
+    d match {
+      case Simple("num") | Simple("float") | Simple("int") =>
+        Some(c.isNotNull && expr(s"try_cast(${colSql(c)} AS double)").isNull)
+      case Simple("bool") =>
+        Some(c.isNotNull && expr(s"try_cast(${colSql(c)} AS boolean)").isNull)
+      case Simple("datetime") | Simple("date") =>
+        Some(c.isNotNull && expr(s"try_cast(${colSql(c)} AS timestamp)").isNull)
+      case _ => None // str/cat/list/dict: physical check not needed
+    }
+  }
+
+  private def colSql(c: Column): String = c.toString
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.curate.{Curate, SchemaValidator}
+
+/** Curation-layer queries (SURVEY §2.11): membership validation, synonym
+  * standardization, from_values split, categorical schema violations —
+  * each oracle-checkable because registries and synonym dictionaries are
+  * derived from the driver's base tables.
+  */
+object CurateQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** region registry with synonyms "lower|UNDERSCORED" (pipe field like
+    * the reference's `synonyms`).
+    */
+  private def regionRegistry(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region").select(
+      col("r_name").as("name"),
+      concat_ws("|", lower(col("r_name")), regexp_replace(col("r_name"), " ", "_")).as("synonyms"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_validate" -> ((spark, dir) => {
+      val values = t(spark, dir, "part").select(col("p_type").as("value")).distinct()
+        .unionByName(Seq("PLASTIC", "WOODEN").toDF(spark)("value"))
+      val registry = t(spark, dir, "part").filter(col("p_size") >= 20)
+      Curate.validate(values, "value", registry, "p_type")
+        .orderBy("value")
+    }),
+
+    "c02_standardize" -> ((spark, dir) => {
+      val region = t(spark, dir, "region")
+      val values = region.select(lower(col("r_name")).as("value"))
+        .unionByName(region.select(col("r_name").as("value")))
+        .unionByName(Seq("atlantis").toDF(spark)("value"))
+      Curate.standardize(values, "value", regionRegistry(spark, dir), "name")
+        .orderBy("value", "standardized")
+    }),
+
+    "c03_from_values" -> ((spark, dir) => {
+      // existing vs creatable split over region names + synonyms + unknowns
+      val region = t(spark, dir, "region")
+      val values = region.select(lower(col("r_name")).as("value"))
+        .unionByName(Seq("atlantis", "lemuria").toDF(spark)("value"))
+      val r = Curate.fromValues(values, "value", regionRegistry(spark, dir), "name")
+      r.existing.select(col("name").as("value"), lit("existing").as("status"))
+        .unionByName(r.creatable.select(col("value"), lit("creatable").as("status")))
+        .orderBy("status", "value")
+    }),
+
+    "c04_cat_violations" -> ((spark, dir) => {
+      // schema allows only three segments: the other two must be reported
+      // as non-validated values with counts (ValidationError listing)
+      val customers = t(spark, dir, "customer")
+      val allowed = Seq("BUILDING", "MACHINERY", "FURNITURE").toDF(spark)("segment")
+      SchemaValidator.catViolations(customers, "c_mktsegment", allowed, "segment")
+    })
+  )
+
+  private implicit class SeqToDF(s: Seq[String]) {
+    def toDF(spark: SparkSession)(colName: String): DataFrame = {
+      val session = spark
+      import session.implicits._
+      localSeqToDatasetHolder(s).toDF(colName)
+    }
+  }
+
+  val oracle: Map[String, String] = Map(
+    "c01_validate" ->
+      """WITH vals AS (
+        |  SELECT DISTINCT p_type AS value FROM part
+        |  UNION ALL SELECT 'PLASTIC' UNION ALL SELECT 'WOODEN'),
+        |reg AS (SELECT DISTINCT p_type FROM part WHERE p_size >= 20)
+        |SELECT value, value IN (SELECT p_type FROM reg) AS validated
+        |FROM vals ORDER BY value""".stripMargin,
+
+    "c02_standardize" ->
+      """WITH reg AS (
+        |  SELECT r_name AS name,
+        |         lower(r_name) || '|' || replace(r_name, ' ', '_') AS synonyms
+        |  FROM region),
+        |dict AS (
+        |  SELECT name, name AS synonym, 0 AS prio FROM reg
+        |  UNION ALL
+        |  SELECT name, unnest(string_split(synonyms, '|')) AS synonym, 1 AS prio FROM reg),
+        |best AS (
+        |  SELECT synonym, min(prio || ':' || name) AS tagged FROM dict GROUP BY synonym),
+        |vals AS (
+        |  SELECT lower(r_name) AS value FROM region
+        |  UNION ALL SELECT r_name FROM region
+        |  UNION ALL SELECT 'atlantis')
+        |SELECT value,
+        |  coalesce((SELECT substr(b.tagged, 3) FROM best b WHERE b.synonym = vals.value), value)
+        |    AS standardized
+        |FROM vals ORDER BY value, standardized""".stripMargin,
+
+    "c03_from_values" ->
+      """WITH reg AS (
+        |  SELECT r_name AS name,
+        |         lower(r_name) || '|' || replace(r_name, ' ', '_') AS synonyms
+        |  FROM region),
+        |dict AS (
+        |  SELECT name, name AS synonym FROM reg
+        |  UNION ALL
+        |  SELECT name, unnest(string_split(synonyms, '|')) AS synonym FROM reg),
+        |vals AS (
+        |  SELECT lower(r_name) AS value FROM region
+        |  UNION ALL SELECT 'atlantis' UNION ALL SELECT 'lemuria')
+        |SELECT DISTINCT d.name AS value, 'existing' AS status
+        |FROM vals v JOIN dict d ON v.value = d.synonym
+        |UNION ALL
+        |SELECT DISTINCT v.value, 'creatable' AS status
+        |FROM vals v WHERE v.value NOT IN (SELECT synonym FROM dict)
+        |ORDER BY status, value""".stripMargin,
+
+    "c04_cat_violations" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
