@@ -21,8 +21,8 @@ object Flagship {
     val lineage = new Lineage(cat)
 
     lineage.track("flagship.scala", "entry-query-v1")
-    store.registerPath(s"$sfDir/lineitem.parquet", s"$sfDir/lineitem.parquet", root, kind = "dataset")
-    store.registerPath(s"$sfDir/orders.parquet", s"$sfDir/orders.parquet", root, kind = "dataset")
+    store.registerPath(s"$sfDir/lineitem.parquet", "tpch/lineitem.parquet", root, kind = "dataset")
+    store.registerPath(s"$sfDir/orders.parquet", "tpch/orders.parquet", root, kind = "dataset")
 
     // resolve through the registry query layer: branch injection applies
     val artifacts = store.querySet

@@ -38,7 +38,8 @@ final class ArtifactStore(val cat: Catalog) {
       val i = name.lastIndexOf('.')
       if (i >= 0) name.substring(i) else ""
     }
-    createArtifact(hash, hashType, size, nFiles, key, suffix, storageId, kind, description)
+    createArtifact(hash, hashType, size, nFiles, key, suffix, storageId, kind, description,
+      realPath = Some(path))
   }
 
   /** Write a DataFrame to the storage area under the auto-key
@@ -72,7 +73,8 @@ final class ArtifactStore(val cat: Catalog) {
 
   private def createArtifact(hash: String, hashType: String, size: Long, nFiles: Long,
                              key: String, suffix: String, storageId: Long, kind: String,
-                             description: String, nObservations: Option[Long] = None): Map[String, Any] = {
+                             description: String, nObservations: Option[Long] = None,
+                             realPath: Option[String] = None): Map[String, Any] = {
     findByHash(hash) match {
       case Some(existing) => existing // content-identical: idempotent return
       case None =>
@@ -86,6 +88,7 @@ final class ArtifactStore(val cat: Catalog) {
         if (isRevision) demoteFamilyHeads(Versioning.stem(uid))
         cat.insert("artifact", Map(
           "uid" -> uid, "key" -> key, "suffix" -> suffix, "kind" -> kind,
+          "real_path" -> realPath.orNull,
           "description" -> description, "size" -> size, "hash" -> hash,
           "hash_type" -> hashType, "n_files" -> nFiles,
           "n_observations" -> nObservations.orNull,
@@ -110,25 +113,21 @@ final class ArtifactStore(val cat: Catalog) {
   def rowToMap(r: Row): Map[String, Any] =
     r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
 
-  /** Physical URI: `storage.root` + (real `key` path or the auto-key
-    * `.lamindb/{uid}{suffix}`) — `artifact.py:2096-2116`.
+  /** Physical URI: `real_path` for ingest-by-reference artifacts, else
+    * `storage.root` + auto-key `.lamindb/{uid}{suffix}` — the computed
+    * `coalesce(_real_key, key)` path of the reference
+    * (`artifact.py:2096-2116`, `artifact_set.py:421-437`).
     */
-  def artifactPath(a: Map[String, Any], storageRoot: String): String = {
-    val autoKey = s".lamindb/${a("uid")}${a.getOrElse("suffix", "")}"
-    val key = Option(a.getOrElse("key", null)).map(_.toString)
-    // registered-by-reference artifacts (registerPath with absolute key) use the key itself
-    key match {
-      case Some(k) if k.startsWith("/") => k
-      case _                            => s"$storageRoot/$autoKey"
-    }
-  }
+  def artifactPath(a: Map[String, Any], storageRoot: String): String =
+    Option(a.getOrElse("real_path", null)).map(_.toString)
+      .getOrElse(s"$storageRoot/.lamindb/${a("uid")}${Option(a.getOrElse("suffix", null)).getOrElse("")}")
 
   def pathsFor(artifacts: DataFrame): Seq[String] = {
     val storages = cat.table("storage").select(col("id").as("storage_id"), col("root"))
     artifacts.join(broadcast(storages), "storage_id")
       .select(
-        when(col("key").startsWith("/"), col("key"))
-          .otherwise(concat(col("root"), lit("/.lamindb/"), col("uid"), coalesce(col("suffix"), lit(""))))
+        coalesce(col("real_path"),
+          concat(col("root"), lit("/.lamindb/"), col("uid"), coalesce(col("suffix"), lit(""))))
           .as("path"))
       .collect().map(_.getString(0)).toSeq
   }

@@ -51,6 +51,9 @@ object Schemas {
     "artifact",
     StructType(Seq(
       f("id", L, false), f("uid", S, false), f("key", S), f("suffix", S),
+      // real_path: physical location of ingest-by-reference artifacts
+      // (the reference's `_real_key` resolution, `artifact_set.py:421-437`)
+      f("real_path", S),
       f("kind", S), f("otype", S), f("description", S),
       f("size", L), f("hash", S), f("hash_type", S),
       f("n_files", L), f("n_observations", L),

@@ -69,10 +69,13 @@ object Dtype {
         if (open >= 0) (s.substring(0, open), Some(s.substring(open + 1, s.length - 1)))
         else (s, None)
       } else (s, None)
-    head.split("\\.", 2) match {
-      case Array(reg)        => CatComponent(reg, None, filter)
-      case Array(reg, field) => CatComponent(reg, Some(field), filter)
-    }
+    // registry paths may be dotted modules (`bionty.Gene`); the reference
+    // disambiguates against known registries — we use the convention that
+    // registry segments are Capitalized and field names are lowercase
+    val segs = head.split("\\.")
+    if (segs.length >= 2 && segs.last.nonEmpty && segs.last.head.isLower)
+      CatComponent(segs.init.mkString("."), Some(segs.last), filter)
+    else CatComponent(head, None, filter)
   }
 
   /** Spark physical type for a dtype (SURVEY §1.2 mapping). Categoricals

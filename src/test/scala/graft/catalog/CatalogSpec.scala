@@ -1,0 +1,124 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.artifact.{ArtifactStore, Versions}
+import graft.lineage.Lineage
+import graft.query.QuerySet
+
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("insert/flush/reload round-trip with deterministic uids") {
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val u = cat.insert("ulabel", Map("name" -> "label1"))
+    assert(u("id") === 1L)
+    assert(u("branch_id") === 1L)
+    assert(cat.table("ulabel").count() === 1)
+    cat.flush("ulabel")
+    // a fresh catalog instance sees the flushed row
+    val cat2 = Catalog.deterministic(spark, root)
+    assert(cat2.table("ulabel").count() === 1)
+    assert(cat2.nextId("ulabel") === 2L) // id sequence resumes after max
+  }
+
+  test("artifact ingest is idempotent on content hash") {
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val a1 = store.registerPath(s"${TestSpark.sf0001}/region.parquet", "tpch/region", root)
+    val a2 = store.registerPath(s"${TestSpark.sf0001}/region.parquet", "tpch/region", root)
+    assert(a1("uid") === a2("uid")) // same content -> same artifact
+    assert(cat.table("artifact").count() === 1)
+  }
+
+  test("same key + new content creates a new version; is_latest flips") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val v1 = store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "dataset/x", root)
+    val v2 = store.fromDataFrame(Seq((2, "b")).toDF("id", "v"), "dataset/x", root)
+    assert(v1("uid").toString.take(16) === v2("uid").toString.take(16)) // same stem
+    assert(v1("uid").toString.takeRight(4) === "0000")
+    assert(v2("uid").toString.takeRight(4) === "0001")
+    val heads = cat.table("artifact").filter(col("is_latest")).select("uid")
+      .collect().map(_.getString(0))
+    assert(heads.toSeq === Seq(v2("uid"))) // only the new head is latest
+    // re-ingesting v1's content is idempotent, returns the old version
+    val v1again = store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "dataset/x", root)
+    assert(v1again("uid") === v1("uid"))
+  }
+
+  test("open() reads artifacts back as one scan; trash hides; restore unhides") {
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val a = store.registerPath(s"${TestSpark.sf0001}/region.parquet", "tpch/region", root)
+    val df = store.openByUid(a("uid").toString)
+    assert(df.count() === 5)
+
+    val id = a("id").asInstanceOf[Long]
+    store.trash(Seq(id))
+    assert(store.querySet.count() === 0) // default visibility hides trash
+    assert(store.querySet.filter("branch_id" -> -1L).count() === 1)
+    assert(store.querySet.filter("uid" -> a("uid")).count() === 1) // uid bypass
+    store.restore(Seq(id))
+    assert(store.querySet.count() === 1)
+  }
+
+  test("mixed-suffix open is rejected") {
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    store.registerPath(s"${TestSpark.sf0001}/region.parquet", "a", root)
+    val csv = java.nio.file.Paths.get(root, "x.csv")
+    java.nio.file.Files.writeString(csv, "c1\n1\n")
+    store.registerPath(csv.toString, "b", root)
+    val e = intercept[IllegalArgumentException](store.open(cat.table("artifact")))
+    assert(e.getMessage.contains("mixed suffixes"))
+  }
+
+  test("lineage: track/finish + run-input auto-linking + BFS") {
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val lin = new Lineage(cat)
+
+    val (_, run1) = lin.track("step1.scala", "v1")
+    val a = store.registerPath(s"${TestSpark.sf0001}/region.parquet", "r", root)
+    // a is produced by run1 (run_id set on artifact)
+    assert(a("run_id") === run1)
+    lin.finish()
+
+    val (_, run2) = lin.track("step2.scala", "v1")
+    store.openByUid(a("uid").toString).count() // auto-links as run2 input
+    lin.finish()
+    val inputs = cat.table("run_inputs").select("run_id", "artifact_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inputs.toSeq === Seq((run2, a("id"))))
+
+    // BFS: run1 -> artifact -> run2
+    val down = lin.downstreamRuns(run1).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(down.toSeq === Seq((run1, 0), (run2, 1)))
+    // statuses: both completed
+    val statuses = cat.table("run").select("status_code").collect().map(_.getInt(0)).toSet
+    assert(statuses === Set(0))
+    // identical source hash reuses the transform only when keys match
+    assert(cat.table("transform").count() === 2)
+  }
+
+  test("is_latest window recompute honors base62 decoded order") {
+    import spark.implicits._
+    val stem = "s" * 16
+    val rows = Seq(
+      (stem + "000Z", 1L), (stem + "000a", 1L), (stem + "0009", 1L)
+    ).toDF("uid", "branch_id")
+    val heads = Versions.recomputeIsLatest(rows)
+      .filter(col("is_latest")).select("uid").as[String].collect()
+    assert(heads.toSeq === Seq(stem + "000a")) // a > Z in base62, not in collation
+  }
+}

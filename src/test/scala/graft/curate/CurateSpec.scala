@@ -1,0 +1,107 @@
+package graft.curate
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Scenario names mirror the reference's mini_immuno error variants
+  * (`lamindb/examples/datasets/mini_immuno.py:69-110`).
+  */
+class CurateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cellTypes = Seq(
+    ("B cell", "B-cell|B lymphocyte"),
+    ("CD8-positive alpha-beta T cell", "CD8+ T cell"),
+    ("T cell", null)
+  ).toDF("name", "synonyms")
+
+  private lazy val perturbations = Seq(("DMSO", null), ("IFNG", null))
+    .toDF("name", "synonyms").as("perturbations")
+
+  test("validate: happy path all validated") {
+    val vals = Seq("DMSO", "IFNG", "DMSO").toDF("value")
+    val r = Curate.validate(vals, "value", perturbations, "name")
+    assert(r.filter(col("validated")).count() === 3)
+  }
+
+  test("with_typo: unknown label IFNJ reported non-validated") {
+    val vals = Seq("DMSO", "IFNJ").toDF("value")
+    val r = Curate.inspect(vals, "value", perturbations, "name", None)
+    assert(r.validated.count() === 1)
+    assert(r.nonValidated.select("value").as[String].collect().toSeq === Seq("IFNJ"))
+  }
+
+  test("with_cell_type_synonym: 'B-cell' flagged as synonym match, standardize fixes it") {
+    val vals = Seq("B-cell", "T cell").toDF("value")
+    val ins = Curate.inspect(vals, "value", cellTypes, "name")
+    assert(ins.validated.select("value").as[String].collect().toSeq === Seq("T cell"))
+    assert(ins.synonymMatches.select("value").as[String].collect().toSeq === Seq("B-cell"))
+    val std = Curate.standardize(vals, "value", cellTypes, "name")
+      .select("standardized").as[String].collect().sorted
+    assert(std.toSeq === Seq("B cell", "T cell"))
+  }
+
+  test("standardize: canonical beats synonym, unknown passes through, case-insensitive option") {
+    val vals = Seq("b-cell", "ATLANTIS").toDF("value")
+    val ci = Curate.standardize(vals, "value", cellTypes, "name", caseSensitive = false)
+      .select("value", "standardized").as[(String, String)].collect().toMap
+    assert(ci("b-cell") === "B cell")
+    assert(ci("ATLANTIS") === "ATLANTIS")
+  }
+
+  test("from_values: existing vs creatable split, synonym-aware, no silent creation") {
+    val vals = Seq("B-cell", "T cell", "plasma cell").toDF("value")
+    val r = Curate.fromValues(vals, "value", cellTypes, "name")
+    assert(r.existing.select("name").as[String].collect().sorted.toSeq ===
+      Seq("B cell", "T cell"))
+    assert(r.creatable.select("value").as[String].collect().toSeq === Seq("plasma cell"))
+  }
+
+  test("schema validation: happy path passes") {
+    val df = Seq((1.0, 2.0, "DMSO"), (3.0, 4.0, "IFNG"))
+      .toDF("CD8A", "CD4", "perturbation")
+    val spec = SchemaSpec(Seq(
+      FeatureSpec("CD8A", "num", nullable = false),
+      FeatureSpec("CD4", "num", nullable = false),
+      FeatureSpec("perturbation", "cat[ULabel]",
+        catRegistry = Some((perturbations.toDF, "name")))))
+    val report = SchemaValidator.validate(df, spec)
+    assert(report.passed, report.issues.toString)
+  }
+
+  test("with_gene_typo: strict schema flags unexpected column") {
+    val df = Seq((1.0, "DMSO")).toDF("GeneTypo", "perturbation")
+    val spec = SchemaSpec(Seq(
+      FeatureSpec("CD8A", "num"), FeatureSpec("perturbation", "cat[ULabel]")),
+      maximalSet = true)
+    val report = SchemaValidator.validate(df, spec)
+    assert(!report.passed)
+    assert(report.issues.exists(i => i.check === "unexpected_column" && i.column === "GeneTypo"))
+    assert(report.issues.exists(i => i.check === "missing_column" && i.column === "CD8A"))
+  }
+
+  test("with_wrong_subtype: non-validated categorical listed with counts") {
+    val df = Seq(("DMSO"), ("IFNJ"), ("IFNJ")).toDF("perturbation")
+    val spec = SchemaSpec(Seq(
+      FeatureSpec("perturbation", "cat[ULabel]",
+        catRegistry = Some((perturbations.toDF, "name")))))
+    val report = SchemaValidator.validate(df, spec)
+    assert(!report.passed)
+    val issue = report.issues.find(_.check === "non_validated").get
+    assert(issue.column === "perturbation" && issue.detail === "IFNJ" && issue.n === 2)
+  }
+
+  test("ordered_set + nullability + dtype coercion violations") {
+    val df = Seq(("x", null.asInstanceOf[String]), ("y", "1.5"), ("z", "oops"))
+      .toDF("b", "a")
+    val spec = SchemaSpec(Seq(
+      FeatureSpec("a", "num", nullable = false), FeatureSpec("b", "str")),
+      orderedSet = true)
+    val report = SchemaValidator.validate(df, spec)
+    assert(report.issues.exists(_.check === "column_order"))
+    assert(report.issues.exists(i => i.check === "null_values" && i.column === "a" && i.n === 1))
+    assert(report.issues.exists(i => i.check === "dtype_mismatch" && i.column === "a" && i.n === 1))
+  }
+}

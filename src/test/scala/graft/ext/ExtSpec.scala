@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "quick brown fox jumps over the lazy dog again and again"),     // near dup (first token dropped)
+    (4L, "completely different content about spark query engines and shuffles here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup marks content groups") {
+    val r = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id")
+      .select("doc_id", "keeper_id", "is_dup").as[(Long, Long, Boolean)].collect()
+    assert(r.toSeq === Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, false), (4L, 4L, false)))
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, skips distinct docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, computed only for candidates") {
+    val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 4L)) < 0.1)
+  }
+
+  test("simhash: identical -> 0 hamming, near dup small, different large") {
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cands((1L, 2L)) === 0L)
+    cands.get((1L, 3L)).foreach(h => assert(h <= 16))
+  }
+
+  test("cosine top-k: identical vector ranks first with sim 1") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.9f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .select("neighbor_id", "sim", "rank").as[(Long, Double, Long)].collect()
+    assert(r(0)._1 === 2L && r(0)._2 === 1.0)
+    assert(r(1)._1 === 4L)
+  }
+
+  test("LSH ANN: buckets route identical vectors together; results subset of brute force") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ann.nonEmpty)
+    // every ANN hit is a real vector pair; recall vs brute is non-zero
+    assert(ann.toSet.intersect(brute).nonEmpty)
+  }
+
+  test("text ops: tokens, subwords, fingerprint stability, quality flags") {
+    val r = docs.select(
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.subwordCount($"text").as("sw"),
+      TextOps.fingerprint($"text").as("fp"))
+      .orderBy("n").collect()
+    assert(r.head.getAs[Long]("n") > 0)
+    // fingerprint invariant under case/punct/whitespace edits
+    val fp = docs.filter($"doc_id" === 1).select(TextOps.fingerprint($"text")).head().getString(0)
+    val fp2 = Seq("THE QUICK,,, brown fox   jumps over the lazy dog AGAIN and again!!")
+      .toDF("text").select(TextOps.fingerprint($"text")).head().getString(0)
+    assert(fp === fp2)
+
+    val q = TextOps.qualityColumns(docs, "text")
+    assert(q.columns.contains("quality_ok"))
+    assert(q.filter($"doc_id" === 1).head().getAs[Boolean]("quality_ok") === false) // 12 tokens < 20
+  }
+
+  test("langid classifies by trigram profile") {
+    val labeled = Seq(
+      (1L, "the cat sat on the mat with the hat", "en"),
+      (2L, "el gato se sienta en la alfombra con el sombrero", "es"),
+      (3L, "the dog ran to the park with the ball", "en"),
+      (4L, "el perro corre al parque con la pelota", "es")
+    ).toDF("doc_id", "text", "lang")
+    val pred = TextOps.langId(labeled, labeled, "doc_id", "text", "lang")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(pred(1L) === "en" && pred(3L) === "en")
+    assert(pred(2L) === "es" && pred(4L) === "es")
+  }
+
+  test("multimodal: payload -> fake decode -> resize plan is deterministic and typed") {
+    val withP = Multimodal.withFakePayload(docs, "doc_id", "text")
+    assert(withP.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
+    val meta = Multimodal.decodeMeta(withP, "doc_id", "payload")
+    val plan = Multimodal.resizePlan(meta, 512).orderBy("doc_id").collect()
+    assert(plan.length === 4)
+    // exact dups decode identically
+    assert(plan(0).getAs[org.apache.spark.sql.Row]("meta") ===
+      plan(1).getAs[org.apache.spark.sql.Row]("meta"))
+    val w = plan(0).getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width")
+    assert(w >= 64 && w <= 1024)
+    assert(plan.forall { r =>
+      val tw = r.getAs[Int]("target_width"); tw <= 512 || !r.getAs[Boolean]("needs_resize")
+    })
+  }
+
+  test("rolling min-hash fingerprint is shift-sensitive but deterministic") {
+    val a = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
+    val b = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
+    assert(a === b)
+  }
+}

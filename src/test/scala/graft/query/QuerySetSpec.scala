@@ -1,0 +1,101 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.catalog.Catalog
+
+class QuerySetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** in-memory ulabel-like registry with branch + versioned uid */
+  private lazy val labels = Seq(
+    // (id, uid(8), name, synonyms, branch_id)
+    (1L, "aaaa0000", "T cell", "T-cell|T lymphocyte", 1L),
+    (2L, "bbbb0000", "B cell", "B-cell", 1L),
+    (3L, "cccc0000", "NK cell", null, -1L), // trashed
+    (4L, "dddd0000", "monocyte", null, 0L), // archived
+    (5L, "eeee0000", "T helper cell", null, 2L) // other branch
+  ).toDF("id", "uid", "name", "synonyms", "branch_id")
+
+  private def qs = QuerySet.over(labels, "ulabel", uidLen = 8)
+
+  test("branch injection: default hides trash/archive/other branches") {
+    assert(qs.filter("name__contains" -> "cell").df.count() === 2)
+    assert(qs.count() === 2)
+  }
+
+  test("branch injection: current branch adds to main") {
+    val onBranch2 = QuerySet.over(labels, "ulabel", uidLen = 8, currentBranchId = 2L)
+    assert(onBranch2.count() === 3) // branch 2 + main
+  }
+
+  test("explicit branch filter wins over injection") {
+    assert(qs.filter("branch_id" -> -1L).count() === 1) // trash only
+    assert(qs.filter("branch_id__in" -> Seq(-1L, 0L, 1L, 2L)).count() === 5)
+  }
+
+  test("id/uid/hash keys bypass injection") {
+    assert(qs.filter("uid" -> "cccc0000").count() === 1) // trashed but addressable
+    assert(qs.filter("id" -> 4L).count() === 1)
+  }
+
+  test("lookup suite") {
+    assert(qs.filter("name__startswith" -> "T").count() === 1)
+    assert(qs.filter("name__istartswith" -> "t").count() === 1)
+    assert(qs.filter("name__icontains" -> "CELL").count() === 2)
+    assert(qs.filter("name__in" -> Seq("T cell", "B cell")).count() === 2)
+    assert(qs.filter("synonyms__isnull" -> true).count() === 0) // visible rows all have synonyms
+    assert(qs.filter("name__regex" -> "^[TB] cell$").count() === 2)
+    assert(qs.filter("id__gte" -> 2).filter("id__lt" -> 3).count() === 1)
+  }
+
+  test("Q algebra: OR / AND / NOT") {
+    assert(qs.filterQ(Q("name" -> "T cell") | Q("name" -> "B cell")).count() === 2)
+    assert(qs.filterQ(!Q("name__contains" -> "T")).count() === 1)
+    assert(qs.excludeQ(Q("name__contains" -> "T")).count() === 1)
+  }
+
+  test("unknown field raises FieldError with available fields") {
+    val e = intercept[FieldError](qs.filter("nonexistent" -> 1).df)
+    assert(e.getMessage.contains("nonexistent"))
+    assert(e.getMessage.contains("name"))
+  }
+
+  test("one/first/exceptions") {
+    assert(qs.filter("name" -> "T cell").one().getAs[String]("name") === "T cell")
+    intercept[DoesNotExist](qs.filter("name" -> "no such").one())
+    intercept[MultipleResultsFound](qs.filter("name__contains" -> "cell").one())
+    assert(qs.filter("name" -> "no such").oneOrNone().isEmpty)
+    assert(qs.orderBy("name").first().get.getAs[String]("name") === "B cell")
+  }
+
+  test("get by id / full uid / prefix") {
+    assert(qs.get(2L).getAs[String]("name") === "B cell")
+    assert(qs.get("bbbb0000").getAs[String]("name") === "B cell")
+    assert(qs.get("bbb").getAs[String]("name") === "B cell")
+    intercept[DoesNotExist](qs.get("zzzz"))
+  }
+
+  test("search ranks exact > word > contains, limit + ties stable") {
+    val r = qs.search("T cell", fields = Seq("name", "synonyms"), limit = 10)
+      .select("name", "rank").as[(String, Int)].collect()
+    assert(r.head._1 === "T cell") // exact match ranks first
+    assert(r.map(_._1).contains("T helper cell") === false) // branch-hidden
+    val r2 = qs.search("cell", fields = Seq("name"), limit = 1)
+    assert(r2.count() === 1)
+  }
+
+  test("search finds pipe-delimited synonyms at synonym weight") {
+    val r = qs.search("T-cell", fields = Seq("name", "synonyms"), limit = 10)
+      .select("name", "rank").as[(String, Int)].collect()
+    assert(r.head._1 === "T cell")
+    assert(r.head._2 >= 200) // synonym-delimited match weight
+  }
+
+  test("orderBy desc + limit") {
+    val names = qs.orderBy("-name").limit(1).df.select("name").as[String].collect()
+    assert(names === Array("T cell"))
+  }
+}
