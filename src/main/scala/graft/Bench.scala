@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round benchmark: times every SparkEntry query plus the catalog-op
+  * families from BASELINE.md (bulk hash-dedup ingest, deep lineage BFS,
+  * schema validation), printing ONE JSON line for the driver.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,83 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warmup so the first measured query isn't charged for it
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
+
+    def time(body: => Any): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val queryTimes = SparkEntry.queries.map { case (name, fn) =>
+      name -> time(fn(spark, sfDir).count())
+    }
+
+    // catalog-op families (BASELINE.md): not oracle-queries, timed here
+    val catalogTimes = Map(
+      "b01_ingest_1k_dedup" -> time(benchIngest(spark)),
+      "b02_bfs_10_levels" -> time(benchBfs(spark)),
+      "b03_schema_validate_lineitem" -> time(benchValidate(spark, sfDir)))
+
+    val all = queryTimes ++ catalogTimes
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** 1k-record bulk registration with hash-dedup lookups: 500 unique
+    * contents ingested twice — the second pass must dedup to existing
+    * artifacts via the in-catalog hash join, no new rows.
+    */
+  private def benchIngest(spark: SparkSession): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("bench-ingest").toString
+    val cat = catalog.Catalog.deterministic(spark, root)
+    val store = new artifact.ArtifactStore(cat)
+    val storageId = store.ensureStorage(root)
+    val entries = (0 until 1000).map { i =>
+      store.StatEntry(graft.core.Hashing.md5String(s"content-${i % 500}"),
+        "md5", 1024L + i, 1L, s"bulk/file$i.parquet", ".parquet")
+    }
+    val (n1, d1) = store.registerBatch(entries, storageId)
+    require(n1 == 500 && d1 == 500, s"batch1 $n1/$d1")
+    cat.flush("artifact")
+    // second pass: everything dedups against the catalog
+    val (n2, d2) = store.registerBatch(entries, storageId)
+    require(n2 == 0 && d2 == 1000, s"batch2 $n2/$d2")
+    require(cat.table("artifact").count() == 500)
+  }
+
+  private def benchBfs(spark: SparkSession): Unit = {
+    // 10-level binary DAG: parent i -> children 2i+1, 2i+2, ~2k nodes
+    val nodes = spark.range(0, 2047)
+    val edges = nodes.select(col("id").as("child"))
+      .filter(col("child") > 0)
+      .withColumn("parent", ((col("child") - 1) / 2).cast("long"))
+    val start = spark.range(0, 1).select(col("id").as("node"))
+    val reached = lineage.Graph.descendants(edges, start, "parent", "child").count()
+    require(reached == 2047, s"got $reached")
+  }
+
+  private def benchValidate(spark: SparkSession, sfDir: String): Unit = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val flags = Seq("A", "N", "R")
+    import spark.implicits._
+    val spec = curate.SchemaSpec(Seq(
+      curate.FeatureSpec("l_quantity", "num", nullable = false),
+      curate.FeatureSpec("l_extendedprice", "num", nullable = false),
+      curate.FeatureSpec("l_returnflag", "cat[ULabel]",
+        catRegistry = Some((flags.toDF("name"), "name"))),
+      curate.FeatureSpec("l_linestatus", "str")))
+    val report = curate.SchemaValidator.validate(li, spec)
+    require(report.passed, report.issues.toString)
   }
 }

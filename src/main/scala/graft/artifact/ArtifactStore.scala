@@ -65,6 +65,55 @@ final class ArtifactStore(val cat: Catalog) {
     row
   }
 
+  /** Register pre-stat'd content (the reference's "one network request
+    * per path stat" ingest shape) through the same dedup-or-version
+    * decision as registerPath.
+    */
+  def registerByStat(hash: String, hashType: String, size: Long, nFiles: Long,
+                     key: String, suffix: String, storageId: Long,
+                     kind: String = "dataset", realPath: Option[String] = None): Map[String, Any] =
+    createArtifact(hash, hashType, size, nFiles, key, suffix, storageId, kind,
+      description = null, realPath = realPath)
+
+  /** One stat-ed ingest candidate for the bulk path. */
+  final case class StatEntry(hash: String, hashType: String, size: Long, nFiles: Long,
+                             key: String, suffix: String, realPath: Option[String] = None)
+
+  /** Bulk hash-dedup ingest — the scalable path (reference batches bulk
+    * saves at 10k, `models/save.py:29-127`). ONE anti-join against the
+    * catalog per batch instead of a lookup per record:
+    * in-batch duplicates collapse by hash, catalog-existing hashes are
+    * dropped, survivors are buffered driver-side in one pass.
+    * Returns (nNew, nDeduped).
+    */
+  def registerBatch(entries: Seq[StatEntry], storageId: Long,
+                    kind: String = "dataset"): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hash", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
+    val staged = spark.createDataFrame(
+      entries.zipWithIndex.map { case (e, i) => org.apache.spark.sql.Row(e.hash, i.toLong) }.asJava,
+      schema)
+    // in-batch dedup (first occurrence wins) + anti-join vs catalog hashes
+    val firstPos = staged.groupBy("hash").agg(min("pos").as("pos"))
+    val novel = firstPos
+      .join(cat.table("artifact").select("hash"), Seq("hash"), "left_anti")
+      .select("pos").collect().map(_.getLong(0)).toSet
+    entries.zipWithIndex.foreach { case (e, i) =>
+      if (novel(i.toLong))
+        cat.insert("artifact", Map(
+          "uid" -> cat.newUidFor(cat.tableDef("artifact")),
+          "key" -> e.key, "suffix" -> e.suffix, "kind" -> kind,
+          "real_path" -> e.realPath.orNull,
+          "size" -> e.size, "hash" -> e.hash, "hash_type" -> e.hashType,
+          "n_files" -> e.nFiles, "storage_id" -> storageId,
+          "run_id" -> cat.currentRunId.map(Long.box).orNull,
+          "is_latest" -> true))
+    }
+    (novel.size.toLong, entries.size.toLong - novel.size)
+  }
+
   private def findByHash(hash: String): Option[Map[String, Any]] = {
     // hash lookup bypasses branch filtering (`query_set.py:273-293`)
     val rows = cat.table("artifact").filter(col("hash") === hash).head(1)

