@@ -1,0 +1,71 @@
+package graft.eav
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.query.QuerySet
+
+/** Feature annotation on artifacts (`_feature_manager.py`): scalar values
+  * land in `artifact_values` (the flattened JsonValue link), categorical
+  * labels in `artifact_ulabels` keyed by feature. Powers both
+  * `filter("featureName__gt" -> x)` dispatch on Artifact and the
+  * `to_dataframe(include="features")` wide annotation export.
+  */
+final class ArtifactFeatures(cat: Catalog) {
+  private val records = new Records(cat)
+
+  /** `artifact.features.add_values({...})`: infer/ensure features, write
+    * JSON values (scalars) or label links (strings naming ULabels when
+    * the feature dtype is categorical).
+    */
+  def addValues(artifactId: Long, values: Map[String, Any]): Unit =
+    values.foreach { case (name, v) =>
+      val dtype = graft.dtype.Dtype.infer(v).asString
+      val fid = records.ensureFeature(name, inferredOrExisting(name, dtype))
+      val isCat = Option(cat.table("feature").filter(col("id") === fid)
+        .select("dtype").head().getString(0)).exists(_.startsWith("cat"))
+      if (isCat) {
+        val label = cat.table("ulabel").filter(col("name") === v.toString).select("id").head(1)
+        val labelId = label.headOption.map(_.getLong(0)).getOrElse(
+          cat.insert("ulabel", Map("name" -> v.toString))("id").asInstanceOf[Long])
+        cat.insert("artifact_ulabels",
+          Map("artifact_id" -> artifactId, "ulabel_id" -> labelId, "feature_id" -> fid))
+      } else {
+        cat.insert("artifact_values", Map(
+          "artifact_id" -> artifactId, "feature_id" -> fid, "value_json" -> toJson(v)))
+      }
+    }
+
+  private def inferredOrExisting(name: String, inferred: String): String = {
+    val ex = cat.table("feature").filter(col("name") === name).select("dtype").head(1)
+    ex.headOption.flatMap(r => Option(r.getString(0))).getOrElse(inferred)
+  }
+
+  private def toJson(v: Any): String = v match {
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other     => String.valueOf(other)
+  }
+
+  def store: FeatureStore = new FeatureStore(
+    cat.table("feature").select("id", "name", "dtype"),
+    cat.table("artifact_values")
+      .select(col("artifact_id").as("record_id"), col("feature_id"), col("value_json")),
+    Some(cat.table("artifact_ulabels")
+      .select(col("artifact_id").as("record_id"), col("feature_id"),
+        col("ulabel_id").as("label_id"))),
+    Some(cat.table("ulabel").select("id", "name")))
+
+  /** Artifact QuerySet with EAV dispatch: unknown filter keys route to
+    * the feature layer (`filter_with_features`).
+    */
+  def querySet: QuerySet = QuerySet(cat, "artifact", featureHook = Some(store.hook))
+
+  /** `to_dataframe(include="features")`: artifact rows annotated wide
+    * with one column per feature (set-agg + single-element unwrap).
+    */
+  def toDataFrame(artifacts: DataFrame): DataFrame = {
+    val wide = store.pivotWide(artifacts.select(col("id")), "id")
+    artifacts.select(col("id"), col("uid"), col("key"), col("suffix"), col("kind"))
+      .join(wide, Seq("id"), "left")
+  }
+}
