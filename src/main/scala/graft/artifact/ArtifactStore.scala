@@ -218,6 +218,56 @@ final class ArtifactStore(val cat: Catalog) {
       }
     }
 
+  /** Path-based get (`artifacts_from_path`, `artifact_set.py:382-441`):
+    * match the computed physical path — real_path for referenced
+    * artifacts, root + auto-key for managed ones.
+    */
+  def getByPath(path: String): Map[String, Any] = {
+    val storages = cat.table("storage").select(col("id").as("storage_id"), col("root"))
+    val rows = cat.table("artifact").join(broadcast(storages), "storage_id")
+      .filter(coalesce(col("real_path"),
+        concat(col("root"), lit("/.lamindb/"), col("uid"), coalesce(col("suffix"), lit("")))) === path)
+      .head(2)
+    if (rows.isEmpty) throw new DoesNotExist(s"no artifact at path $path")
+    rowToMap(rows.head)
+  }
+
+  /** Local cache copy (API parity with `artifact.cache()`,
+    * `artifact.py:3194-3227`): Spark executors read remote paths
+    * directly, so this is a thin Hadoop-FS copy for callers that need a
+    * local file; corrupted/stale cache entries (size mismatch) re-copy.
+    */
+  def cache(a: Map[String, Any], storageRoot: String, cacheDir: String): String = {
+    val src = artifactPath(a, storageRoot)
+    val dst = s"$cacheDir/${a("uid")}${Option(a.getOrElse("suffix", null)).getOrElse("")}"
+    val fs = Hashing.fileSystem(dst)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val srcFs = Hashing.fileSystem(src)
+    val expected = srcFs.getContentSummary(srcPath).getLength
+    val stale = !fs.exists(dstPath) || fs.getContentSummary(dstPath).getLength != expected
+    if (stale) {
+      fs.delete(dstPath, true)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, srcPath, fs, dstPath, false, fs.getConf)
+    }
+    dst
+  }
+
+  /** Cross-instance transfer: upsert records into another catalog matched
+    * on uid (`transfer_to_default_db`; uid-matching per
+    * `query_set.py:217-242`). Returns number of newly created rows.
+    */
+  def transferTo(target: graft.catalog.Catalog, registry: String, uids: Seq[String]): Long = {
+    val mine = cat.table(registry).filter(col("uid").isin(uids: _*))
+    val existing = target.table(registry).select("uid")
+    val fresh = mine.join(existing, Seq("uid"), "left_anti").collect()
+    fresh.foreach { r =>
+      val m = r.schema.fieldNames.zip(r.toSeq).toMap - "id"
+      target.insert(registry, m.filter(_._2 != null))
+    }
+    fresh.length.toLong
+  }
+
   // --------------------------------------------------- trash / restore
 
   /** Soft delete: move to trash branch (`branch_id = -1`); `restore` moves

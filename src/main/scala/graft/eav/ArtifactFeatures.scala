@@ -63,9 +63,14 @@ final class ArtifactFeatures(cat: Catalog) {
   /** `to_dataframe(include="features")`: artifact rows annotated wide
     * with one column per feature (set-agg + single-element unwrap).
     */
-  def toDataFrame(artifacts: DataFrame): DataFrame = {
-    val wide = store.pivotWide(artifacts.select(col("id")), "id")
-    artifacts.select(col("id"), col("uid"), col("key"), col("suffix"), col("kind"))
+  def toDataFrame(artifacts: DataFrame, excludeInternal: Boolean = true): DataFrame = {
+    // internal-kind exclusion on unfiltered export (`query_set.py:1155-1165`)
+    val base =
+      if (excludeInternal)
+        artifacts.filter(!coalesce(col("kind"), lit("")).startsWith("__lamindb"))
+      else artifacts
+    val wide = store.pivotWide(base.select(col("id")), "id")
+    base.select(col("id"), col("uid"), col("key"), col("suffix"), col("kind"))
       .join(wide, Seq("id"), "left")
   }
 }

@@ -1,0 +1,87 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML-loading surface: the Spark re-expression of the reference's
+  * MappedCollection (`lamindb/core/_mapped_collection.py`) — a virtual
+  * concat of N stores exposed as an indexable dataset for training loops.
+  *
+  * The reference routes a global index to (store, local index) via
+  * cumulative-count arrays; here the union IS the routing: every row
+  * carries (store_idx, local_idx) computed with window functions, labels
+  * are dictionary-encoded by a broadcast join (unknown → -1, like
+  * `unknown_label`), and per-label inverse-frequency weights support
+  * balanced sampling. Batch iteration = `toLocalIterator` over an
+  * explicitly ordered plan.
+  */
+object MappedDataset {
+
+  /** Union the per-store DataFrames with explicit (store_idx, local_idx)
+    * routing columns. Column spaces align inner or outer
+    * (`_make_join_vars`, `join="inner"/"outer"`).
+    */
+  def mapped(stores: Seq[DataFrame], join: String = "inner",
+             orderCol: Option[String] = None): DataFrame = {
+    require(stores.nonEmpty, "no stores")
+    val aligned = join match {
+      case "outer" => stores
+      case "inner" =>
+        val common = stores.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
+        stores.map(_.select(common.map(col): _*))
+      case other => throw new IllegalArgumentException(s"join must be inner/outer, got $other")
+    }
+    val indexed = aligned.zipWithIndex.map { case (df, i) =>
+      val ordered = orderCol match {
+        case Some(c) => Window.orderBy(col(c))
+        case None    => Window.orderBy(monotonically_increasing_id())
+      }
+      df.withColumn("store_idx", lit(i))
+        .withColumn("local_idx", row_number().over(ordered).cast("long") - 1)
+    }
+    indexed.reduce(_.unionByName(_, allowMissingColumns = join == "outer"))
+  }
+
+  /** Dictionary-encode a label column: (label -> int code) by sorted
+    * label order; unknown/null labels encode to -1
+    * (`unknown_label -> -1` semantics). Returns (encoded df, dictionary).
+    */
+  def encodeLabels(df: DataFrame, labelCol: String,
+                   knownLabels: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
+    val dict = knownLabels match {
+      case Some(ls) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        ls.sorted.zipWithIndex.map { case (l, i) => (l, i) }.toDF(labelCol, "label_code")
+      case None =>
+        df.select(labelCol).distinct()
+          .withColumn("label_code",
+            (row_number().over(Window.orderBy(col(labelCol))) - 1))
+    }
+    val encoded = df.join(broadcast(dict), Seq(labelCol), "left")
+      .withColumn("label_code", coalesce(col("label_code"), lit(-1)))
+    (encoded, dict)
+  }
+
+  /** Inverse-frequency label weights for balanced sampling
+    * (`get_label_weights`, `_mapped_collection.py:522-565`): weight =
+    * 1 / count(label), broadcast back onto every row.
+    */
+  def labelWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val freq = df.groupBy(labelCol).agg(count(lit(1)).as("__n"))
+      .withColumn("label_weight", lit(1.0) / col("__n")).drop("__n")
+    df.join(broadcast(freq), Seq(labelCol), "left")
+  }
+
+  /** Deterministic epoch iteration: shuffle rows with a seeded hash order
+    * and stream batches to the training process without collecting the
+    * dataset (`toLocalIterator` = one partition in memory at a time).
+    */
+  def epochIterator(df: DataFrame, seed: Long, batchCols: Seq[String]): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.select(batchCols.map(col): _*)
+      .orderBy(xxhash64(concat_ws("|", col("store_idx"), col("local_idx"), lit(seed))))
+      .toLocalIterator().asScala
+  }
+}

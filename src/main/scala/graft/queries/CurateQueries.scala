@@ -51,6 +51,21 @@ object CurateQueries {
         .orderBy("status", "value")
     }),
 
+    "c05_inspect_buckets" -> ((spark, dir) => {
+      val region = t(spark, dir, "region")
+      val values = region.select(lower(col("r_name")).as("value"))
+        .unionByName(region.select(col("r_name").as("value")))
+        .unionByName(Seq("atlantis").toDF(spark)("value"))
+      val ins = Curate.inspect(values, "value", regionRegistry(spark, dir), "name")
+      val syn = ins.synonymMatches.select(col("value")).withColumn("bucket", lit("synonym_match"))
+      ins.validated.select(col("value")).withColumn("bucket", lit("validated"))
+        .unionByName(syn)
+        .unionByName(ins.nonValidated.select(col("value"))
+          .join(syn.select("value"), Seq("value"), "left_anti")
+          .withColumn("bucket", lit("nonvalidated")))
+        .orderBy("bucket", "value")
+    }),
+
     "c04_cat_violations" -> ((spark, dir) => {
       // schema allows only three segments: the other two must be reported
       // as non-validated values with counts (ValidationError listing)
@@ -115,6 +130,22 @@ object CurateQueries {
         |SELECT DISTINCT v.value, 'creatable' AS status
         |FROM vals v WHERE v.value NOT IN (SELECT synonym FROM dict)
         |ORDER BY status, value""".stripMargin,
+
+    "c05_inspect_buckets" ->
+      """WITH reg AS (
+        |  SELECT r_name AS name,
+        |         lower(r_name) || '|' || replace(r_name, ' ', '_') AS synonyms
+        |  FROM region),
+        |syn AS (SELECT unnest(string_split(synonyms, '|')) AS synonym FROM reg),
+        |vals AS (
+        |  SELECT lower(r_name) AS value FROM region
+        |  UNION ALL SELECT r_name FROM region
+        |  UNION ALL SELECT 'atlantis')
+        |SELECT value,
+        |  CASE WHEN value IN (SELECT name FROM reg) THEN 'validated'
+        |       WHEN value IN (SELECT synonym FROM syn) THEN 'synonym_match'
+        |       ELSE 'nonvalidated' END AS bucket
+        |FROM vals ORDER BY bucket, value""".stripMargin,
 
     "c04_cat_violations" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Skew
+
+/** Join-shape queries exercising the scale toolbox: multi-join
+  * aggregation (broadcast dims + shuffled fact join) and the salted-join
+  * equivalence check.
+  */
+object ScaleQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_join_agg_revenue" -> ((spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = t(spark, dir, "customer")
+      val n = t(spark, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q22_salted_join" -> ((spark, dir) => {
+      Skew.saltedJoin(
+          t(spark, dir, "lineitem"), t(spark, dir, "orders"),
+          "l_orderkey", "o_orderkey", nSalts = 8,
+          saltBy = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q21_join_agg_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q22_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

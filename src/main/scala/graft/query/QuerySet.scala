@@ -62,6 +62,12 @@ final class QuerySet(
 
   def limit(n: Int): QuerySet = copyWith(limitN = Some(n))
 
+  /** Row-level dedup after fan-out joins (`query_set.py:834,1007`). */
+  def distinct(): QuerySet = {
+    val d = df.dropDuplicates(t.pk)
+    new QuerySet(t, d, env, Nil, Nil, order, None, featureHook)
+  }
+
   // ---------------------------------------------------------- compilation
 
   private def allNodes: Seq[QNode] = filters ++ excludes

@@ -1,0 +1,80 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.artifact.ArtifactStore
+import graft.lineage.Lineage
+
+class ArtifactOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("getByPath resolves managed and referenced artifacts") {
+    val root = TestSpark.tmpDir("ops")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val managed = store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "m", root)
+    val referenced = store.registerPath(s"${TestSpark.sf0001}/region.parquet", "tpch/region", root)
+    val managedPath = s"$root/.lamindb/${managed("uid")}.parquet"
+    assert(store.getByPath(managedPath)("uid") === managed("uid"))
+    assert(store.getByPath(s"${TestSpark.sf0001}/region.parquet")("uid") === referenced("uid"))
+    intercept[graft.query.DoesNotExist](store.getByPath("/no/such/path"))
+  }
+
+  test("cache copies once, detects staleness by size") {
+    val root = TestSpark.tmpDir("ops")
+    val cacheDir = TestSpark.tmpDir("cache")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val a = store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "m", root)
+    val p1 = store.cache(a, root, cacheDir)
+    assert(spark.read.parquet(p1).count() === 1)
+    // corrupt the cache; re-cache restores it
+    val fs = graft.core.Hashing.fileSystem(p1)
+    fs.delete(new org.apache.hadoop.fs.Path(p1), true)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p1), "corrupt")
+    val p2 = store.cache(a, root, cacheDir)
+    assert(p2 === p1)
+    assert(spark.read.parquet(p2).count() === 1)
+  }
+
+  test("cross-instance transfer upserts by uid") {
+    val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 1)
+    val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 2)
+    val store1 = new ArtifactStore(cat1)
+    cat1.insert("ulabel", Map("name" -> "shared"))
+    val uid = cat1.table("ulabel").select("uid").head().getString(0)
+    assert(store1.transferTo(cat2, "ulabel", Seq(uid)) === 1)
+    assert(store1.transferTo(cat2, "ulabel", Seq(uid)) === 0) // idempotent
+    assert(cat2.table("ulabel").filter(col("uid") === uid).count() === 1)
+  }
+
+  test("field alias traversal: version -> version_tag, transform -> run__transform") {
+    val root = TestSpark.tmpDir("ops")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val lin = new Lineage(cat)
+    lin.track("pipeline.scala", "src-v1")
+    store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "m", root)
+    lin.finish()
+    val qs = store.querySet
+    assert(qs.filter("version__isnull" -> true).count() === 1) // version -> version_tag
+    assert(qs.filter("transform__key" -> "pipeline.scala").count() === 1) // via run FK
+    assert(qs.filter("transform__key" -> "other.scala").count() === 0)
+  }
+
+  test("distinct dedups after fan-out, toDataFrame hides internal kinds") {
+    val root = TestSpark.tmpDir("ops")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val af = new graft.eav.ArtifactFeatures(cat)
+    store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "visible", root)
+    cat.insert("artifact", Map("uid" -> cat.uid(20), "key" -> "hidden",
+      "kind" -> "__lamindb_run__", "is_latest" -> true))
+    assert(store.querySet.count() === 2)
+    assert(af.toDataFrame(cat.table("artifact")).count() === 1)
+    assert(af.toDataFrame(cat.table("artifact"), excludeInternal = false).count() === 2)
+    assert(store.querySet.distinct().count() === 2)
+  }
+}
