@@ -1,0 +1,50 @@
+package graft.lineage
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Human-readable record trees (`lamindb/models/_describe.py`): a compact
+  * formatted view of an artifact with its provenance, features and
+  * labels — assembled from catalog joins, collected only at render time.
+  */
+object Describe {
+
+  def artifact(cat: Catalog, artifactId: Long): String = {
+    val a = cat.table("artifact").filter(col("id") === artifactId).head(2)
+    require(a.nonEmpty, s"no artifact $artifactId")
+    val row = a.head
+    def g(n: String): String = Option(row.getAs[Any](n)).map(_.toString).getOrElse("—")
+
+    val sb = new StringBuilder
+    sb.append(s"Artifact ${g("uid")}\n")
+    sb.append(s"├── key: ${g("key")}  suffix: ${g("suffix")}  kind: ${g("kind")}\n")
+    sb.append(s"├── size: ${g("size")}  hash: ${g("hash")} (${g("hash_type")})\n")
+    sb.append(s"├── branch: ${g("branch_id")}  is_latest: ${g("is_latest")}  version_tag: ${g("version_tag")}\n")
+
+    Option(row.getAs[Any]("run_id")).foreach { rid =>
+      val run = cat.table("run").filter(col("id") === rid).head(2)
+      run.headOption.foreach { r =>
+        val tr = cat.table("transform")
+          .filter(col("id") === r.getAs[Long]("transform_id")).head(2)
+        val key = tr.headOption.map(_.getAs[String]("key")).getOrElse("?")
+        sb.append(s"├── provenance: run ${r.getAs[String]("uid")} of transform '$key' " +
+          s"(status ${r.getAs[Int]("status_code")})\n")
+      }
+    }
+
+    val feats = cat.table("artifact_values").filter(col("artifact_id") === artifactId)
+      .join(cat.table("feature").select(col("id").as("feature_id"), col("name"), col("dtype")), "feature_id")
+      .select("name", "dtype", "value_json").orderBy("name").collect()
+    if (feats.nonEmpty) {
+      sb.append("├── features:\n")
+      feats.foreach(f => sb.append(
+        s"│     ${f.getString(0)} (${Option(f.getString(1)).getOrElse("?")}): ${f.getString(2)}\n"))
+    }
+
+    val labels = cat.table("artifact_ulabels").filter(col("artifact_id") === artifactId)
+      .join(cat.table("ulabel").select(col("id").as("ulabel_id"), col("name")), "ulabel_id")
+      .select("name").orderBy("name").collect().map(_.getString(0))
+    if (labels.nonEmpty) sb.append(s"└── labels: ${labels.mkString(", ")}\n")
+    sb.toString
+  }
+}

@@ -292,6 +292,12 @@ final class QuerySet(
 
   private def defaultSearchFields: Seq[String] =
     t.schema.fields.filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name).toSeq
+
+  /** Auto-complete lookup object (`Registry.lookup()`): all visible rows
+    * keyed by `field` — last-in wins on duplicates, like dict building.
+    */
+  def lookup(field: String = "name"): Map[String, Row] =
+    df.collect().iterator.map(r => r.getAs[Any](field).toString -> r).toMap
 }
 
 object QuerySet {
