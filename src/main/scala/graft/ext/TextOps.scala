@@ -57,71 +57,71 @@ object TextOps {
 
   /** Language identification by character-trigram profile match.
     *
-    * Trains per-language profiles (top-`profileSize` trigrams by frequency)
-    * from a labeled corpus, then classifies each document by the profile
-    * with the largest trigram overlap. The train step is one shuffle on
-    * (lang, trigram); classification is an explode + broadcast join +
-    * per-doc argmax — linear in total text size.
+    * Train: top-`profileSize` trigrams per language — one shuffle on
+    * (lang, trigram), profiles collected to the driver (a few hundred
+    * strings; this is the model, the one justified metadata collect).
+    * Classify: overlap of each document's trigram set with every
+    * profile as a PURE expression (`array_intersect` against literal
+    * arrays) and an `array_max(struct…)` argmax — zero shuffles, no
+    * explode, fully codegen'd. A 100 TB corpus classifies in one
+    * map-only pass.
     */
   def langId(labeled: DataFrame, toClassify: DataFrame, idCol: String,
              textCol: String, langCol: String, profileSize: Int = 40): DataFrame = {
-    val explodeTrigrams = (d: DataFrame, keep: Seq[Column]) =>
-      d.select(keep :+ explode(trigrams(col(textCol))).as("trigram"): _*)
-
-    // the exploded trigram stream feeds both training and (for the common
-    // self-classification case) scoring — materialize it once
-    val labeledTrigrams = explodeTrigrams(labeled,
-        Seq(col(idCol), col(langCol).as("lang_profile")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val profiles = labeledTrigrams
-      .groupBy("lang_profile", "trigram").count()
-    val top = profiles
+    val profiles: Seq[(String, Seq[String])] = labeled
+      .select(col(langCol).as("lang"), normalized(col(textCol)).as("__norm"))
+      .select(col("lang"), explode(trigramsOfNormalized(col("__norm"))).as("trigram"))
+      .groupBy("lang", "trigram").count()
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang_profile")
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
           .orderBy(col("count").desc, col("trigram"))))
       .filter(col("rn") <= profileSize)
-      .select("lang_profile", "trigram")
+      .select("lang", "trigram").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toSeq
+      .sortBy(_._1)
 
-    // overlap counts multiplicity (no distinct): skips a full shuffle of
-    // the exploded trigram stream and weights repeated n-grams naturally
-    val docTrigrams =
-      if (toClassify eq labeled) labeledTrigrams.select(col(idCol), col("trigram"))
-      else explodeTrigrams(toClassify, Seq(col(idCol)))
-    val scores = docTrigrams.join(broadcast(top), "trigram")
-      .groupBy(col(idCol), col("lang_profile"))
-      .agg(count(lit(1)).as("overlap"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-      .orderBy(col("overlap").desc, col("lang_profile"))
-    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("lang_profile").as("predicted_lang"), col("overlap"))
+    val scoreStructs = profiles.map { case (lang, tgs) =>
+      struct(
+        size(array_intersect(col("__tg"), array(tgs.map(lit): _*))).as("overlap"),
+        lit(lang).as("lang"))
+    }
+    // argmax: max overlap, ties broken toward the lexicographically
+    // larger language code (struct comparison order)
+    toClassify
+      .select(col(idCol), normalized(col(textCol)).as("__norm"))
+      .select(col(idCol), array_distinct(trigramsOfNormalized(col("__norm"))).as("__tg"))
+      .select(col(idCol), array_max(array(scoreStructs: _*)).as("best"))
+      .select(col(idCol), col("best.lang").as("predicted_lang"),
+        col("best.overlap").cast("long").as("overlap"))
   }
 
-  /** Character trigrams as an array column (pure expression). */
-  def trigrams(text: Column): Column = {
-    val norm = concat(lit(" "), lower(trim(text)), lit(" "))
-    when(length(norm) >= 3,
-      transform(sequence(lit(1), length(norm) - 2), i => substring2(norm, i, 3)))
-      .otherwise(array(norm))
-  }
+  /** Normalized text for n-gram extraction (boundary spaces). */
+  def normalized(text: Column): Column = concat(lit(" "), lower(trim(text)), lit(" "))
 
-  /** substring with a Column start position (functions.substring only
-    * takes Int literals; the SQL form accepts expressions).
+  /** Character trigrams from a MATERIALIZED normalized column — `norm`
+    * must be a projected attribute, not an inline expression: expressions
+    * referenced inside `transform` lambdas replay per element (no CSE
+    * across lambda boundaries), turning extraction O(len²).
     */
-  private def substring2(str: Column, pos: Column, len: Int): Column =
-    str.substr(pos, lit(len))
+  def trigramsOfNormalized(norm: Column): Column =
+    when(length(norm) >= 3,
+      transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+      .otherwise(array(norm))
 
   /** Rolling-hash (Rabin-Karp-style) document fingerprint over token
     * windows — deterministic 64-bit content signature usable for shift-
     * resistant chunk dedup. Returns the min window hash (a "winnowing"
     * representative).
     */
-  def rollingMinHash(text: Column, window: Int = 8): Column = {
-    val toks = tokens(text)
-    val windows = when(size(toks) >= window,
+  def rollingMinHash(text: Column, window: Int = 8): Column =
+    array_min(rollingWindowHashes(tokens(text), window))
+
+  /** Pass a materialized tokens column for large-scale use (inline
+    * expressions replay inside transform lambdas).
+    */
+  def rollingWindowHashes(toks: Column, window: Int): Column =
+    when(size(toks) >= window,
       transform(sequence(lit(1), size(toks) - (window - 1)),
         i => xxhash64(concat_ws(" ", slice(toks, i, lit(window))))))
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
-    array_min(windows)
-  }
 }

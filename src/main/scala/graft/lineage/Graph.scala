@@ -30,15 +30,20 @@ object Graph {
     while (!done && (maxDepth < 0 || depth < maxDepth)) {
       depth += 1
       // next = targets of frontier edges, minus already-visited nodes.
-      // Only the frontier is checkpointed (it feeds the next join and
-      // would otherwise nest one plan per level); `visited` stays a lazy
-      // union of checkpointed frontiers — linear plan growth, one job per
-      // level instead of three.
+      // The frontier and visited sets are tiny relative to the edge
+      // table, so both sides broadcast: each level is a shuffle-free
+      // map-side join over the (cluster-cached) edges. Only the frontier
+      // is checkpointed (it feeds the next join and would otherwise nest
+      // one plan per level); `visited` stays a lazy union of checkpointed
+      // frontiers — linear plan growth.
       val next = edges
-        .join(frontier.select(col("node").as(fromCol)), fromCol)
+        .join(broadcast(frontier.select(col("node").as(fromCol))), fromCol)
         .select(col(toCol).cast("long").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
+        // frontiers are small: one partition keeps the per-level
+        // checkpoint + probe cheap instead of materializing N empties
+        .coalesce(1)
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
