@@ -156,6 +156,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    * threshold. Exact all-pairs form (the oracle-checkable baseline);
+    * at corpus scale, generate candidates with `Similarity.lshTopK`
+    * buckets first and apply the same threshold to bucket-local pairs.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val a = base.select(col("id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {

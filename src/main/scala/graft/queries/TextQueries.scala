@@ -85,6 +85,18 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "e03_embedding_dedup" -> ((spark, dir) => {
+      // embeddings ∪ slightly-perturbed copies of every 10th vector: the
+      // planted near-dups (sim ≈ 0.995) must surface, background (≤0.6) not
+      val emb = t(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + 0.1), slice(col("e"), 2, 63)).as("e"))
+      Dedup.embeddingCosinePairs(emb.unionByName(perturbed), "vec_id", "e", threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
     "e02_ann_lsh" -> ((spark, dir) => {
       val emb = t(spark, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -126,6 +138,17 @@ object TextQueries {
         |SELECT doc_id, n_tokens, stopword_ratio,
         |  (n_tokens >= 20 AND n_tokens <= 100000 AND mtl >= 2 AND mtl <= 12) AS quality_ok
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "e03_embedding_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id, list_prepend(e[1] + 0.1, e[2:]) AS e
+        |         FROM base WHERE vec_id % 10 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |                list_cosine_similarity(a.e, b.e) AS s
+        |         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(s, 4) AS sim FROM sims
+        |WHERE s >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
     "e01_knn_cosine" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
