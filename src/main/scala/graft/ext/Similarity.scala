@@ -20,6 +20,10 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  // NOTE (measured): unrolling the dot as 64 element_at products is ~4×
+  // SLOWER than the zip_with fold — the giant expression tree falls out
+  // of whole-stage codegen. Keep the fold.
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
