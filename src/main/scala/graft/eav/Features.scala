@@ -127,7 +127,7 @@ final class FeatureStore(
     * (`filter_with_features`, `_feature_manager.py:1036-1089`).
     */
   def hook: QuerySet.FeatureHook = new QuerySet.FeatureHook {
-    def compile(feature: String, lookupSegs: List[String], value: Any): Option[DataFrame] = {
+    def compile(feature: String, lookupSegs: List[String], value: Any): Option[(DataFrame, Boolean)] = {
       val known = !features.filter(col("name") === feature).isEmpty
       if (!known) None
       else {
@@ -136,7 +136,14 @@ final class FeatureStore(
           case c :: Nil => c
           case other    => throw new FieldError(s"unsupported feature lookup path $other")
         }
-        Some(matchingIds(FeaturePredicate(feature, comparator, value)).withColumnRenamed("record_id", "id"))
+        // `isnull=true` and `ne` are exclusion predicates in the reference
+        // (`_filter_one_feature_clause` uses queryset.exclude for
+        // isnull=True; `filter_with_feature_predicates` anti-joins __ne):
+        // matchingIds returns the positive set, so flag it for negation.
+        val negate = comparator == "ne" ||
+          (comparator == "isnull" && (value == true || value == "true"))
+        Some((matchingIds(FeaturePredicate(feature, comparator, value))
+          .withColumnRenamed("record_id", "id"), negate))
       }
     }
   }

@@ -153,8 +153,14 @@ final class QuerySet(
         // not a model field: route to the EAV feature layer
         // (`filter_with_features`, `_feature_manager.py:1036-1089`)
         featureHook.get.compile(field, restOrNil, value) match {
-          case Some(ids)                  => Sub(t.pk, ids)
-          case None                       => fieldError(field, forT)
+          case Some((ids, false)) => Sub(t.pk, ids)
+          case Some((ids, true))  =>
+            // hook returned the exclusion set — complement against the base
+            // table so Sub keeps positive-match semantics (then exclude()/
+            // QNot invert it back correctly)
+            Sub(t.pk,
+              forDf.join(ids.withColumnRenamed(ids.columns.head, t.pk), t.pk, "left_anti").select(t.pk))
+          case None => fieldError(field, forT)
         }
       case field :: _ => fieldError(field, forT)
       case Nil        => throw new FieldError("empty lookup key")
@@ -302,10 +308,16 @@ final class QuerySet(
 
 object QuerySet {
   /** EAV dispatch hook: given (featureName, lookupSegs, value), return the
-    * matching base-table pk ids, or None if the name is no known feature.
+    * matching base-table pk ids plus a negate flag, or None if the name is
+    * no known feature. `negate = true` means the returned ids are the set
+    * to EXCLUDE (the reference compiles `isnull=True` via
+    * `queryset.exclude` and `__ne` via an anti-join —
+    * `_feature_manager.py` `_filter_one_feature_clause` /
+    * `filter_with_feature_predicates`); the QuerySet anti-joins the base
+    * table so the resulting `Sub` always carries positive-match semantics.
     */
   trait FeatureHook {
-    def compile(feature: String, lookupSegs: List[String], value: Any): Option[DataFrame]
+    def compile(feature: String, lookupSegs: List[String], value: Any): Option[(DataFrame, Boolean)]
   }
 
   /** QuerySet over a catalog registry. */

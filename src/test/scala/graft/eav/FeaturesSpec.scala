@@ -64,6 +64,29 @@ class FeaturesSpec extends AnyFunSuite {
     intercept[graft.query.FieldError](hooked.filter("not_a_feature" -> 1).df)
   }
 
+  test("hook path: f__isnull and f__ne negate like the direct filter path") {
+    val hooked = new graft.query.QuerySet(
+      graft.catalog.TableDef("record", records.schema), records,
+      new graft.query.QuerySet.MapEnv(Map("record" -> (graft.catalog.TableDef("record", records.schema), records))),
+      featureHook = Some(store.hook))
+    // isnull=true → records WITHOUT any gc_content value (reference:
+    // queryset.exclude for isnull=True)
+    assert(hooked.filter("gc_content__isnull" -> true)
+      .df.select("id").as[Long].collect().sorted.toSeq === Seq(4L))
+    // isnull=false → records WITH a value
+    assert(hooked.filter("gc_content__isnull" -> false)
+      .df.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // ne → NOT EXISTS(status == ok): includes records lacking the feature
+    assert(hooked.filter("status__ne" -> "ok")
+      .df.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+    // exclude inverts back: exclude(isnull=true) = records WITH the feature
+    assert(hooked.exclude("gc_content__isnull" -> true)
+      .df.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // direct-path parity
+    assert(hooked.filter("status__ne" -> "ok").df.select("id").as[Long].collect().sorted.toSeq
+      === store.filter(records, "id", F("status") =!= "ok").select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("pivot wide: typed columns, multi-value sets, left join keeps empty records") {
     val wide = store.pivotWide(records, "id").orderBy("id")
     assert(wide.columns.toSeq === Seq("id", "cell_type", "gc_content", "status"))
