@@ -368,7 +368,7 @@ object CoreQueries {
       "q16_group_collect_set" ->
         """SELECT lang, count(*) AS n_docs,
           |  array_to_string(list_sort(list(DISTINCT source)), '|') AS sources,
-          |  sum(n_chars) AS total_chars
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q17_topk" ->
@@ -377,7 +377,7 @@ object CoreQueries {
 
       "q18_json_extract" ->
         """SELECT event_type, count(*) AS n,
-          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q19_window_tumbling" ->

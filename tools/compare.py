@@ -47,6 +47,21 @@ def main(sf_dir, out_dir):
         if sorted(gcols) != sorted(ecols):
             results[name] = f"COLS-MISMATCH spark={sorted(gcols)} oracle={sorted(ecols)}"
             continue
+        # arrow-level type check: repr() masks e.g. duckdb HUGEINT vs spark
+        # BIGINT, but the driver's hasher does not — flag type drift early
+        try:
+            gt = {f.name: f.type for f in con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet') LIMIT 0").arrow().schema}
+            et = {f.name: f.type for f in con.sql(
+                f"SELECT * FROM ({oracles[name]}) LIMIT 0").arrow().schema}
+            drift = {c: (str(gt[c]), str(et[c])) for c in gt
+                     if str(gt[c]) != str(et[c])
+                     and not ({str(gt[c]), str(et[c])} <= {'float', 'double'})}
+            if drift:
+                results[name] = f"TYPE-MISMATCH {drift}"
+                continue
+        except Exception:
+            pass
         g, e = canon(grows, gcols), canon(erows, ecols)
         if len(g) != len(e):
             results[name] = f"ROWS-MISMATCH spark={len(g)} oracle={len(e)}"
