@@ -256,16 +256,70 @@ final class ArtifactStore(val cat: Catalog) {
   /** Cross-instance transfer: upsert records into another catalog matched
     * on uid (`transfer_to_default_db`; uid-matching per
     * `query_set.py:217-242`). Returns number of newly created rows.
+    *
+    * Foreign-key columns are catalog-local, so they are remapped through
+    * the related registry's uid in the target (the reference's
+    * `update_fk_to_default_db`, `_is_versioned.py`/`transfer.py`): missing
+    * parents are transferred first (recursively), then each FK id is
+    * rewritten to the target catalog's id for the same uid. FKs whose
+    * parent row no longer exists in the source are nulled rather than
+    * carried across as dangling ids.
     */
-  def transferTo(target: graft.catalog.Catalog, registry: String, uids: Seq[String]): Long = {
-    val mine = cat.table(registry).filter(col("uid").isin(uids: _*))
+  def transferTo(target: graft.catalog.Catalog, registry: String, uids: Seq[String]): Long =
+    transferTo(target, registry, uids, Set.empty)
+
+  private def transferTo(target: graft.catalog.Catalog, registry: String,
+      uids: Seq[String], inFlight: Set[(String, String)]): Long = {
+    val tdef = cat.tableDef(registry)
+    // guard against FK cycles (e.g. record.type_id -> record): rows already
+    // being transferred higher up the stack are skipped here; their FK in
+    // the child resolves (or nulls) once the outer frame inserts them
+    val wanted = uids.filterNot(u => inFlight((registry, u)))
+    if (wanted.isEmpty) return 0L
+    val flight = inFlight ++ wanted.map(registry -> _)
+    val mine = cat.table(registry).filter(col("uid").isin(wanted: _*))
     val existing = target.table(registry).select("uid")
     val fresh = mine.join(existing, Seq("uid"), "left_anti").collect()
+    if (fresh.isEmpty) return 0L
+
+    // FK columns to remap: declared registry FKs plus the implicit audit
+    // (created_by -> user) and space links. branch_id is a universal
+    // constant (-1/0/1), not catalog-local.
+    val fkCols: Seq[(String, String)] =
+      tdef.fks.values.map(fk => fk.localCol -> fk.target).toSeq ++
+        (if (tdef.fieldNames.contains("created_by_id")) Seq("created_by_id" -> "user") else Nil) ++
+        (if (tdef.fieldNames.contains("space_id")) Seq("space_id" -> "space") else Nil)
+
+    var parentCreated = 0L
+    val remaps: Map[String, Map[Long, Long]] = fkCols.map { case (colName, parentReg) =>
+      val srcIds = fresh.flatMap(r => Option(r.getAs[Any](colName)))
+        .map(_.asInstanceOf[Long]).distinct.toIndexedSeq
+      if (srcIds.isEmpty) colName -> Map.empty[Long, Long]
+      else {
+        val srcUidById = cat.table(parentReg).filter(col("id").isin(srcIds: _*))
+          .select("id", "uid").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val parentUids = srcUidById.values.toSeq.distinct
+        if (parentUids.nonEmpty)
+          parentCreated += transferTo(target, parentReg, parentUids, flight)
+        val tgtIdByUid = target.table(parentReg).filter(col("uid").isin(parentUids: _*))
+          .select("uid", "id").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        colName -> srcUidById.flatMap { case (sid, u) => tgtIdByUid.get(u).map(sid -> _) }
+      }
+    }.toMap
+
     fresh.foreach { r =>
-      val m = r.schema.fieldNames.zip(r.toSeq).toMap - "id"
+      var m = r.schema.fieldNames.zip(r.toSeq).toMap - "id"
+      remaps.foreach { case (c, idMap) =>
+        m.get(c) match {
+          case Some(v: Long) => m = m.updated(c, idMap.get(v).orNull)
+          case _             => ()
+        }
+      }
       target.insert(registry, m.filter(_._2 != null))
     }
-    fresh.length.toLong
+    fresh.length.toLong + parentCreated
   }
 
   // --------------------------------------------------- trash / restore

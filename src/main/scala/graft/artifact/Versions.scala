@@ -21,8 +21,12 @@ object Versions {
     */
   def base62Value(c: Column): Column = {
     val alphabet = Base62.Alphabet
+    // split(c, "") in Spark yields a trailing "" element (Java split with
+    // limit -1); instr(alphabet, "") is 1, so an unfiltered fold would
+    // append digit 0 and multiply every decoded value by 62
     aggregate(
-      transform(split(c, ""), ch => instr(lit(alphabet), ch) - 1),
+      transform(filter(split(c, ""), ch => length(ch) > 0),
+        ch => instr(lit(alphabet), ch) - 1),
       lit(0L),
       (acc, x) => acc * 62 + x)
   }

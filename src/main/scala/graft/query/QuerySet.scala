@@ -268,7 +268,12 @@ final class QuerySet(
       if (t.uidLen > 0 && s.length == t.uidLen) filter("uid" -> s).one()
       else {
         val base = filter("uid__startswith" -> s)
-        if (t.versioned && t.fieldNames.contains("is_latest")) {
+        // the forgiving is_latest retry ladder only applies to prefixes up
+        // to the 16-char stem; longer prefixes (17-19 chars) go through
+        // one_helper semantics and CAN raise MultipleResultsFound
+        // (`query_set.py` get(): stem-length gate)
+        if (t.versioned && t.fieldNames.contains("is_latest")
+            && s.length <= graft.core.Versioning.StemLen) {
           val latest = base.filter("is_latest" -> true)
           val rows = latest.df.head(2)
           if (rows.length == 1) rows.head

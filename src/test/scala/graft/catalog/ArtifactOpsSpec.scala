@@ -50,6 +50,53 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(cat2.table("ulabel").filter(col("uid") === uid).count() === 1)
   }
 
+  test("transfer remaps FK columns through parent uid, creating missing parents") {
+    val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 1)
+    val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 2)
+    val store1 = new ArtifactStore(cat1)
+    // source graph: artifact -> storage, run -> transform
+    val st = cat1.insert("storage", Map("root" -> "/data/src"))
+    val tr = cat1.insert("transform", Map("key" -> "t.scala"))
+    val run = cat1.insert("run", Map("transform_id" -> tr("id"), "status_code" -> 0))
+    val art = cat1.insert("artifact", Map("key" -> "x.parquet", "hash" -> "h1",
+      "storage_id" -> st("id"), "run_id" -> run("id")))
+    // skew target ids so a verbatim FK copy would dangle or hit the wrong row
+    (1 to 5).foreach(i => cat2.insert("storage", Map("root" -> s"/other/$i")))
+    (1 to 3).foreach(i => cat2.insert("transform", Map("key" -> s"other$i.scala")))
+
+    // 4 rows created: artifact + storage + run + transform (parents first)
+    assert(store1.transferTo(cat2, "artifact", Seq(art("uid").toString)) === 4)
+    val got = cat2.table("artifact").filter(col("uid") === art("uid")).head()
+    val gotStorage = cat2.table("storage")
+      .filter(col("id") === got.getAs[Long]("storage_id")).head()
+    assert(gotStorage.getAs[String]("uid") === st("uid"))
+    assert(gotStorage.getAs[String]("root") === "/data/src")
+    val gotRun = cat2.table("run").filter(col("id") === got.getAs[Long]("run_id")).head()
+    assert(gotRun.getAs[String]("uid") === run("uid"))
+    // and the run's own transform FK was remapped transitively
+    val gotTransform = cat2.table("transform")
+      .filter(col("id") === gotRun.getAs[Long]("transform_id")).head()
+    assert(gotTransform.getAs[String]("uid") === tr("uid"))
+    assert(gotTransform.getAs[String]("key") === "t.scala")
+    // idempotent re-transfer creates nothing new
+    assert(store1.transferTo(cat2, "artifact", Seq(art("uid").toString)) === 0)
+    assert(cat2.table("storage").filter(col("uid") === st("uid")).count() === 1)
+  }
+
+  test("transfer survives self-referential FK chains (record.type_id)") {
+    val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 3)
+    val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 4)
+    val store1 = new ArtifactStore(cat1)
+    val typ = cat1.insert("record", Map("name" -> "CellType", "is_type" -> true))
+    val rec = cat1.insert("record", Map("name" -> "T cell", "type_id" -> typ("id")))
+    cat2.insert("record", Map("name" -> "occupies-id-1")) // skew target ids
+    assert(store1.transferTo(cat2, "record", Seq(rec("uid").toString)) === 2) // rec + its type
+    val gotRec = cat2.table("record").filter(col("uid") === rec("uid")).head()
+    val gotTyp = cat2.table("record").filter(col("id") === gotRec.getAs[Long]("type_id")).head()
+    assert(gotTyp.getAs[String]("uid") === typ("uid"))
+    assert(gotTyp.getAs[String]("name") === "CellType")
+  }
+
   test("field alias traversal: version -> version_tag, transform -> run__transform") {
     val root = TestSpark.tmpDir("ops")
     val cat = Catalog.deterministic(spark, root)

@@ -121,4 +121,13 @@ class CatalogSpec extends AnyFunSuite {
       .filter(col("is_latest")).select("uid").as[String].collect()
     assert(heads.toSeq === Seq(stem + "000a")) // a > Z in base62, not in collation
   }
+
+  test("base62Value column decode agrees with Base62.decode") {
+    import spark.implicits._
+    val samples = Seq("0001", "0000", "zzzz", "000a", "00Zz", "1000")
+    val got = samples.toDF("s")
+      .select(Versions.base62Value(col("s")).as("v")).as[Long].collect()
+    assert(got.toSeq === samples.map(graft.core.Base62.decode))
+    assert(got(0) === 1L) // the split("") trailing-empty trap multiplied by 62
+  }
 }

@@ -78,6 +78,25 @@ class QuerySetSpec extends AnyFunSuite {
     intercept[DoesNotExist](qs.get("zzzz"))
   }
 
+  test("get prefix ladder gated at stem length; longer prefixes can raise") {
+    // versioned 20-char uids: 16-char stem + 4-char base62 suffix
+    val arts = Seq(
+      (1L, "stemAAAAstemAAAA0000", false, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "stemAAAAstemAAAA0001", true, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (3L, "stemBBBBstemBBBB0000", true, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("id", "uid", "is_latest", "created_at")
+    val vqs = QuerySet.over(arts, "artifact", uidLen = 20, versioned = true)
+    // prefix <= 16 chars: forgiving ladder picks the is_latest head
+    assert(vqs.get("stemAAAA").getAs[Long]("id") === 2L)
+    assert(vqs.get("stemAAAAstemAAAA").getAs[Long]("id") === 2L)
+    // 17-19 char prefix matching several rows: one_helper semantics raise
+    intercept[MultipleResultsFound](vqs.get("stemAAAAstemAAAA0"))
+    // 17-19 char prefix matching exactly one row resolves regardless of is_latest
+    assert(vqs.get("stemAAAAstemAAAA0000").getAs[Long]("id") === 1L) // full uid
+    assert(vqs.get("stemBBBBstemBBBB0").getAs[Long]("id") === 3L)
+    intercept[DoesNotExist](vqs.get("zzzz"))
+  }
+
   test("search ranks exact > word > contains, limit + ties stable") {
     val r = qs.search("T cell", fields = Seq("name", "synonyms"), limit = 10)
       .select("name", "rank").as[(String, Int)].collect()
