@@ -50,6 +50,29 @@ object Curate {
   final case class InspectResult(validated: DataFrame, nonValidated: DataFrame,
                                  synonymMatches: DataFrame)
 
+  /** One-pass bucket form of `inspect`: a single plan labelling each value
+    * `validated` / `synonym_match` / `nonvalidated`. Same semantics as
+    * composing the three `InspectResult` legs, but two broadcast joins
+    * instead of six — the split API re-filters the same base three times,
+    * which costs a job per leg on metadata-sized inputs.
+    */
+  def inspectBuckets(values: DataFrame, valueCol: String, registry: DataFrame,
+                     field: String, synonymsCol: String = "synonyms"): DataFrame = {
+    val names = registry.select(col(field).as("__name")).distinct()
+    val syns =
+      if (registry.columns.contains(synonymsCol))
+        synonymDict(registry, field, synonymsCol)
+          .filter(col("__prio") === 1).select("__synonym").distinct()
+      else values.limit(0).select(col(valueCol).as("__synonym"))
+    values.join(broadcast(names), col(valueCol) === col("__name"), "left")
+      .join(broadcast(syns), col(valueCol) === col("__synonym"), "left")
+      .withColumn("bucket",
+        when(col("__name").isNotNull, "validated")
+          .when(col("__synonym").isNotNull, "synonym_match")
+          .otherwise("nonvalidated"))
+      .drop("__name", "__synonym")
+  }
+
   /** (synonym, name, priority) dictionary: canonical names map to
     * themselves with priority 0, pipe-delimited synonyms with priority 1
     * (`"a|b|c"` storage, `can_curate.py:219-349`).

@@ -27,4 +27,32 @@ object Skew {
         salted(leftKey) === replicated(rightKey) && salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Skew-adaptive inner equi-join: detect keys whose row count exceeds
+    * `hotKeyThreshold`, salt ONLY those (replicating only the matching
+    * right rows), and join the uniform remainder plainly. This is the
+    * production form — blanket salting replicates the whole right side
+    * `nSalts`×, which at 100 TB turns a skew fix into a shuffle-volume
+    * regression. Hot keys are by definition few (bounded by
+    * |left| / threshold), so the driver-side hot-key set stays tiny.
+    */
+  def skewJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+               nSalts: Int = 8, hotKeyThreshold: Long = 1000000,
+               saltBy: Seq[String] = Nil): DataFrame = {
+    val hot = left.groupBy(leftKey).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotKeyThreshold)
+      .select(leftKey).collect().map(_.get(0)).toIndexedSeq
+    if (hot.isEmpty) left.join(right, left(leftKey) === right(rightKey))
+    else {
+      val saltCols = if (saltBy.nonEmpty) saltBy else left.columns.toSeq
+      val hotJoin = saltedJoin(
+        left.filter(col(leftKey).isin(hot: _*)),
+        right.filter(col(rightKey).isin(hot: _*)),
+        leftKey, rightKey, nSalts, saltCols)
+      val coldJoin = left.filter(!col(leftKey).isin(hot: _*))
+        .join(right.filter(!col(rightKey).isin(hot: _*)),
+          left(leftKey) === right(rightKey))
+      coldJoin.unionByName(hotJoin)
+    }
+  }
 }

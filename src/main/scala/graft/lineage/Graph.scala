@@ -17,11 +17,54 @@ object Graph {
     * fixpoint; the visited-set subtraction guarantees termination on DAGs
     * and cycles alike).
     *
+    * Execution: the frontier is driver-resident (it was always assumed
+    * broadcast-small — lineage frontiers are metadata-scale), so each
+    * level is exactly ONE cluster job: broadcast the frontier from a
+    * local relation (no collect job), semi-join the edge table, collect
+    * the next frontier. The visited set and depth map stay on the driver.
+    * Edges are cached across levels. If a frontier outgrows
+    * `localFrontierLimit`, falls back to the fully distributed loop.
+    *
     * Returns (node, depth) with depth 0 = the start set.
     */
   def reachable(edges: DataFrame, start: DataFrame, fromCol: String, toCol: String,
-                maxDepth: Int = -1): DataFrame = {
+                maxDepth: Int = -1, localFrontierLimit: Int = 4000000): DataFrame = {
     val spark = edges.sparkSession
+    import spark.implicits._
+    val startIds = start.select(col(start.columns.head).cast("long")).as[Long].collect().distinct
+    if (startIds.length > localFrontierLimit)
+      return reachableDistributed(edges, start, fromCol, toCol, maxDepth)
+
+    val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+      startIds.foreach(visited.update(_, 0))
+      var frontier: Array[Long] = startIds
+      var depth = 0
+      while (frontier.nonEmpty && (maxDepth < 0 || depth < maxDepth)) {
+        depth += 1
+        val fdf = frontier.toSeq.toDF(fromCol)
+        val next = cached
+          .join(broadcast(fdf), fromCol)
+          .select(col(toCol).cast("long")).distinct()
+          .as[Long].collect()
+        frontier = next.filterNot(visited.contains)
+        if (visited.size + frontier.length > localFrontierLimit) {
+          // graph outgrew the driver: restart distributed (rare path)
+          return reachableDistributed(edges, start, fromCol, toCol, maxDepth)
+        }
+        frontier.foreach(visited.update(_, depth))
+      }
+      visited.toSeq.toDF("node", "depth")
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Fully distributed BFS (frontier/visited never leave the cluster):
+    * the path for graphs whose frontiers exceed driver memory. Same
+    * result contract as `reachable`.
+    */
+  def reachableDistributed(edges: DataFrame, start: DataFrame, fromCol: String, toCol: String,
+                           maxDepth: Int = -1): DataFrame = {
     var visited = start.select(col(start.columns.head).cast("long").as("node"))
       .distinct().withColumn("depth", lit(0))
     var frontier = visited
@@ -30,20 +73,14 @@ object Graph {
     while (!done && (maxDepth < 0 || depth < maxDepth)) {
       depth += 1
       // next = targets of frontier edges, minus already-visited nodes.
-      // The frontier and visited sets are tiny relative to the edge
-      // table, so both sides broadcast: each level is a shuffle-free
-      // map-side join over the (cluster-cached) edges. Only the frontier
-      // is checkpointed (it feeds the next join and would otherwise nest
-      // one plan per level); `visited` stays a lazy union of checkpointed
-      // frontiers — linear plan growth.
+      // Only the frontier is checkpointed (it feeds the next join and
+      // would otherwise nest one plan per level); `visited` stays a lazy
+      // union of checkpointed frontiers — linear plan growth.
       val next = edges
-        .join(broadcast(frontier.select(col("node").as(fromCol))), fromCol)
+        .join(frontier.select(col("node").as(fromCol)), fromCol)
         .select(col(toCol).cast("long").as("node")).distinct()
-        .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
+        .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        // frontiers are small: one partition keeps the per-level
-        // checkpoint + probe cheap instead of materializing N empties
-        .coalesce(1)
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {

@@ -56,13 +56,8 @@ object CurateQueries {
       val values = region.select(lower(col("r_name")).as("value"))
         .unionByName(region.select(col("r_name").as("value")))
         .unionByName(Seq("atlantis").toDF(spark)("value"))
-      val ins = Curate.inspect(values, "value", regionRegistry(spark, dir), "name")
-      val syn = ins.synonymMatches.select(col("value")).withColumn("bucket", lit("synonym_match"))
-      ins.validated.select(col("value")).withColumn("bucket", lit("validated"))
-        .unionByName(syn)
-        .unionByName(ins.nonValidated.select(col("value"))
-          .join(syn.select("value"), Seq("value"), "left_anti")
-          .withColumn("bucket", lit("nonvalidated")))
+      Curate.inspectBuckets(values, "value", regionRegistry(spark, dir), "name")
+        .select("value", "bucket")
         .orderBy("bucket", "value")
     }),
 

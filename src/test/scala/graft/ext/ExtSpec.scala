@@ -121,4 +121,31 @@ class ExtSpec extends AnyFunSuite {
     val b = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
     assert(a === b)
   }
+
+  test("salted and skew-adaptive joins match the plain join on skewed data") {
+    // key 0 owns 80% of the left rows — a genuine hot key
+    val left = spark.range(0, 1000)
+      .select(when($"id" % 5 =!= 0, $"id" % 7).otherwise(0L).as("k"), $"id".as("lv"))
+    val right = spark.range(0, 7).select($"id".as("rk"), ($"id" * 10).as("rv"))
+    val expected = left.join(right, $"k" === $"rk")
+      .groupBy("rk").agg(count(lit(1)).as("n"), sum("lv").as("s"))
+      .orderBy("rk").as[(Long, Long, Long)].collect().toSeq
+
+    val salted = Skew.saltedJoin(left, right, "k", "rk", nSalts = 4, saltBy = Seq("lv"))
+      .groupBy("rk").agg(count(lit(1)).as("n"), sum("lv").as("s"))
+      .orderBy("rk").as[(Long, Long, Long)].collect().toSeq
+    assert(salted === expected)
+
+    // threshold 100: only key 0 qualifies as hot -> mixed salted+plain path
+    val adaptive = Skew.skewJoin(left, right, "k", "rk", nSalts = 4, hotKeyThreshold = 100)
+      .groupBy("rk").agg(count(lit(1)).as("n"), sum("lv").as("s"))
+      .orderBy("rk").as[(Long, Long, Long)].collect().toSeq
+    assert(adaptive === expected)
+
+    // threshold high: no hot keys -> pure plain-join path
+    val plainPath = Skew.skewJoin(left, right, "k", "rk", hotKeyThreshold = 100000)
+      .groupBy("rk").agg(count(lit(1)).as("n"), sum("lv").as("s"))
+      .orderBy("rk").as[(Long, Long, Long)].collect().toSeq
+    assert(plainPath === expected)
+  }
 }
