@@ -58,7 +58,14 @@ object Similarity {
     (mixed % 1000000L).toDouble / 1000000.0 - 0.5
   }
 
-  /** nBits-bit random-hyperplane signature of a vector column. */
+  /** nBits-bit random-hyperplane signature of a vector column.
+    *
+    * Expression form, kept for composability with arbitrary Columns —
+    * but note it unrolls to nBits x dim terms, and past ~500 terms the
+    * janino compile cost dominates small inputs. The hot paths
+    * (`lshTopK`) use `withSignatures`, a mapPartitions kernel computing
+    * the same bits from the same `planeCoef` grid.
+    */
   def lshSignature(vec: Column, dim: Int, nBits: Int = 16): Column =
     (0 until nBits).map { i =>
       val proj = (0 until dim).map(j =>
@@ -66,23 +73,55 @@ object Similarity {
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** (id, vec) -> (id, vec-as-double, norm, bucket) via a primitive-loop
+    * kernel over the deterministic `planeCoef` hyperplane grid. Identical
+    * bits to `lshSignature`; no giant expression tree to codegen.
+    */
+  private def withSignatures(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, nBits: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(nBits, dim)(planeCoef)
+    df.select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var nrm = 0.0
+          var j = 0
+          while (j < v.length) { nrm += v(j) * v(j); j += 1 }
+          var sig = 0L
+          var i = 0
+          while (i < nBits) {
+            val p = planes(i)
+            var proj = 0.0
+            var d = 0
+            while (d < dim) { proj += v(d) * p(d); d += 1 }
+            if (proj > 0) sig |= (1L << i)
+            i += 1
+          }
+          (id, v, math.sqrt(nrm), sig)
+        }
+      }
+      .toDF(idCol, vecCol, "nrm", "bucket")
+  }
+
   /** ANN via LSH buckets: corpus and queries hashed to nBits-bit buckets;
     * cosine computed only within matching buckets (plus
     * single-bit-flipped probes for recall), then per-query top-k.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, nBits: Int = 12): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("cnorm", norm(col("cvec")))
-      .withColumn("bucket", lshSignature(col("cvec"), dim, nBits))
+    val c = withSignatures(corpus, idCol, vecCol, dim, nBits)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "cvec")
+      .withColumnRenamed("nrm", "cnorm")
     // multi-probe: query also probes every bucket at hamming distance 1
     val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qnorm", norm(col("qvec")))
-      .withColumn("qsig", lshSignature(col("qvec"), dim, nBits))
-      .withColumn("bucket", explode(transform(probes, m => col("qsig").bitwiseXOR(m))))
-      .drop("qsig")
-    val sims = c.join(q, "bucket")
+    val q = withSignatures(queries, idCol, vecCol, dim, nBits)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qvec")
+      .withColumnRenamed("nrm", "qnorm")
+      .withColumn("bucket", explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+    val sims = c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id"))

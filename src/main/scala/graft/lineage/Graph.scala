@@ -44,11 +44,13 @@ object Graph {
       while (frontier.nonEmpty && (maxDepth < 0 || depth < maxDepth)) {
         depth += 1
         val fdf = frontier.toSeq.toDF(fromCol)
+        // no .distinct(): dedup on the driver instead of paying a shuffle
+        // per level (collect size is bounded by edge fan-in x frontier)
         val next = cached
           .join(broadcast(fdf), fromCol)
-          .select(col(toCol).cast("long")).distinct()
+          .select(col(toCol).cast("long"))
           .as[Long].collect()
-        frontier = next.filterNot(visited.contains)
+        frontier = next.distinct.filterNot(visited.contains)
         if (visited.size + frontier.length > localFrontierLimit) {
           // graph outgrew the driver: restart distributed (rare path)
           return reachableDistributed(edges, start, fromCol, toCol, maxDepth)
