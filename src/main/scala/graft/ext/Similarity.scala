@@ -130,4 +130,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** ANN via IVF (inverted-file) coarse quantization: assign every corpus
+    * vector to its nearest centroid cell, probe the `nProbe` nearest
+    * cells per query, and search exactly within probed cells only. The
+    * scale path for corpus-resident ANN: candidate generation is one
+    * broadcast pass (|centroids| small) + an equi-join on cell id — no
+    * all-pairs stage anywhere.
+    *
+    * `centroids` defaults to the corpus rows with the `nCentroids`
+    * smallest ids — a deterministic seed choice standing in for a k-means
+    * fit (pass a trained centroid DataFrame for production use).
+    * Similarities are rounded to 6dp before every argmax/rank so results
+    * are reproducible across engines and summation orders.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+          transform(col(vecCol), x => x.cast("double")).as("e"))
+        .withColumn("nrm", norm(col("e")))
+    val base = prep(corpus)
+    val cent = centroids.map(prep).getOrElse(base.orderBy("id").limit(nCentroids))
+      .select(col("id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
+      .withColumn("s", round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("s").desc, col("cid").asc)))
+    val cells = assign(base).filter(col("rn") === 1)
+      .select(col("id").as("neighbor_id"), col("cid"), col("e").as("ne"), col("nrm").as("nnrm"))
+    val qprobe = assign(prep(queries)).filter(col("rn") <= nProbe)
+      .select(col("id").as("query_id"), col("cid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val sims = cells.join(broadcast(qprobe), "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(col("ne"), col("qe")) / (col("nnrm") * col("qnrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
 }

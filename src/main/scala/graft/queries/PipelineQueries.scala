@@ -44,6 +44,28 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "m01_multimodal_decode" ->
+      // the fake payload header bytes 4..6 are md5(text) bytes 0..2, so
+      // the whole decode+resize plan is derivable from documents.text
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS b4,
+        |    CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS b5,
+        |    CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) AS b6
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(64 + (b4 % 16) * 64 AS INTEGER) AS width,
+        |    CAST(64 + (b5 % 16) * 64 AS INTEGER) AS height,
+        |    CAST(1 + (b6 % 2) * 2 AS INTEGER) AS channels
+        |  FROM b),
+        |r AS (SELECT *, least(1.0, 512 / CAST(greatest(width, height) AS DOUBLE)) AS scale FROM m)
+        |SELECT doc_id, width, height, channels,
+        |  CAST(ceil(width * scale) AS INTEGER) AS target_width,
+        |  CAST(ceil(height * scale) AS INTEGER) AS target_height,
+        |  scale < 1.0 AS needs_resize
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "m02_frame_sample" ->
       """SELECT doc_id, unnest(range(0, least(n_chars % 100 + 1 - 1, 70) + 1, 10)) AS frame_idx
         |FROM (SELECT doc_id, n_chars FROM documents)

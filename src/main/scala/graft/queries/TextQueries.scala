@@ -102,6 +102,26 @@ object TextQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           dim = 64, k = 10, nBits = 12)
         .orderBy("query_id", "rank")
+    }),
+
+    "e04_ann_ivf" -> ((spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "d08_ngram_jaccard" -> ((spark, dir) => {
+      // exact 3-gram Jaccard on deterministic candidate pairs: every
+      // planted (doc, mutated-doc) pair + a low-similarity background pair
+      val corpus = corpusWithNearDups(spark, dir)
+      val docs = t(spark, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      val background = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") > 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.ngramJaccard(planted.unionByName(background), corpus, "doc_id", "text")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -149,6 +169,54 @@ object TextQueries {
         |         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(s, 4) AS sim FROM sims
         |WHERE s >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+
+    "e04_ann_ivf" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT b.vec_id, c.cid, b.e,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY round(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cid) AS rn
+        |  FROM base b CROSS JOIN cent c),
+        |cells AS (SELECT vec_id AS neighbor_id, cid, e AS ne FROM assign WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS query_id, cid, e AS qe FROM assign
+        |           WHERE vec_id < 5 AND rn <= 2),
+        |sims AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(c.ne, q.qe), 6) AS sim
+        |  FROM cells c JOIN qprobe q USING (cid)
+        |  WHERE c.neighbor_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM sims)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "d08_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(tk) - 1),
+        |            i -> array_to_string(tk[i:i+2], ' ')))
+        |       ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id - 1, doc_id FROM documents WHERE doc_id % 50 = 0 AND doc_id > 0)
+        |SELECT p.id_a, p.id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "e01_knn_cosine" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

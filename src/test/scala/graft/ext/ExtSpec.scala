@@ -69,6 +69,22 @@ class ExtSpec extends AnyFunSuite {
     assert(ann.toSet.intersect(brute).nonEmpty)
   }
 
+  test("IVF ANN: probed-cell search overlaps brute force; ranks well-formed") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.toSet.map((t: (Long, Long, Long)) => (t._1, t._2)).intersect(brute).nonEmpty)
+    // per-query ranks are 1..n without gaps
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
   test("text ops: tokens, subwords, fingerprint stability, quality flags") {
     val r = docs.select(
       TextOps.tokenCount($"text").as("n"),
