@@ -55,19 +55,32 @@ object Dedup {
   def tokenHashes(textCol: Column): Column =
     transform(split(trim(textCol), "\\s+"), t => xxhash64(t))
 
+  /** Mersenne prime modulus for the MinHash permutation family. */
+  val MinhashP = 2147483647L // 2^31 - 1
+
+  /** Seeded (a_j, b_j) permutation constants — the single source of truth
+    * shared by the Spark plan and the generated DuckDB oracle SQL.
+    */
+  def minhashCoeffs(k: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rng.nextLong()) % (MinhashP - 1) + 1,
+      math.abs(rng.nextLong()) % MinhashP))
+  }
+
+  /** MinHash signature from already-reduced hash values (each in [0, p)):
+    * sig_j = min over shingles of (a_j * h + b_j) mod p.
+    */
+  def minhashSigFromMods(modsCol: Column, k: Int, seed: Long = 7L): Column =
+    array(minhashCoeffs(k, seed).map { case (a, b) =>
+      array_min(transform(modsCol, h => pmod(h * a + b, lit(MinhashP))))
+    }: _*)
+
   /** Deterministic MinHash signature (k permutations) over a numeric
     * shingle-hash array: h_j(x) = (a_j * (x mod p) + b_j) mod p, min over
     * shingles. Seeded constants keep runs reproducible.
     */
-  def minhashSignature(shingleCol: Column, k: Int = 16, seed: Long = 7L): Column = {
-    val rng = new scala.util.Random(seed)
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
-    val abs = Seq.fill(k)((math.abs(rng.nextLong()) % (p - 1) + 1, math.abs(rng.nextLong()) % p))
-    val base = transform(shingleCol, h => pmod(h, lit(p)))
-    array(abs.map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * a + b, lit(p))))
-    }: _*)
-  }
+  def minhashSignature(shingleCol: Column, k: Int = 16, seed: Long = 7L): Column =
+    minhashSigFromMods(transform(shingleCol, h => pmod(h, lit(MinhashP))), k, seed)
 
   /** LSH banding: a k-row signature split into `bands` buckets of k/bands
     * rows; docs sharing any band bucket become candidate pairs. Statically
@@ -113,6 +126,89 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Portable MinHash-LSH variant: identical pipeline to `minhashPairs`
+    * but shingle hashes come from md5 (15 hex chars = 60 bits) instead of
+    * xxhash64, and shingles stay strings — every step is reproducible in
+    * engines without xxhash64, so the WHOLE pipeline (hashing,
+    * permutations, banding, candidate join, Jaccard verify) is
+    * oracle-checkable in DuckDB from the same `minhashCoeffs` constants.
+    * ~2x the hash cost of the xxhash64 path; use that one when no
+    * cross-engine parity is needed.
+    */
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, bands: Int = 4, threshold: Double = 0.4,
+                           shingleN: Int = 3, seed: Long = 7L): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("tk"))
+      .select(col("id"), shinglesFromTokens(col("tk"), shingleN).as("sh"))
+      .select(col("id"), col("sh"),
+        transform(col("sh"),
+          x => pmod(conv(substring(md5(x), 1, 15), 16, 10).cast("long"), lit(MinhashP)))
+          .as("hmod"))
+      .select(col("id"), col("sh"), minhashSigFromMods(col("hmod"), k, seed).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = k / bands
+    val banded = withSig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(",", slice(col("sig"), b * rows + 1, rows))): _*))
+        .as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The DuckDB replica of `minhashPairsPortable` over a corpus CTE named
+    * `corpus(doc_id, text)` — generated from the SAME `minhashCoeffs`, so
+    * the two engines agree bit-for-bit. `corpusSql` supplies the CTE body.
+    */
+  def minhashPortableOracleSql(corpusSql: String, k: Int = 16, bands: Int = 4,
+                               threshold: Double = 0.4, shingleN: Int = 3,
+                               seed: Long = 7L): String = {
+    val rows = k / bands
+    val n = shingleN
+    val sigExprs = minhashCoeffs(k, seed).map { case (a, b) =>
+      s"list_min(list_transform(hmod, x -> (x * $a + $b) % $MinhashP))"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { bd =>
+      s"SELECT doc_id, s, $bd AS band, array_to_string(sg[${bd * rows + 1}:${bd * rows + rows}], ',') AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= $n
+       |       THEN list_distinct(list_transform(range(1, len(tk) - $n + 2),
+       |            i -> array_to_string(tk[i:i+${n - 1}], ' ')))
+       |       ELSE [array_to_string(tk, ' ')] END AS s
+       |  FROM toks),
+       |hm AS (SELECT doc_id, s,
+       |  list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $MinhashP) AS hmod
+       |  FROM sh),
+       |sig AS (SELECT doc_id, s, [
+       |  $sigExprs] AS sg FROM hm),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |jac AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+       |            JOIN sh sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac
+       |WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by token
     * hash bit, take the sign.
     *
@@ -154,6 +250,68 @@ object Dedup {
         // hamming distance between the two simhashes
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
+  }
+
+  /** Portable SimHash candidates: same explode → per-bit vote → band
+    * pipeline as `simhashCandidates`, but token hashes are 60-bit md5
+    * prefixes so the run is reproducible in DuckDB (`simhashPortableOracleSql`
+    * generates the replica from the same bit layout). 60 bits in 4 bands
+    * of 15.
+    */
+  def simhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val tok = df
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until bits).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$bit")
+    }
+    val withSim = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(bit =>
+          when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val banded = withSim.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(32767)): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b2, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** DuckDB replica of `simhashCandidatesPortable` (+ hamming cutoff) over
+    * a `corpus(doc_id, text)` CTE body — generated from the same 60-bit /
+    * 4-band layout.
+    */
+  def simhashPortableOracleSql(corpusSql: String, maxHamming: Int): String = {
+    val bits = 60
+    val voteExprs = (0 until bits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n  ")
+    val simExpr = (0 until bits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" | ")
+    val bandSelects = (0 until 4).map(bd =>
+      s"SELECT doc_id, s, $bd AS band, (s >> ${bd * 15}) & 32767 AS key FROM sim")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS ($corpusSql),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+       |votes AS (SELECT doc_id,
+       |  $voteExprs
+       |  FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS s FROM votes),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.s, b.s))::BIGINT AS hamming
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥

@@ -111,6 +111,18 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "d10_simhash_portable" -> ((spark, dir) => {
+      Dedup.simhashCandidatesPortable(corpusWithNearDups(spark, dir), "doc_id", "text")
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d09_minhash_portable" -> ((spark, dir) => {
+      Dedup.minhashPairsPortable(corpusWithNearDups(spark, dir), "doc_id", "text",
+          k = 16, bands = 4, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     "d08_ngram_jaccard" -> ((spark, dir) => {
       // exact 3-gram Jaccard on deterministic candidate pairs: every
       // planted (doc, mutated-doc) pair + a low-similarity background pair
@@ -125,7 +137,16 @@ object TextQueries {
     })
   )
 
+  /** corpus CTE body shared by d08/d09 oracles (docs + planted near-dups). */
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d09_minhash_portable" -> Dedup.minhashPortableOracleSql(corpusSql),
+    "d10_simhash_portable" -> Dedup.simhashPortableOracleSql(corpusSql, maxHamming = 6),
     "d01_exact_dedup" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
