@@ -131,6 +131,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** DuckDB replica of `lshTopK` over the `embeddings` table — the
+    * hyperplane grid is embedded as literal coefficient lists generated
+    * from the SAME `planeCoef` values the Spark kernel uses, so buckets
+    * (and therefore candidates and ranks) agree across engines.
+    */
+  def lshOracleSql(dim: Int, nBits: Int, k: Int, queryMaxId: Long): String = {
+    def bucketExpr(col: String) = (0 until nBits).map { i =>
+      val coefs = (0 until dim).map(j => planeCoef(i, j).toString).mkString(", ")
+      s"(CASE WHEN list_inner_product($col, [$coefs]) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+      // single line: a "\n  | " join would have its OR pipes eaten by the
+      // enclosing stripMargin
+    }.mkString(" | ")
+    val masks = (0L +: (0 until nBits).map(b => 1L << b)).mkString(", ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (SELECT vec_id, e,
+       |  ${bucketExpr("e")} AS bucket
+       |  FROM base),
+       |qp AS (SELECT vec_id AS query_id, e AS qe,
+       |    unnest(list_transform([$masks], m -> xor(bucket, CAST(m AS BIGINT)))) AS bucket
+       |  FROM sig WHERE vec_id < $queryMaxId),
+       |cand AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(s.e, q.qe), 6) AS sim
+       |  FROM qp q JOIN sig s USING (bucket)
+       |  WHERE s.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM cand)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** ANN via IVF (inverted-file) coarse quantization: assign every corpus
     * vector to its nearest centroid cell, probe the `nProbe` nearest
     * cells per query, and search exactly within probed cells only. The

@@ -146,6 +146,39 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "d09_minhash_portable" -> Dedup.minhashPortableOracleSql(corpusSql),
+    "e02_ann_lsh" -> Similarity.lshOracleSql(dim = 64, nBits = 12, k = 10, queryMaxId = 5),
+
+    "d07_langid" ->
+      // replica of TextOps.langId: top-40 trigram profiles per language
+      // trained on doc_id % 5 < 2, argmax overlap (ties -> greater lang)
+      """WITH train AS (
+        |  SELECT lang, ' ' || lower(trim(text)) || ' ' AS norm
+        |  FROM documents WHERE doc_id % 5 < 2),
+        |tg AS (SELECT lang, unnest(
+        |    CASE WHEN length(norm) >= 3
+        |         THEN list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3))
+        |         ELSE [norm] END) AS trigram
+        |  FROM train),
+        |counts AS (SELECT lang, trigram, count(*) AS c FROM tg GROUP BY lang, trigram),
+        |prof AS (SELECT lang, trigram FROM (
+        |    SELECT lang, trigram,
+        |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, trigram) AS rn
+        |    FROM counts) WHERE rn <= 40),
+        |proflist AS (SELECT lang, list(trigram) AS tgs FROM prof GROUP BY lang),
+        |dtg AS (SELECT doc_id, lang AS actual_lang, list_distinct(
+        |    CASE WHEN length(norm) >= 3
+        |         THEN list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3))
+        |         ELSE [norm] END) AS t
+        |  FROM (SELECT doc_id, lang, ' ' || lower(trim(text)) || ' ' AS norm FROM documents)),
+        |scores AS (SELECT doc_id, actual_lang, p.lang,
+        |    len(list_intersect(dtg.t, p.tgs)) AS overlap
+        |  FROM dtg CROSS JOIN proflist p),
+        |best AS (SELECT doc_id, actual_lang, lang AS predicted_lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang DESC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, predicted_lang, actual_lang,
+        |  predicted_lang = actual_lang AS correct
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d10_simhash_portable" -> Dedup.simhashPortableOracleSql(corpusSql, maxHamming = 6),
     "d01_exact_dedup" ->
       """SELECT doc_id,
