@@ -68,6 +68,8 @@ final class QuerySet(
     new QuerySet(t, d, env, Nil, Nil, order, None, featureHook)
   }
 
+  private def hasExplicitOrder: Boolean = order.nonEmpty
+
   // ---------------------------------------------------------- compilation
 
   private def allNodes: Seq[QNode] = filters ++ excludes
@@ -299,6 +301,85 @@ final class QuerySet(
              caseSensitive: Boolean = false): DataFrame = {
     val searchFields = if (fields.nonEmpty) fields else defaultSearchFields
     Search.rank(df, query, searchFields, limit, caseSensitive, t.pk)
+  }
+
+  /** Search returning a QuerySet whose rank ordering is RECORDED, so a
+    * following `toDataFrame(limit=…)` preserves it (the reference rebuilds
+    * a sliced queryset with a positional CASE — `query_set.py:1171-1181`).
+    */
+  def searchQs(query: String, fields: Seq[String] = Nil, limit: Int = Search.DefaultLimit,
+               caseSensitive: Boolean = false): QuerySet = {
+    val ranked = search(query, fields, limit, caseSensitive)
+    new QuerySet(t, ranked, env, Nil, Nil,
+      order = Seq(("rank", false), (t.pk, true)), limitN = Some(limit),
+      featureHook = featureHook)
+  }
+
+  /** `to_dataframe` subset semantics (`query_set.py:1143-1181`): default
+    * limit 20 ordered by `-id` when no ordering was requested; Artifact
+    * querysets with no explicit `kind` filter and no slicing hide internal
+    * `__lamindb*` kinds; limited results preserve the pre-limit ordering
+    * and report whether rows were truncated.
+    *
+    * Returns (rows, isTruncated).
+    */
+  def toDataFrame(limit: Option[Int] = Some(Search.DefaultLimit),
+                  defaultOrder: Option[String] = Some("-id")): (DataFrame, Boolean) = {
+    val kindFiltered = allNodes.flatMap(_.keys).map(aliased)
+      .exists(k => k == "kind" || k.startsWith("kind__"))
+    val base0 =
+      if (t.name == "artifact" && t.fieldNames.contains("kind") && !kindFiltered && limitN.isEmpty)
+        excludeQ(QPred("kind__startswith", "__lamindb"))
+      else this
+    val ordered =
+      if (!base0.hasExplicitOrder && defaultOrder.isDefined) base0.orderBy(defaultOrder.get)
+      else base0
+    limit match {
+      case None => (ordered.df, false)
+      case Some(n) =>
+        // truncation detected on the first n+1 ids, BEFORE any annotate
+        // fan-out; the subset is rebuilt from those ids with the original
+        // order preserved positionally
+        val ids = ordered.df.select(t.pk).head(n + 1).map(_.get(0))
+        val isTruncated = ids.length > n
+        val keep = ids.take(n)
+        if (keep.isEmpty) (ordered.df.limit(0), false)
+        else {
+          val spark = baseDf.sparkSession
+          import scala.jdk.CollectionConverters._
+          val posSchema = org.apache.spark.sql.types.StructType(Seq(
+            ordered.df.schema(t.pk),
+            org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.IntegerType)))
+          val posDf = spark.createDataFrame(
+            keep.zipWithIndex.map { case (v, i) => Row(v, i) }.toList.asJava, posSchema)
+          val out = ordered.df.join(broadcast(posDf), Seq(t.pk))
+            .orderBy(col("__pos")).drop("__pos")
+          (out, isTruncated)
+        }
+    }
+  }
+
+  /** `suggest_records_with_similar_names` (`sqlrecord.py:608-650`): exact
+    * match on the name field (within the type subset for typed registries)
+    * returns the record; otherwise a truncated fuzzy search proposes up to
+    * 3 similar names and None is returned.
+    */
+  def suggestSimilarNames(nameField: String, value: String,
+                          typeId: Option[Any] = None): (Option[Row], Seq[String]) = {
+    val subset =
+      if (t.fieldNames.contains("type_id")) typeId match {
+        case Some(v) => filter("type_id" -> v)
+        case None    => filter("type_id__isnull" -> true)
+      }
+      else this
+    val exact = subset.filter(nameField -> value).first()
+    if (exact.isDefined) (exact, Nil)
+    else {
+      val similar = Search.rank(subset.df, value, Seq(nameField), limit = 3,
+        caseSensitive = false, pk = t.pk, truncateString = true, nameField = Some(nameField))
+        .select(nameField).collect().map(_.getString(0)).toSeq
+      (None, similar)
+    }
   }
 
   private def defaultSearchFields: Seq[String] =

@@ -56,10 +56,24 @@ object Search {
     }.reduce(_ || _)
 
   def rank(df: DataFrame, query: String, fields: Seq[String], limit: Int,
-           caseSensitive: Boolean, pk: String): DataFrame = {
+           caseSensitive: Boolean, pk: String,
+           truncateString: Boolean = false, nameField: Option[String] = None): DataFrame = {
     require(query != null, "Cannot search for None value! Please pass a valid string.")
-    df.filter(containsPrefilter(query, fields, caseSensitive))
-      .withColumn("rank", rankColumn(query, fields, caseSensitive))
+    // truncated mode (`query_manager.py:99-103`): fuzzier matching for
+    // suggest_records_with_similar_names — drop the final 20% of the query
+    val q0 = if (truncateString && query.length > 5)
+      query.substring(0, (query.length * 0.8).toInt) else query
+    val q = q0.strip()
+    // extra rule for truncated strings (`query_manager.py:155-163`):
+    // weight plain startswith on the name field x2
+    val extra: Seq[Column] = nameField.filter(_ => truncateString).map { f =>
+      val fe = fieldExpr(f)
+      val sw = if (caseSensitive) fe.startsWith(lit(q)) else lower(fe).startsWith(lit(q.toLowerCase))
+      sw.cast("int") * 2
+    }.toSeq
+    val rankCol = (rankColumn(q, fields, caseSensitive) +: extra).reduce(_ + _)
+    df.filter(containsPrefilter(q, fields, caseSensitive))
+      .withColumn("rank", rankCol)
       .orderBy(col("rank").desc, col(pk).asc)
       .limit(limit)
   }

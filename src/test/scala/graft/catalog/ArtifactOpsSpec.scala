@@ -123,5 +123,10 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(af.toDataFrame(cat.table("artifact")).count() === 1)
     assert(af.toDataFrame(cat.table("artifact"), excludeInternal = false).count() === 2)
     assert(store.querySet.distinct().count() === 2)
+    // QuerySet.toDataFrame hides __lamindb* kinds on unfiltered querysets
+    assert(store.querySet.toDataFrame(limit = None)._1.count() === 1)
+    // ...but an explicit kind filter bypasses the exclusion
+    assert(store.querySet.filter("kind__startswith" -> "__lamindb")
+      .toDataFrame(limit = None)._1.count() === 1)
   }
 }

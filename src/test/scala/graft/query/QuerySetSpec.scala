@@ -113,6 +113,38 @@ class QuerySetSpec extends AnyFunSuite {
     assert(r.head._2 >= 200) // synonym-delimited match weight
   }
 
+  test("toDataFrame: default -id order, limit + truncation flag, order preserved") {
+    val many = (1L to 30L).map(i => (i, f"uid$i%04d0000", s"label $i", null: String, 1L))
+      .toDF("id", "uid", "name", "synonyms", "branch_id")
+    val mqs = QuerySet.over(many, "ulabel", uidLen = 8)
+    val (df20, trunc) = mqs.toDataFrame()
+    assert(trunc === true)
+    val ids = df20.select("id").as[Long].collect().toSeq
+    assert(ids === (30L to 11L by -1L)) // -id default order survives the limit
+    val (dfAll, t2) = mqs.toDataFrame(limit = None)
+    assert(t2 === false && dfAll.count() === 30)
+    val (df5, t3) = mqs.orderBy("id").toDataFrame(limit = Some(5))
+    assert(t3 === true)
+    assert(df5.select("id").as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L)) // explicit order wins
+  }
+
+  test("searchQs.toDataFrame preserves rank order after the limit rebuild") {
+    val (ranked, _) = qs.searchQs("cell", fields = Seq("name"), limit = 2).toDataFrame(limit = Some(2))
+    val names = ranked.select("name").as[String].collect().toSeq
+    assert(names.length === 2)
+    // same order as the raw search
+    val raw = qs.search("cell", fields = Seq("name"), limit = 2).select("name").as[String].collect().toSeq
+    assert(names === raw)
+  }
+
+  test("suggestSimilarNames: exact hit returns record, near-miss suggests") {
+    val (hit, _) = qs.suggestSimilarNames("name", "T cell")
+    assert(hit.isDefined && hit.get.getAs[String]("name") === "T cell")
+    val (none, similar) = qs.suggestSimilarNames("name", "T cells") // plural near-miss
+    assert(none.isEmpty)
+    assert(similar.contains("T cell"))
+  }
+
   test("orderBy desc + limit") {
     val names = qs.orderBy("-name").limit(1).df.select("name").as[String].collect()
     assert(names === Array("T cell"))
