@@ -152,13 +152,23 @@ object Schemas {
     StructType(Seq(f("id", L, false), f("artifact_id", L, false),
       f("schema_id", L, false), f("slot", S))))
 
-  /** Scalar feature values on artifacts — flattened form of the reference's
-    * deduplicated `JsonValue` + link table (`models/feature.py:1666`).
+  /** Deduplicated scalar feature values (`JsonValue`,
+    * `models/feature.py:1666`): one row per distinct (feature, value),
+    * identified by a value hash (unique_together (feature, hash)).
     */
-  val artifactValues = TableDef(
-    "artifact_values",
+  val jsonValue = TableDef(
+    "json_value",
+    StructType(Seq(f("id", L, false), f("feature_id", L),
+      f("value_json", S), f("hash", S)) ++ audit),
+    fks = Map("feature" -> FK("feature", "feature", "feature_id")))
+
+  /** Artifact ↔ JsonValue M2M link (`ArtifactJsonValue`,
+    * `models/artifact.py:3692`; unique (artifact, jsonvalue)).
+    */
+  val artifactJsonValues = TableDef(
+    "artifact_json_values",
     StructType(Seq(f("id", L, false), f("artifact_id", L, false),
-      f("feature_id", L, false), f("value_json", S))))
+      f("json_value_id", L, false))))
 
   val record = TableDef(
     "record",
@@ -211,8 +221,9 @@ object Schemas {
   val all: Seq[TableDef] = Seq(
     storage, artifact, collection, collectionArtifacts, transform, run,
     runInputs, feature, schemaT, schemaFeatures, ulabel, ulabelParents,
-    artifactUlabels, artifactSchemas, artifactValues, record, recordJson,
-    recordRecord, recordUlabel, recordArtifact, user, branch, space, project)
+    artifactUlabels, artifactSchemas, jsonValue, artifactJsonValues,
+    record, recordJson, recordRecord, recordUlabel, recordArtifact,
+    user, branch, space, project)
 
   val byName: Map[String, TableDef] = all.map(t => t.name -> t).toMap
 }

@@ -6,8 +6,9 @@ import graft.catalog.Catalog
 import graft.query.QuerySet
 
 /** Feature annotation on artifacts (`_feature_manager.py`): scalar values
-  * land in `artifact_values` (the flattened JsonValue link), categorical
-  * labels in `artifact_ulabels` keyed by feature. Powers both
+  * land in the deduplicated `json_value` table (`JsonValue.get_or_create`,
+  * `feature.py:1703-1716`) linked through `artifact_json_values`;
+  * categorical labels in `artifact_ulabels` keyed by feature. Powers both
   * `filter("featureName__gt" -> x)` dispatch on Artifact and the
   * `to_dataframe(include="features")` wide annotation export.
   */
@@ -31,10 +32,29 @@ final class ArtifactFeatures(cat: Catalog) {
         cat.insert("artifact_ulabels",
           Map("artifact_id" -> artifactId, "ulabel_id" -> labelId, "feature_id" -> fid))
       } else {
-        cat.insert("artifact_values", Map(
-          "artifact_id" -> artifactId, "feature_id" -> fid, "value_json" -> toJson(v)))
+        val jvId = getOrCreateJsonValue(fid, toJson(v))
+        val linked = !cat.table("artifact_json_values")
+          .filter(col("artifact_id") === artifactId && col("json_value_id") === jvId)
+          .isEmpty
+        if (!linked)
+          cat.insert("artifact_json_values",
+            Map("artifact_id" -> artifactId, "json_value_id" -> jvId))
       }
     }
+
+  /** `JsonValue.get_or_create`: dedup on (feature, value-hash) — the same
+    * (feature, value) annotation on many artifacts stores ONE value row.
+    */
+  private def getOrCreateJsonValue(featureId: Long, valueJson: String): Long = {
+    val hash = graft.core.Hashing.md5String(valueJson)
+    val existing = cat.table("json_value")
+      .filter(col("feature_id") === featureId && col("hash") === hash)
+      .select("id").head(1)
+    existing.headOption.map(_.getLong(0)).getOrElse(
+      cat.insert("json_value", Map(
+        "feature_id" -> featureId, "value_json" -> valueJson, "hash" -> hash))("id")
+        .asInstanceOf[Long])
+  }
 
   private def inferredOrExisting(name: String, inferred: String): String = {
     val ex = cat.table("feature").filter(col("name") === name).select("dtype").head(1)
@@ -46,10 +66,19 @@ final class ArtifactFeatures(cat: Catalog) {
     case other     => String.valueOf(other)
   }
 
+  /** Flattened (record_id, feature_id, value_json) view over the dedup'd
+    * json_value + link tables — what the EAV predicate layer consumes.
+    */
+  def valuesView: DataFrame =
+    cat.table("artifact_json_values")
+      .join(cat.table("json_value")
+          .select(col("id").as("json_value_id"), col("feature_id"), col("value_json")),
+        "json_value_id")
+      .select(col("artifact_id").as("record_id"), col("feature_id"), col("value_json"))
+
   def store: FeatureStore = new FeatureStore(
     cat.table("feature").select("id", "name", "dtype"),
-    cat.table("artifact_values")
-      .select(col("artifact_id").as("record_id"), col("feature_id"), col("value_json")),
+    valuesView,
     Some(cat.table("artifact_ulabels")
       .select(col("artifact_id").as("record_id"), col("feature_id"),
         col("ulabel_id").as("label_id"))),

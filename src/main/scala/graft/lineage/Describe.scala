@@ -32,7 +32,9 @@ object Describe {
       }
     }
 
-    val feats = cat.table("artifact_values").filter(col("artifact_id") === artifactId)
+    val feats = cat.table("artifact_json_values").filter(col("artifact_id") === artifactId)
+      .join(cat.table("json_value")
+        .select(col("id").as("json_value_id"), col("feature_id"), col("value_json")), "json_value_id")
       .join(cat.table("feature").select(col("id").as("feature_id"), col("name"), col("dtype")), "feature_id")
       .select("name", "dtype", "value_json").orderBy("name").collect()
     if (feats.nonEmpty) {

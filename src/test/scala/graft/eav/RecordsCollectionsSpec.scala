@@ -107,4 +107,30 @@ class RecordsCollectionsSpec extends AnyFunSuite {
     assert(wide.columns.contains("temperature") && wide.columns.contains("site"))
     assert(wide.head().getAs[Double]("temperature") === 21.5)
   }
+
+  test("json values dedup by (feature, hash); links are unique per artifact") {
+    val root = TestSpark.tmpDir("jv")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val af = new ArtifactFeatures(cat)
+    val a1 = store.fromDataFrame(Seq((1L, "x")).toDF("id", "v"), "d1", root)
+    val a2 = store.fromDataFrame(Seq((2L, "y")).toDF("id", "v"), "d2", root)
+    val id1 = a1("id").asInstanceOf[Long]
+    val id2 = a2("id").asInstanceOf[Long]
+    // same (feature, value) on two artifacts -> ONE json_value row, two links
+    af.addValues(id1, Map("site" -> "lab1"))
+    af.addValues(id2, Map("site" -> "lab1"))
+    assert(cat.table("json_value").count() === 1)
+    assert(cat.table("artifact_json_values").count() === 2)
+    // re-annotating the same artifact with the same value is a no-op
+    af.addValues(id1, Map("site" -> "lab1"))
+    assert(cat.table("artifact_json_values").count() === 2)
+    // a different value creates a second dedup'd row
+    af.addValues(id1, Map("site" -> "lab2"))
+    assert(cat.table("json_value").count() === 2)
+    // both artifacts still resolve their value through the view
+    val v = af.valuesView.orderBy("record_id")
+      .select("record_id", "value_json").as[(Long, String)].collect()
+    assert(v.count(_._2 == "\"lab1\"") === 2)
+  }
 }
