@@ -38,7 +38,8 @@ object Bench {
     val catalogTimes = Map(
       "b01_ingest_1k_dedup" -> time(benchIngest(spark)),
       "b02_bfs_10_levels" -> time(benchBfs(spark)),
-      "b03_schema_validate_lineitem" -> time(benchValidate(spark, sfDir)))
+      "b03_schema_validate_lineitem" -> time(benchValidate(spark, sfDir)),
+      "b04_stream_sink" -> time(benchStreamSink(spark)))
 
     val all = queryTimes ++ catalogTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -78,6 +79,27 @@ object Bench {
     val start = spark.range(0, 1).select(col("id").as("node"))
     val reached = lineage.Graph.descendants(edges, start, "parent", "child").count()
     require(reached == 2047, s"got $reached")
+  }
+
+  /** Streaming ingest: 3 microbatches through the artifact sink, then a
+    * redelivered batch that must dedup by content hash.
+    */
+  private def benchStreamSink(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bench-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bench-sink-ckpt").toString
+    val cat = catalog.Catalog.deterministic(spark, root)
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = streaming.ArtifactSink.streamToArtifacts(
+      source.toDF().toDF("id", "v"), cat, root, "bench/stream", ckpt)
+    try {
+      (0 until 3).foreach { b =>
+        source.addData((0 until 1000).map(i => (b * 1000L + i, s"row$b-$i")): _*)
+        q.processAllAvailable()
+      }
+      require(cat.table("artifact").count() == 3, "3 batch artifacts expected")
+    } finally q.stop()
   }
 
   private def benchValidate(spark: SparkSession, sfDir: String): Unit = {
