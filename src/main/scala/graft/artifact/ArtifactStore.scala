@@ -324,25 +324,71 @@ final class ArtifactStore(val cat: Catalog) {
 
   // --------------------------------------------------- trash / restore
 
-  /** Soft delete: move to trash branch (`branch_id = -1`); `restore` moves
-    * back to main (`query_set.py:1312-1376`).
+  /** Soft delete: move to trash branch (`branch_id = -1`) with the
+    * versioned-head handoff of the reference
+    * (`_adjust_is_latest_when_deleting_is_versioned`,
+    * `_is_versioned.py:271-336` + `query_set.py:1312-1376`): trashed
+    * heads lose `is_latest` and the most recently created remaining
+    * version on the SAME branch is promoted — per (family, branch), so
+    * another branch's head is never flipped. `restore` only moves back
+    * to main (`sqlrecord.py:2150-2156`); the promoted successor stays
+    * head.
     */
-  def trash(artifactIds: Seq[Long]): Unit = setBranch(artifactIds, Catalog.TrashBranchId)
-  def restore(artifactIds: Seq[Long]): Unit = setBranch(artifactIds, Catalog.MainBranchId)
+  def trash(artifactIds: Seq[Long]): Unit = {
+    cat.flush("artifact")
+    val promote = successorsFor(artifactIds)
+    cat.overwrite("artifact",
+      cat.table("artifact")
+        .withColumn("is_latest",
+          when(col("id").isin(promote: _*), lit(true))
+            .when(col("id").isin(artifactIds: _*), lit(false))
+            .otherwise(col("is_latest")))
+        .withColumn("branch_id",
+          when(col("id").isin(artifactIds: _*), lit(Catalog.TrashBranchId))
+            .otherwise(col("branch_id"))))
+  }
 
-  private def setBranch(ids: Seq[Long], branch: Long): Unit = {
+  def restore(artifactIds: Seq[Long]): Unit = {
     cat.flush("artifact")
     cat.overwrite("artifact",
       cat.table("artifact").withColumn("branch_id",
-        when(col("id").isin(ids: _*), lit(branch)).otherwise(col("branch_id"))))
+        when(col("id").isin(artifactIds: _*), lit(Catalog.MainBranchId))
+          .otherwise(col("branch_id"))))
   }
 
-  /** Hard delete: remove rows and storage payloads (permanent=true path). */
+  /** Per (family stem, branch) whose head is being deleted: the id of the
+    * most recently created surviving version on that branch (none if the
+    * family dies with the deletion).
+    */
+  private def successorsFor(ids: Seq[Long]): Seq[Long] = {
+    val t = cat.table("artifact")
+    val stem = expr("substring(uid, 1, length(uid) - 4)")
+    val losing = t.filter(col("id").isin(ids: _*) && col("is_latest"))
+      .select(stem.as("__stem"), col("branch_id")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__stem", "branch_id")
+      .orderBy(col("created_at").desc, col("id").desc)
+    t.filter(!col("id").isin(ids: _*))
+      .withColumn("__stem", stem)
+      .join(broadcast(losing), Seq("__stem", "branch_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("id").collect().map(_.getLong(0)).toIndexedSeq
+  }
+
+  /** Hard delete: remove rows and storage payloads (permanent=true path);
+    * heads hand off to the newest surviving version first, like trash.
+    */
   def deletePermanently(ids: Seq[Long], storageRoot: String): Unit = {
     cat.flush("artifact")
+    val promote = successorsFor(ids)
     val doomed = cat.table("artifact").filter(col("id").isin(ids: _*))
     val paths = pathsFor(doomed)
-    cat.overwrite("artifact", cat.table("artifact").filter(!col("id").isin(ids: _*)))
+    cat.overwrite("artifact",
+      cat.table("artifact")
+        .withColumn("is_latest",
+          when(col("id").isin(promote: _*), lit(true)).otherwise(col("is_latest")))
+        .filter(!col("id").isin(ids: _*)))
     paths.filter(_.contains("/.lamindb/")).foreach(deletePath)
   }
 

@@ -87,4 +87,26 @@ object Versioning {
     val maxUid = familyUids.maxBy(suffixValue)
     stem(maxUid) + Base62.increment(suffix(maxUid))
   }
+
+  /** Semantic version-tag bump (`bump_version`, `_is_versioned.py:135-177`):
+    * "MAJOR" or "MAJOR.MINOR" strings; major bump resets minor. Behavior on
+    * non-numeric tags: "error" throws, "ignore" returns "?".
+    */
+  def bumpVersion(version: String, bumpType: String = "minor",
+                  behavior: String = "error"): String =
+    try {
+      val parts = version.split("\\.")
+      val major = parts(0).toInt
+      val minor = if (parts.length > 1) parts(1).toInt else 0
+      bumpType match {
+        case "major" => s"${major + 1}"
+        case "minor" => s"$major.${minor + 1}"
+        case other   => throw new IllegalArgumentException(s"bump_type must be 'major' or 'minor', got $other")
+      }
+    } catch {
+      case _: NumberFormatException =>
+        if (behavior == "ignore") "?"
+        else throw new IllegalArgumentException(
+          s"Cannot auto-increment non-integer castable version '$version', please provide manually")
+    }
 }

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 import graft.artifact.{ArtifactStore, Versions}
+import graft.core.Versioning
 import graft.lineage.Lineage
 import graft.query.QuerySet
 
@@ -67,6 +68,42 @@ class CatalogSpec extends AnyFunSuite {
     assert(store.querySet.filter("uid" -> a("uid")).count() === 1) // uid bypass
     store.restore(Seq(id))
     assert(store.querySet.count() === 1)
+  }
+
+  test("trashing a versioned head demotes it and promotes the newest survivor") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val v1 = store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "ds/y", root)
+    val v2 = store.fromDataFrame(Seq((2, "b")).toDF("id", "v"), "ds/y", root)
+    val v3 = store.fromDataFrame(Seq((3, "c")).toDF("id", "v"), "ds/y", root)
+    def head(): Seq[String] = cat.table("artifact")
+      .filter(col("is_latest") && col("branch_id") === 1L)
+      .select("uid").collect().map(_.getString(0)).toSeq
+    assert(head() === Seq(v3("uid")))
+    // trash the head: v2 (newest survivor on main) must be promoted
+    store.trash(Seq(v3("id").asInstanceOf[Long]))
+    assert(head() === Seq(v2("uid")))
+    // permanent delete of the promoted head: v1 is the only main survivor
+    store.deletePermanently(Seq(v2("id").asInstanceOf[Long]), root)
+    assert(head() === Seq(v1("uid")))
+    // trashing a NON-head (v3 sits in trash, not latest) flips nothing
+    val before = head()
+    store.trash(Seq(v3("id").asInstanceOf[Long]))
+    assert(head() === before)
+    // restore brings v3 back WITHOUT reclaiming headship (sqlrecord restore)
+    store.restore(Seq(v3("id").asInstanceOf[Long]))
+    assert(head() === Seq(v1("uid")))
+  }
+
+  test("bumpVersion bumps major/minor, errors or ignores non-numeric") {
+    assert(Versioning.bumpVersion("1") === "1.1")
+    assert(Versioning.bumpVersion("1.4") === "1.5")
+    assert(Versioning.bumpVersion("1.4", "major") === "2")
+    assert(Versioning.bumpVersion("2", "major") === "3")
+    intercept[IllegalArgumentException](Versioning.bumpVersion("v1-beta"))
+    assert(Versioning.bumpVersion("v1-beta", behavior = "ignore") === "?")
   }
 
   test("mixed-suffix open is rejected") {
