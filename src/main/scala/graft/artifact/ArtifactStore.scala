@@ -65,6 +65,44 @@ final class ArtifactStore(val cat: Catalog) {
     row
   }
 
+  /** Replace the artifact's content in storage WITHOUT a new version
+    * (`Artifact.replace`, `artifact.py:2809-2900`): same uid, updated
+    * hash/size/counts. If the new content hash already belongs to some
+    * artifact, that artifact is returned instead (idempotent, like the
+    * constructor path). Only managed artifacts (no `real_path`) can be
+    * replaced.
+    */
+  def replace(uid: String, df: DataFrame, storageRoot: String): Map[String, Any] = {
+    val rows = cat.table("artifact").filter(col("uid") === uid).head(2)
+    if (rows.isEmpty) throw new graft.query.DoesNotExist(s"no artifact with uid $uid")
+    val current = rowToMap(rows.head)
+    require(current("real_path") == null,
+      "can only replace managed artifacts (ingest-by-reference content lives outside the store)")
+    val stagePath = s"$storageRoot/.staging/${cat.uid(8)}"
+    df.write.mode("overwrite").parquet(stagePath)
+    val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
+    findByHash(hash) match {
+      case Some(existing) =>
+        deletePath(stagePath)
+        existing
+      case None =>
+        val finalPath = artifactPath(current, storageRoot)
+        deletePath(finalPath)
+        movePath(stagePath, finalPath)
+        val nObs = df.count()
+        cat.flush("artifact")
+        cat.overwrite("artifact",
+          cat.table("artifact")
+            .withColumn("hash", when(col("uid") === uid, lit(hash)).otherwise(col("hash")))
+            .withColumn("hash_type", when(col("uid") === uid, lit(hashType)).otherwise(col("hash_type")))
+            .withColumn("size", when(col("uid") === uid, lit(size)).otherwise(col("size")))
+            .withColumn("n_files", when(col("uid") === uid, lit(nFiles)).otherwise(col("n_files")))
+            .withColumn("n_observations", when(col("uid") === uid, lit(nObs)).otherwise(col("n_observations"))))
+        current ++ Map("hash" -> hash, "hash_type" -> hashType, "size" -> size,
+          "n_files" -> nFiles, "n_observations" -> nObs)
+    }
+  }
+
   /** Register pre-stat'd content (the reference's "one network request
     * per path stat" ingest shape) through the same dedup-or-version
     * decision as registerPath.

@@ -39,6 +39,30 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(p2).count() === 1)
   }
 
+  test("replace swaps content under the same uid without a new version") {
+    val root = TestSpark.tmpDir("ops")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val a = store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "m", root)
+    val uid = a("uid").toString
+    val oldHash = a("hash")
+    val replaced = store.replace(uid, Seq((2, "b"), (3, "c")).toDF("id", "v"), root)
+    assert(replaced("uid") === uid)
+    assert(replaced("hash") !== oldHash)
+    assert(cat.table("artifact").count() === 1) // no new version
+    assert(cat.table("artifact").filter(col("uid") === uid)
+      .head().getAs[Long]("n_observations") === 2L)
+    assert(store.openByUid(uid).count() === 2) // storage payload swapped
+    // replacing with content identical to an existing artifact returns it
+    val b = store.fromDataFrame(Seq((9, "z")).toDF("id", "v"), "other", root)
+    val same = store.replace(uid, Seq((9, "z")).toDF("id", "v"), root)
+    assert(same("uid") === b("uid"))
+    // referenced artifacts refuse replace
+    val ref = store.registerPath(s"${TestSpark.sf0001}/region.parquet", "tpch/region", root)
+    intercept[IllegalArgumentException](
+      store.replace(ref("uid").toString, Seq((1, "x")).toDF("id", "v"), root))
+  }
+
   test("cross-instance transfer upserts by uid") {
     val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 1)
     val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 2)
