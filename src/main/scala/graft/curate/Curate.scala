@@ -131,6 +131,51 @@ object Curate {
   }
 
   final case class FromValuesResult(existing: DataFrame, creatable: DataFrame)
+
+  /** In-place categorical standardization of a dataset column (`CatVector
+    * .standardize`, `curators/core.py:1505-2028`): synonyms are replaced
+    * by canonical names directly in the column; unknown values pass
+    * through.
+    */
+  def standardizeColumn(df: DataFrame, colName: String, registry: DataFrame,
+                        field: String, synonymsCol: String = "synonyms"): DataFrame = {
+    val out = standardize(df, colName, registry, field, synonymsCol)
+    out.withColumn(colName, col("standardized")).drop("standardized")
+  }
+
+  /** `add_new`: create registry rows for values that validated against
+    * nothing (`CatVector.add_new`, `curators/core.py` / `DataFrameCat
+    * Manager`). Returns the created rows. Never touches values that
+    * already exist (directly or via synonym).
+    */
+  def addNew(values: DataFrame, valueCol: String, cat: graft.catalog.Catalog,
+             registry: String, field: String = "name"): Seq[Map[String, Any]] = {
+    val reg = cat.table(registry)
+    val creatable = fromValues(values, valueCol, reg, field).creatable
+      .select(valueCol).distinct().collect().map(_.get(0)).filter(_ != null)
+    creatable.sortBy(_.toString).map(v =>
+      cat.insert(registry, Map(field -> v))).toSeq
+  }
+
+  /** Dataset standardization against a schema (`curators/core.py:834-881`):
+    * add missing schema columns filled with their default (or null), so
+    * the frame conforms structurally before validation.
+    */
+  def standardizeDataset(df: DataFrame, spec: SchemaSpec,
+                         defaults: Map[String, Any] = Map.empty): DataFrame =
+    spec.features.filterNot(f => df.columns.contains(f.name)).foldLeft(df) { (acc, f) =>
+      val default = defaults.get(f.name).map(lit).getOrElse(lit(null))
+      acc.withColumn(f.name, default.cast(sparkTypeFor(f.dtype)))
+    }
+
+  private def sparkTypeFor(dtype: String): String = dtype match {
+    case "int"              => "long"
+    case "num" | "float"    => "double"
+    case "bool"             => "boolean"
+    case "datetime"         => "timestamp"
+    case "date"             => "date"
+    case _                  => "string"
+  }
 }
 
 /** A feature schema compiled to Spark-side validation (DataFrameCurator,

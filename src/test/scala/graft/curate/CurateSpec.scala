@@ -93,6 +93,39 @@ class CurateSpec extends AnyFunSuite {
     assert(issue.column === "perturbation" && issue.detail === "IFNJ" && issue.n === 2)
   }
 
+  test("standardizeColumn rewrites synonyms in place; addNew creates only unknowns") {
+    val registry = Seq(("T cell", "T-cell|T lymphocyte"), ("B cell", "B-cell"))
+      .toDF("name", "synonyms")
+    val df = Seq((1, "T-cell"), (2, "B cell"), (3, "monocyte")).toDF("id", "cell_type")
+    val fixed = Curate.standardizeColumn(df, "cell_type", registry, "name")
+      .orderBy("id").select("cell_type").as[String].collect()
+    assert(fixed.toSeq === Seq("T cell", "B cell", "monocyte"))
+
+    val cat = graft.catalog.Catalog.deterministic(spark, graft.TestSpark.tmpDir("addnew"))
+    cat.insert("ulabel", Map("name" -> "T cell", "synonyms" -> "T-cell"))
+    val created = Curate.addNew(df.select(col("cell_type").as("value")), "value", cat, "ulabel")
+    // "T-cell" resolves via synonym, "B cell"/"monocyte" are new
+    assert(created.map(_("name")).toSet === Set("B cell", "monocyte"))
+    assert(cat.table("ulabel").count() === 3)
+    // re-running creates nothing
+    assert(Curate.addNew(df.select(col("cell_type").as("value")), "value", cat, "ulabel").isEmpty)
+  }
+
+  test("standardizeDataset adds missing schema columns with typed defaults") {
+    val df = Seq((1, "x")).toDF("id", "b")
+    val spec = SchemaSpec(Seq(
+      FeatureSpec("b", "str"), FeatureSpec("score", "num"), FeatureSpec("flag", "bool")))
+    val out = Curate.standardizeDataset(df, spec, defaults = Map("score" -> 0.0))
+    assert(out.columns.toSet === Set("id", "b", "score", "flag"))
+    assert(out.schema("score").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(out.schema("flag").dataType === org.apache.spark.sql.types.BooleanType)
+    val r = out.head()
+    assert(r.getAs[Double]("score") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("flag")))
+    // conforms after standardization
+    assert(SchemaValidator.validate(out, spec).passed)
+  }
+
   test("ordered_set + nullability + dtype coercion violations") {
     val df = Seq(("x", null.asInstanceOf[String]), ("y", "1.5"), ("z", "oops"))
       .toDF("b", "a")
