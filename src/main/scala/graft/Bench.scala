@@ -23,6 +23,18 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
+    // streaming-engine warmup: classload + state-store init on a 1-row
+    // memory stream so s01/b04 measure the operator, not first-use cost
+    locally {
+      import spark.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = ms.toDF().groupBy(col("value")).count()
+        .writeStream.outputMode("complete").format("memory").queryName("warmup").start()
+      ms.addData(1L)
+      q.processAllAvailable()
+      q.stop()
+    }
 
     def time(body: => Any): Double = {
       val t0 = System.nanoTime()
