@@ -35,6 +35,23 @@ object PipelineQueries {
         .select(col("doc_id"), (col("n_chars") % 100 + 1).cast("long").as("n_frames"))
       Multimodal.frameSamplePlan(docs, "doc_id", "n_frames", every = 10, cap = 8)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    "l01_label_weights" -> ((spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.MappedDataset.labelWeights(docs.select("doc_id", "lang"), "lang")
+        .select(col("doc_id"), col("lang"), round(col("label_weight"), 9).as("label_weight"))
+        .orderBy("doc_id")
+    }),
+
+    "l02_mapped_routing" -> ((spark, dir) => {
+      // two stores (doc_id parity split) unioned with explicit routing -
+      // the MappedCollection global->local index contract
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang")
+      val stores = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      graft.ml.MappedDataset.mapped(stores, join = "inner", orderCol = Some("doc_id"))
+        .select("store_idx", "local_idx", "doc_id", "lang")
+        .orderBy("store_idx", "local_idx")
     })
   )
 
@@ -65,6 +82,17 @@ object PipelineQueries {
         |  CAST(ceil(height * scale) AS INTEGER) AS target_height,
         |  scale < 1.0 AS needs_resize
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "l01_label_weights" ->
+      """SELECT doc_id, lang,
+        |  round(CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY lang)), 9) AS label_weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l02_mapped_routing" ->
+      """SELECT CAST(doc_id % 2 AS INTEGER) AS store_idx,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS BIGINT) AS local_idx,
+        |  doc_id, lang
+        |FROM documents ORDER BY store_idx, local_idx""".stripMargin,
 
     "m02_frame_sample" ->
       """SELECT doc_id, unnest(range(0, least(n_chars % 100 + 1 - 1, 70) + 1, 10)) AS frame_idx
