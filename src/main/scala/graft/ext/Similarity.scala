@@ -15,14 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a left-fold (deterministic summation order). */
+  /** Σ aᵢ·bᵢ — a native codegen expression (`graft.functions.DotProduct`)
+    * with the same left-to-right summation order as the `zip_with` fold
+    * it replaced, so existing oracle results are unchanged.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dot(a, b)
+
+  /** The previous pure-composition form, kept for reference/tests. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   // NOTE (measured): unrolling the dot as 64 element_at products is ~4×
   // SLOWER than the zip_with fold — the giant expression tree falls out
-  // of whole-stage codegen. Keep the fold.
+  // of whole-stage codegen. The native DotProduct expression beats both.
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
