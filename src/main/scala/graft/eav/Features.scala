@@ -195,3 +195,27 @@ final class FeatureStore(
     records.select(col(pk)).join(typed, Seq(pk), "left")
   }
 }
+
+/** FilteredRelation-style annotation (`get_feature_annotate_kwargs`,
+  * `query_set.py:679-691`): records LEFT-join their label links with the
+  * label's branch visibility as an EXTRA join predicate — trashed or
+  * archived labels never annotate, but records whose only labels are
+  * hidden still appear (with an empty set), unlike a post-join filter
+  * which would drop them.
+  */
+object Annotate {
+  def labels(records: DataFrame, pk: String,
+             links: DataFrame, linkRecordCol: String, linkLabelCol: String,
+             labelTable: DataFrame, labelPk: String, labelValueCol: String,
+             visibleBranchIds: Seq[Long] = Seq(1L),
+             out: String = "labels"): DataFrame = {
+    val vis = labelTable.filter(col("branch_id").isin(visibleBranchIds: _*))
+      .select(col(labelPk).as("__lid"), col(labelValueCol).as("__lval"))
+    val linked = links
+      .select(col(linkRecordCol).as(pk), col(linkLabelCol).as("__lid"))
+      .join(vis, "__lid")
+    val agg = linked.groupBy(pk).agg(sort_array(collect_set(col("__lval"))).as(out))
+    records.join(agg, Seq(pk), "left")
+      .withColumn(out, coalesce(col(out), array().cast("array<string>")))
+  }
+}

@@ -223,6 +223,25 @@ object CoreQueries {
         .orderBy("hour", "event_type")
     }),
 
+    "q23_filtered_annotate" -> ((spark, dir) => {
+      // FilteredRelation semantics: label branch visibility is a JOIN
+      // predicate, not a post-filter — docs whose labels are all hidden
+      // still appear with an empty label set
+      val docs = t(spark, dir, "documents")
+      val srcLabels = docs.select(col("source").as("name")).distinct()
+        .withColumn("branch_id",
+          (expr("CAST(substr(name, 4, 10) AS INT)") % 5 - 1).cast("long"))
+      val langLabels = docs.select(col("lang").as("name")).distinct()
+        .withColumn("branch_id", lit(1L))
+      val labels = srcLabels.unionByName(langLabels)
+      val links = docs.select(col("doc_id"), col("source").as("label_name"))
+        .unionByName(docs.select(col("doc_id"), col("lang").as("label_name")))
+      graft.eav.Annotate.labels(docs.select("doc_id"), "doc_id",
+          links, "doc_id", "label_name", labels, "name", "name")
+        .select(col("doc_id"), array_join(col("labels"), "|").as("labels"))
+        .orderBy("doc_id")
+    }),
+
     "q20_date_parts" -> ((spark, dir) => {
       t(spark, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
@@ -384,6 +403,23 @@ object CoreQueries {
         """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+      "q23_filtered_annotate" ->
+        """WITH labels AS (
+          |  SELECT DISTINCT source AS name,
+          |    CAST(substr(source, 4) AS INTEGER) % 5 - 1 AS branch_id
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT DISTINCT lang, 1 FROM documents),
+          |links AS (
+          |  SELECT doc_id, source AS name FROM documents
+          |  UNION ALL SELECT doc_id, lang FROM documents),
+          |vis AS (SELECT name FROM labels WHERE branch_id = 1),
+          |ann AS (SELECT l.doc_id, list_sort(list(DISTINCT l.name)) AS ls
+          |        FROM links l JOIN vis USING (name) GROUP BY l.doc_id)
+          |SELECT d.doc_id, coalesce(array_to_string(a.ls, '|'), '') AS labels
+          |FROM documents d LEFT JOIN ann a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "q20_date_parts" ->
         """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, count(*) AS n_orders,
