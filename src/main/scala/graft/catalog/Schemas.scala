@@ -170,6 +170,14 @@ object Schemas {
     StructType(Seq(f("id", L, false), f("artifact_id", L, false),
       f("json_value_id", L, false))))
 
+  /** Run ↔ JsonValue M2M link (`JsonValue.runs`, `models/feature.py:1695` —
+    * runs are annotated with the same deduplicated values as artifacts).
+    */
+  val runJsonValues = TableDef(
+    "run_json_values",
+    StructType(Seq(f("id", L, false), f("run_id", L, false),
+      f("json_value_id", L, false))))
+
   val record = TableDef(
     "record",
     StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S),
@@ -222,8 +230,8 @@ object Schemas {
     storage, artifact, collection, collectionArtifacts, transform, run,
     runInputs, feature, schemaT, schemaFeatures, ulabel, ulabelParents,
     artifactUlabels, artifactSchemas, jsonValue, artifactJsonValues,
-    record, recordJson, recordRecord, recordUlabel, recordArtifact,
-    user, branch, space, project)
+    runJsonValues, record, recordJson, recordRecord, recordUlabel,
+    recordArtifact, user, branch, space, project)
 
   val byName: Map[String, TableDef] = all.map(t => t.name -> t).toMap
 }

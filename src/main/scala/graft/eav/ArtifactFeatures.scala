@@ -42,6 +42,22 @@ final class ArtifactFeatures(cat: Catalog) {
       }
     }
 
+  /** Run-side scalar annotation through the SAME deduplicated json_value
+    * rows (`JsonValue.runs` M2M, `feature.py:1695`) — run params share
+    * value storage with artifact annotations.
+    */
+  def addRunValues(runId: Long, values: Map[String, Any]): Unit =
+    values.foreach { case (name, v) =>
+      val dtype = graft.dtype.Dtype.infer(v).asString
+      val fid = records.ensureFeature(name, inferredOrExisting(name, dtype))
+      val jvId = getOrCreateJsonValue(fid, toJson(v))
+      val linked = !cat.table("run_json_values")
+        .filter(col("run_id") === runId && col("json_value_id") === jvId)
+        .isEmpty
+      if (!linked)
+        cat.insert("run_json_values", Map("run_id" -> runId, "json_value_id" -> jvId))
+    }
+
   /** `JsonValue.get_or_create`: dedup on (feature, value-hash) — the same
     * (feature, value) annotation on many artifacts stores ONE value row.
     */

@@ -132,5 +132,12 @@ class RecordsCollectionsSpec extends AnyFunSuite {
     val v = af.valuesView.orderBy("record_id")
       .select("record_id", "value_json").as[(Long, String)].collect()
     assert(v.count(_._2 == "\"lab1\"") === 2)
+    // run annotation shares the SAME deduplicated value rows
+    val run = cat.insert("run", Map("transform_id" -> 1L, "status_code" -> 0))
+    af.addRunValues(run("id").asInstanceOf[Long], Map("site" -> "lab1"))
+    assert(cat.table("json_value").count() === 2) // no new value row
+    assert(cat.table("run_json_values").count() === 1)
+    af.addRunValues(run("id").asInstanceOf[Long], Map("site" -> "lab1"))
+    assert(cat.table("run_json_values").count() === 1) // link idempotent
   }
 }
