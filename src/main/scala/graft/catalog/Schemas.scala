@@ -27,6 +27,11 @@ final case class TableDef(
     fks: Map[String, FK] = Map.empty,
     m2ms: Map[String, M2M] = Map.empty,
     aliases: Map[String, String] = Map.empty,
+    /** Per-column string→code maps (reference `_map_status_value`,
+      * `query_set.py:164-181`): lets `filter(status = "completed")`
+      * reach an integer code column; raw codes pass through.
+      */
+    enumMaps: Map[String, Map[String, Any]] = Map.empty,
     pk: String = "id"
 ) {
   def fieldNames: Set[String] = schema.fieldNames.toSet
@@ -102,6 +107,9 @@ object Schemas {
     uidLen = 20,
     fks = Map("transform" -> FK("transform", "transform", "transform_id")),
     aliases = Map("status" -> "status_code"),
+    enumMaps = Map("status_code" -> Map(
+      "scheduled" -> -3, "restarted" -> -2, "started" -> -1,
+      "completed" -> 0, "errored" -> 1, "aborted" -> 2)),
     searchFields = Seq("uid"))
 
   val runInputs = TableDef(

@@ -119,12 +119,31 @@ final class QuerySet(
     compileSegs(forT, forDf, segs, value)
   }
 
+  /** String→code translation for enum-coded columns (`_map_status_value`,
+    * `query_set.py:164-181`): names map to codes, raw codes pass through,
+    * unknown names raise with the expected values listed.
+    */
+  private def mapEnum(forT: TableDef, field: String, value: Any): Any =
+    forT.enumMaps.get(field) match {
+      case None => value
+      case Some(m) =>
+        def one(v: Any): Any = v match {
+          case s: String => m.getOrElse(s, throw new FieldError(
+            s"Invalid ${forT.name} status '$s'. Expected one of: ${m.keys.toSeq.sorted.mkString("'", "', '", "'")}."))
+          case other => other
+        }
+        value match {
+          case seq: Seq[_] => seq.map(one)
+          case other       => one(other)
+        }
+    }
+
   private def compileSegs(forT: TableDef, forDf: DataFrame, segs: List[String], value: Any): Compiled =
     segs match {
       case field :: Nil if forT.fieldNames.contains(field) =>
-        Cond(Lookups.compile(col(field), "exact", value))
+        Cond(Lookups.compile(col(field), "exact", mapEnum(forT, field, value)))
       case field :: lookup :: Nil if forT.fieldNames.contains(field) && Lookups.all.contains(lookup) =>
-        Cond(Lookups.compile(col(field), lookup, value))
+        Cond(Lookups.compile(col(field), lookup, mapEnum(forT, field, value)))
       case fkName :: rest if forT.fks.contains(fkName) =>
         val fk = forT.fks(fkName)
         rest match {

@@ -70,6 +70,46 @@ class CatalogSpec extends AnyFunSuite {
     assert(store.querySet.count() === 1)
   }
 
+  test("run status filters accept names, codes, and __in lists; invalid raises") {
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    cat.insert("transform", Map("key" -> "t.scala"))
+    cat.insert("run", Map("transform_id" -> 1L, "status_code" -> 0))
+    cat.insert("run", Map("transform_id" -> 1L, "status_code" -> -1))
+    val qs = QuerySet(cat, "run")
+    assert(qs.filter("status" -> "completed").count() === 1)
+    assert(qs.filter("status" -> "started").count() === 1)
+    assert(qs.filter("status" -> 0).count() === 1) // raw codes pass through
+    assert(qs.filter("status__in" -> Seq("completed", "started")).count() === 2)
+    val e = intercept[graft.query.FieldError](qs.filter("status" -> "finished").count())
+    assert(e.getMessage.contains("completed"))
+  }
+
+  test("versioning across branches preserves main's latest head") {
+    // reference test_artifact_versioning_across_branches_preserves_main_latest
+    import spark.implicits._
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val v1 = store.fromDataFrame(Seq((10, "a")).toDF("id", "v"), "branch/x", root)
+    cat.currentBranchId = 2L
+    val v2 = store.fromDataFrame(Seq((12, "b")).toDF("id", "v"), "branch/x", root)
+    assert(v2("branch_id") === 2L)
+    assert(v2("uid").toString.endsWith("0001"))
+    def latest(): Map[String, Long] = cat.table("artifact").filter(col("is_latest"))
+      .select("uid", "branch_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // main's head stays latest; the contribution branch gets its own head
+    assert(latest() === Map(v1("uid").toString -> 1L, v2("uid").toString -> 2L))
+    // a third version on the branch increments from the FAMILY max uid and
+    // demotes only the creation branch's head, leaving main's intact
+    val v3 = store.fromDataFrame(Seq((14, "c")).toDF("id", "v"), "branch/x", root)
+    assert(v3("uid").toString.endsWith("0002"))
+    assert(v3("uid").toString.take(16) === v1("uid").toString.take(16))
+    assert(latest() === Map(v1("uid").toString -> 1L, v3("uid").toString -> 2L))
+    cat.currentBranchId = 1L
+  }
+
   test("trashing a versioned head demotes it and promotes the newest survivor") {
     import spark.implicits._
     val root = TestSpark.tmpDir("cat")
