@@ -42,6 +42,48 @@ final class ArtifactFeatures(cat: Catalog) {
       }
     }
 
+  /** `artifact.labels.add(...)`: link ulabels (optionally under a
+    * feature); duplicates are no-ops (`_label_manager.py`).
+    */
+  def addLabels(artifactId: Long, labelIds: Seq[Long], featureId: Option[Long] = None): Unit = {
+    val existing = cat.table("artifact_ulabels")
+      .filter(col("artifact_id") === artifactId && col("ulabel_id").isin(labelIds: _*))
+      .select("ulabel_id").collect().map(_.getLong(0)).toSet
+    labelIds.filterNot(existing).foreach { lid =>
+      cat.insert("artifact_ulabels", Map("artifact_id" -> artifactId,
+        "ulabel_id" -> lid) ++ featureId.map("feature_id" -> _))
+    }
+  }
+
+  /** `artifact.labels.remove(...)`. */
+  def removeLabels(artifactId: Long, labelIds: Seq[Long]): Unit = {
+    cat.flush("artifact_ulabels")
+    cat.overwrite("artifact_ulabels",
+      cat.table("artifact_ulabels").filter(
+        !(col("artifact_id") === artifactId && col("ulabel_id").isin(labelIds: _*))))
+  }
+
+  /** `artifact.labels.add_from(other)`: copy every label link (with its
+    * feature association) from another artifact; idempotent on existing
+    * links (`_label_manager.py:310` area).
+    */
+  def addLabelsFrom(targetId: Long, sourceId: Long): Long = {
+    val src = cat.table("artifact_ulabels").filter(col("artifact_id") === sourceId)
+      .select("ulabel_id", "feature_id").collect()
+    val existing = cat.table("artifact_ulabels").filter(col("artifact_id") === targetId)
+      .select("ulabel_id").collect().map(_.getLong(0)).toSet
+    var n = 0L
+    src.foreach { r =>
+      if (!existing(r.getLong(0))) {
+        cat.insert("artifact_ulabels", Map(
+          "artifact_id" -> targetId, "ulabel_id" -> r.getLong(0),
+          "feature_id" -> (if (r.isNullAt(1)) null else r.getLong(1))))
+        n += 1
+      }
+    }
+    n
+  }
+
   /** Run-side scalar annotation through the SAME deduplicated json_value
     * rows (`JsonValue.runs` M2M, `feature.py:1695`) — run params share
     * value storage with artifact annotations.

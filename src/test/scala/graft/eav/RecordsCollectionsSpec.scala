@@ -140,4 +140,26 @@ class RecordsCollectionsSpec extends AnyFunSuite {
     af.addRunValues(run("id").asInstanceOf[Long], Map("site" -> "lab1"))
     assert(cat.table("run_json_values").count() === 1) // link idempotent
   }
+
+  test("labels add / add_from / remove mirror the label manager") {
+    val root = TestSpark.tmpDir("lm")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val af = new ArtifactFeatures(cat)
+    val a1 = store.fromDataFrame(Seq((1L, "x")).toDF("id", "v"), "d1", root)("id").asInstanceOf[Long]
+    val a2 = store.fromDataFrame(Seq((2L, "y")).toDF("id", "v"), "d2", root)("id").asInstanceOf[Long]
+    val labels = (0 until 3).map(i =>
+      cat.insert("ulabel", Map("name" -> s"Project $i"))("id").asInstanceOf[Long])
+    af.addLabels(a2, Seq.empty)          // empty add is a no-op
+    af.addLabels(a2, labels)
+    af.addLabels(a2, labels)             // duplicate add is a no-op
+    assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a2).count() === 3)
+    // add_from copies all links; idempotent on re-run
+    assert(af.addLabelsFrom(a1, a2) === 3)
+    assert(af.addLabelsFrom(a1, a2) === 0)
+    assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a1).count() === 3)
+    af.removeLabels(a1, labels.take(2))
+    assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a1).count() === 1)
+    assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a2).count() === 3)
+  }
 }
