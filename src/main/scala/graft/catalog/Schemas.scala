@@ -220,8 +220,13 @@ object Schemas {
 
   val branch = TableDef(
     "branch",
-    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false)) ++ audit),
-    uidLen = 12)
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false),
+      f("status_code", I)) ++ audit),
+    uidLen = 12,
+    aliases = Map("status" -> "status_code"),
+    enumMaps = Map("status_code" -> Map(
+      "closed" -> -2, "merged" -> -1, "standalone" -> 0,
+      "draft" -> 1, "review" -> 2)))
 
   val space = TableDef(
     "space",
