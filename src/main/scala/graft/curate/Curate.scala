@@ -293,3 +293,29 @@ object SchemaValidator {
 
   private def colSql(c: Column): String = c.toString
 }
+
+/** Composite slot-wise curation (`SlotsCurator`, `curators/core.py:487-609`
+  * — AnnData/MuData/SpatialData curators are this loop over their slot
+  * DataFrames: `obs`, `var.T`, per-modality tables). Each slot validates
+  * against its own SchemaSpec; the composite passes iff every slot does.
+  */
+object SlotsCurator {
+  final case class SlotReport(slot: String, report: ValidationReport)
+
+  def validate(slots: Map[String, (org.apache.spark.sql.DataFrame, SchemaSpec)]): Seq[SlotReport] =
+    slots.toSeq.sortBy(_._1).map { case (name, (df, spec)) =>
+      SlotReport(name, SchemaValidator.validate(df, spec))
+    }
+
+  def passed(reports: Seq[SlotReport]): Boolean = reports.forall(_.report.passed)
+
+  /** Slot-wise dataset standardization: add missing schema columns per
+    * slot before validation (`standardize`, `curators/core.py:834-881`).
+    */
+  def standardize(slots: Map[String, (org.apache.spark.sql.DataFrame, SchemaSpec)],
+                  defaults: Map[String, Map[String, Any]] = Map.empty)
+      : Map[String, (org.apache.spark.sql.DataFrame, SchemaSpec)] =
+    slots.map { case (name, (df, spec)) =>
+      name -> (Curate.standardizeDataset(df, spec, defaults.getOrElse(name, Map.empty)), spec)
+    }
+}

@@ -111,6 +111,36 @@ class CurateSpec extends AnyFunSuite {
     assert(Curate.addNew(df.select(col("cell_type").as("value")), "value", cat, "ulabel").isEmpty)
   }
 
+  test("slot-wise curation: obs/var validate independently, composite passes iff all do") {
+    // the AnnData-curator shape: obs rows x var.T rows curated separately
+    val obs = Seq(("c1", "T cell", 12.0), ("c2", "B cell", 31.0))
+      .toDF("cell_id", "cell_type", "n_genes")
+    val varT = Seq(("CD8A", "protein_coding"), ("CD4", "protein_coding"))
+      .toDF("gene", "biotype")
+    val obsSpec = SchemaSpec(Seq(
+      FeatureSpec("cell_id", "str", nullable = false),
+      FeatureSpec("cell_type", "cat[ULabel]",
+        catRegistry = Some((Seq("T cell", "B cell").toDF("name"), "name"))),
+      FeatureSpec("n_genes", "num")))
+    val varSpec = SchemaSpec(Seq(
+      FeatureSpec("gene", "str", nullable = false), FeatureSpec("biotype", "str")))
+    val ok = SlotsCurator.validate(Map("obs" -> (obs, obsSpec), "var" -> (varT, varSpec)))
+    assert(SlotsCurator.passed(ok))
+
+    // one bad slot fails the composite and is identifiable by name
+    val badObs = obs.withColumn("cell_type",
+      org.apache.spark.sql.functions.lit("NK cell"))
+    val mixed = SlotsCurator.validate(Map("obs" -> (badObs, obsSpec), "var" -> (varT, varSpec)))
+    assert(!SlotsCurator.passed(mixed))
+    assert(mixed.find(_.slot == "obs").exists(!_.report.passed))
+    assert(mixed.find(_.slot == "var").exists(_.report.passed))
+
+    // slot standardization adds missing columns so a sparse slot conforms
+    val sparseVar = Seq(("CD8A")).toDF("gene")
+    val fixed = SlotsCurator.standardize(Map("var" -> (sparseVar, varSpec)))
+    assert(SlotsCurator.passed(SlotsCurator.validate(fixed)))
+  }
+
   test("standardizeDataset adds missing schema columns with typed defaults") {
     val df = Seq((1, "x")).toDF("id", "b")
     val spec = SchemaSpec(Seq(
