@@ -357,6 +357,46 @@ final class ArtifactStore(val cat: Catalog) {
       }
       target.insert(registry, m.filter(_._2 != null))
     }
+
+    // M2M links travel with the record (the reference transfers schema
+    // members etc. by uid — `tests/transfer`): related rows are
+    // transferred first, then link rows are re-created with both sides
+    // remapped; uid-conflict-free (a same-NAME local row with a different
+    // uid coexists with the transferred one).
+    val freshSrcIds = fresh.map(_.getAs[Long]("id")).toIndexedSeq
+    val srcIdByUid2 = fresh.map(r => r.getAs[String]("uid") -> r.getAs[Long]("id")).toMap
+    lazy val tgtIdByUid2 = target.table(registry)
+      .filter(col("uid").isin(srcIdByUid2.keys.toSeq: _*))
+      .select("uid", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tdef.m2ms.values.foreach { m2m =>
+      val links = cat.table(m2m.link).filter(col(m2m.leftCol).isin(freshSrcIds: _*)).collect()
+      if (links.nonEmpty) {
+        val rightIds = links.map(_.getAs[Long](m2m.rightCol)).distinct.toIndexedSeq
+        val rightUidBySrc = cat.table(m2m.target).filter(col("id").isin(rightIds: _*))
+          .select("id", "uid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        parentCreated += transferTo(target, m2m.target, rightUidBySrc.values.toSeq.distinct, flight)
+        val tgtRightByUid = target.table(m2m.target)
+          .filter(col("uid").isin(rightUidBySrc.values.toSeq.distinct: _*))
+          .select("uid", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val srcUidById = srcIdByUid2.map(_.swap)
+        links.foreach { lr =>
+          val tgtLeft = srcUidById.get(lr.getAs[Long](m2m.leftCol)).flatMap(tgtIdByUid2.get)
+          val tgtRight = rightUidBySrc.get(lr.getAs[Long](m2m.rightCol)).flatMap(tgtRightByUid.get)
+          (tgtLeft, tgtRight) match {
+            case (Some(l), Some(rgt)) =>
+              val exists = !target.table(m2m.link)
+                .filter(col(m2m.leftCol) === l && col(m2m.rightCol) === rgt).isEmpty
+              if (!exists) {
+                val extra = lr.schema.fieldNames.zip(lr.toSeq).toMap --
+                  Seq("id", m2m.leftCol, m2m.rightCol)
+                target.insert(m2m.link,
+                  Map(m2m.leftCol -> l, m2m.rightCol -> rgt) ++ extra.filter(_._2 != null))
+              }
+            case _ => () // unmappable side: drop the link, never carry raw ids
+          }
+        }
+      }
+    }
     fresh.length.toLong + parentCreated
   }
 

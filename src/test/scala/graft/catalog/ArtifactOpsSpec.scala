@@ -107,6 +107,35 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(cat2.table("storage").filter(col("uid") === st("uid")).count() === 1)
   }
 
+  test("transfer carries M2M members by uid; same-name local rows coexist") {
+    // reference tests/transfer: schema members transfer by uid even when a
+    // local feature with the same NAME (different uid) already exists
+    val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 5)
+    val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 6)
+    val store1 = new ArtifactStore(cat1)
+    val feat = cat1.insert("feature", Map("name" -> "tissue", "dtype" -> "str"))
+    val schema = cat1.insert("schema", Map("name" -> "transfer_schema"))
+    cat1.insert("schema_features", Map(
+      "schema_id" -> schema("id"), "feature_id" -> feat("id"), "position" -> 0))
+    // a local same-name feature with a DIFFERENT uid already exists
+    val localFeat = cat2.insert("feature", Map("name" -> "tissue", "dtype" -> "str"))
+    assert(localFeat("uid") !== feat("uid"))
+
+    store1.transferTo(cat2, "schema", Seq(schema("uid").toString))
+    val tgtSchemaId = cat2.table("schema").filter(col("uid") === schema("uid"))
+      .head().getAs[Long]("id")
+    val memberIds = cat2.table("schema_features")
+      .filter(col("schema_id") === tgtSchemaId).select("feature_id")
+      .collect().map(_.getLong(0))
+    assert(memberIds.length === 1)
+    val member = cat2.table("feature").filter(col("id") === memberIds.head).head()
+    assert(member.getAs[String]("uid") === feat("uid")) // transferred, not the local one
+    assert(cat2.table("feature").filter(col("name") === "tissue").count() === 2) // coexist
+    // idempotent: re-transfer adds no links
+    store1.transferTo(cat2, "schema", Seq(schema("uid").toString))
+    assert(cat2.table("schema_features").filter(col("schema_id") === tgtSchemaId).count() === 1)
+  }
+
   test("transfer survives self-referential FK chains (record.type_id)") {
     val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 3)
     val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 4)
