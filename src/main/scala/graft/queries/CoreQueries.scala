@@ -140,6 +140,16 @@ object CoreQueries {
         .select("p_partkey", "p_name", "rank")
     }),
 
+    "q24_search_truncated" -> ((spark, dir) => {
+      // suggest-mode fuzzy search: query loses its final 20% and the name
+      // field gains a startswith x2 rank term (query_manager.py:99-163)
+      graft.query.Search.rank(t(spark, dir, "part"), "widget",
+          Seq("p_name", "p_type"), limit = 20,
+          caseSensitive = false, pk = "p_partkey",
+          truncateString = true, nameField = Some("p_name"))
+        .select("p_partkey", "p_name", "rank")
+    }),
+
     "q10_is_latest_window" -> ((spark, dir) => {
       Versions.markLatest(t(spark, dir, "orders"), col("o_custkey"), col("o_orderkey"))
         .select("o_custkey", "o_orderkey", "is_latest")
@@ -293,7 +303,15 @@ object CoreQueries {
 
   val oracle: Map[String, String] = {
     val (rankExpr, prefilter) = searchRankSql(Seq("p_name", "p_type"), "red")
+    // truncated mode: "widget" -> first 80% = "widg", plus name startswith x2
+    val (trRank, trPre) = searchRankSql(Seq("p_name", "p_type"), "widg")
+    val trExpr = trRank +
+      " + (CASE WHEN lower(coalesce(CAST(p_name AS VARCHAR), '')) LIKE 'widg%' THEN 2 ELSE 0 END)"
     Map(
+      "q24_search_truncated" ->
+        s"""SELECT p_partkey, p_name, CAST($trExpr AS INT) AS rank
+           |FROM part WHERE $trPre
+           |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin,
       "q01_tpch_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
