@@ -150,6 +150,17 @@ object CoreQueries {
         .select("p_partkey", "p_name", "rank")
     }),
 
+    "q25_quantiles" -> ((spark, dir) => {
+      // exact interpolated percentiles (both engines use linear
+      // interpolation) + exact distinct counts per group
+      t(spark, dir, "documents").groupBy("lang")
+        .agg(
+          countDistinct(col("source")).as("n_sources"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+        .orderBy("lang")
+    }),
+
     "q10_is_latest_window" -> ((spark, dir) => {
       Versions.markLatest(t(spark, dir, "orders"), col("o_custkey"), col("o_orderkey"))
         .select("o_custkey", "o_orderkey", "is_latest")
@@ -365,6 +376,12 @@ object CoreQueries {
         s"""SELECT p_partkey, p_name, CAST($rankExpr AS INT) AS rank
            |FROM part WHERE $prefilter
            |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin,
+
+      "q25_quantiles" ->
+        """SELECT lang, count(DISTINCT source) AS n_sources,
+          |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+          |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q10_is_latest_window" ->
         """SELECT o_custkey, o_orderkey,
