@@ -1,0 +1,82 @@
+package graft.artifact
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.core.{Hashing, Versioning}
+
+/** Markdown blocks (`lamindb/models/block.py`): readme-kind blocks are
+  * versioned like artifacts (same `key` → same uid family), comment-kind
+  * blocks are never versioned.
+  *
+  * Creation semantics mirror the reference constructor
+  * (`block.py:100-165` + `tests/pydata/test_blocks.py`):
+  *  - `kind="comment"`: always a new block; revising comments is an error;
+  *  - `kind="readme"`, same key and identical content hash (or blank new
+  *    content): RECOVER the existing visible head instead of creating;
+  *  - `kind="readme"`, same key and different content: new version in the
+  *    head's uid family, head flips on the current branch;
+  *  - trashed blocks are invisible to recovery — re-creating after a soft
+  *    delete starts a fresh identity.
+  */
+final class Blocks(cat: Catalog) {
+
+  def create(key: String, content: String = "", kind: String = "readme",
+             versionTag: Option[String] = None,
+             anchorId: Option[Long] = None): Map[String, Any] = {
+    require(kind == "readme" || kind == "comment", s"unsupported block kind '$kind'")
+    val hash = if (content.nonEmpty) Hashing.md5String(content) else null
+
+    def insertRow(uid: String): Map[String, Any] =
+      cat.insert("block", Map(
+        "uid" -> uid, "key" -> key, "content" -> content, "hash" -> hash,
+        "kind" -> kind, "version_tag" -> versionTag.orNull,
+        "anchor_id" -> anchorId.map(Long.box).orNull, "is_latest" -> true))
+
+    if (kind == "comment") return insertRow(cat.newUidFor(cat.tableDef("block")))
+
+    // readme: recovery against the VISIBLE head for this (key, kind)
+    val visible = cat.table("block").filter(
+      col("key") === key && col("kind") === kind &&
+        col("branch_id").isin(Catalog.defaultBranchIds(cat.currentBranchId): _*))
+    val head = visible.filter(col("is_latest")).head(1).headOption
+    head match {
+      case Some(r) if content.isEmpty || r.getAs[String]("hash") == hash =>
+        // blank new content or identical content: return the existing block
+        r.schema.fieldNames.zip(r.toSeq).toMap
+      case Some(r) =>
+        // revise: next suffix in the head's family, demote current head
+        val stem = Versioning.stem(r.getAs[String]("uid"))
+        val familyUids = cat.table("block")
+          .filter(col("uid").startsWith(stem)).select("uid")
+          .collect().map(_.getString(0)).toSeq
+        val uid = Versioning.nextUidInFamily(familyUids)
+        cat.flush("block")
+        cat.overwrite("block",
+          cat.table("block").withColumn("is_latest",
+            when(col("uid").startsWith(stem) && col("branch_id") === cat.currentBranchId,
+              lit(false)).otherwise(col("is_latest"))))
+        insertRow(uid)
+      case None => insertRow(cat.newUidFor(cat.tableDef("block")))
+    }
+  }
+
+  /** Latest visible readme content for a key (`SQLRecord.notes` analog —
+    * `test_sqlrecord_notes_returns_latest_readme_content`).
+    */
+  def latestReadme(key: String): Option[String] =
+    cat.table("block").filter(
+        col("key") === key && col("kind") === "readme" && col("is_latest") &&
+          col("branch_id").isin(Catalog.defaultBranchIds(cat.currentBranchId): _*))
+      .select("content").head(1).headOption.map(_.getString(0))
+
+  def trash(ids: Seq[Long]): Unit = {
+    cat.flush("block")
+    cat.overwrite("block",
+      cat.table("block")
+        .withColumn("is_latest",
+          when(col("id").isin(ids: _*), lit(false)).otherwise(col("is_latest")))
+        .withColumn("branch_id",
+          when(col("id").isin(ids: _*), lit(Catalog.TrashBranchId))
+            .otherwise(col("branch_id"))))
+  }
+}

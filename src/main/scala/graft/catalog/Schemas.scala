@@ -239,7 +239,23 @@ object Schemas {
       f("description", S)) ++ branchSpace ++ audit),
     uidLen = 12, hasBranch = true)
 
+  /** Markdown blocks (`models/block.py:206` `Block(BaseBlock, SQLRecord)`):
+    * versioned readme-kind content keyed like artifacts, unversioned
+    * comments, optional self-anchor (comment → issue, sub-post → post).
+    */
+  val block = TableDef(
+    "block",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("key", S),
+      f("content", S), f("hash", S), f("kind", S),
+      f("anchor_id", L),
+      f("version_tag", S), f("is_latest", B, false)) ++ branchSpace ++ audit),
+    uidLen = 20, versioned = true, hasBranch = true,
+    searchFields = Seq("key", "content"),
+    fks = Map("anchor" -> FK("anchor", "block", "anchor_id")),
+    aliases = Map("version" -> "version_tag"))
+
   val all: Seq[TableDef] = Seq(
+    block,
     storage, artifact, collection, collectionArtifacts, transform, run,
     runInputs, feature, schemaT, schemaFeatures, ulabel, ulabelParents,
     artifactUlabels, artifactSchemas, jsonValue, artifactJsonValues,

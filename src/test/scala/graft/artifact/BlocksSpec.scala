@@ -1,0 +1,53 @@
+package graft.artifact
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.catalog.Catalog
+
+class BlocksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("readme recovery by hash and key; trash breaks the identity") {
+    val cat = Catalog.deterministic(spark, TestSpark.tmpDir("blocks"))
+    val blocks = new Blocks(cat)
+    val b1 = blocks.create("__lamindb_block__", content = "1")
+    // identical content recovers the same block
+    val b2 = blocks.create("__lamindb_block__", content = "1")
+    assert(b2("uid") === b1("uid"))
+    // blank new content recovers the existing block too
+    val b3 = blocks.create("__lamindb_block__")
+    assert(b3("uid") === b1("uid"))
+    assert(cat.table("block").count() === 1)
+    // after trash, recreation starts a fresh identity
+    blocks.trash(Seq(b1("id").asInstanceOf[Long]))
+    val b4 = blocks.create("__lamindb_block__", content = "1")
+    assert(b4("uid") !== b1("uid"))
+  }
+
+  test("readme with changed content revises in the same family; head flips") {
+    val cat = Catalog.deterministic(spark, TestSpark.tmpDir("blocks"))
+    val blocks = new Blocks(cat)
+    val v1 = blocks.create("README.md", content = "# v1\n\nhello")
+    val v2 = blocks.create("README.md", content = "# v2\n\nhello")
+    assert(v2("uid").toString.take(16) === v1("uid").toString.take(16))
+    assert(v2("uid") !== v1("uid"))
+    val heads = cat.table("block")
+      .filter(org.apache.spark.sql.functions.col("is_latest"))
+      .select("uid").collect().map(_.getString(0))
+    assert(heads.toSeq === Seq(v2("uid")))
+    assert(blocks.latestReadme("README.md") === Some("# v2\n\nhello"))
+  }
+
+  test("comments are never versioned or recovered") {
+    val cat = Catalog.deterministic(spark, TestSpark.tmpDir("blocks"))
+    val blocks = new Blocks(cat)
+    val c1 = blocks.create("issue-1", content = "same words", kind = "comment")
+    val c2 = blocks.create("issue-1", content = "same words", kind = "comment")
+    assert(c1("uid") !== c2("uid"))
+    assert(cat.table("block").count() === 2)
+    // anchored comment (comment on a block)
+    val c3 = blocks.create("issue-1", content = "reply", kind = "comment",
+      anchorId = Some(c1("id").asInstanceOf[Long]))
+    assert(c3("anchor_id") === c1("id"))
+  }
+}
