@@ -42,4 +42,21 @@ object Bucketing {
     val s = df.queryExecution.executedPlan.toString
     s.contains("Exchange hashpartitioning") || s.contains("ShuffleExchange")
   }
+
+  /** Write hive-style partitioned parquet: directory pruning turns a
+    * partition-key predicate into "read only those directories" — at
+    * 100 TB this is the difference between scanning a day and scanning
+    * the lake. Pair with `partitionsRead` to verify pruning.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Number of partition directories a scan will actually read — the
+    * FileSourceScan's post-pruning selected-partition count.
+    */
+  def partitionsRead(df: DataFrame): Long =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount.toLong
+    }.getOrElse(-1L)
 }

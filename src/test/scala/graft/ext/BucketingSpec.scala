@@ -39,4 +39,19 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("partitioned layout prunes directories for partition-key predicates") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val nLangs = docs.select("lang").distinct().count()
+    val path = TestSpark.tmpDir("part-prune") + "/docs"
+    Bucketing.writePartitioned(docs, path, "lang")
+
+    val all = spark.read.parquet(path)
+    assert(Bucketing.partitionsRead(all) === nLangs)
+    val pruned = spark.read.parquet(path).filter(col("lang") === "en")
+    assert(Bucketing.partitionsRead(pruned) === 1L)
+    // the pruned scan still returns exactly the english rows
+    assert(pruned.count() === docs.filter(col("lang") === "en").count())
+  }
 }
