@@ -49,4 +49,43 @@ object Describe {
     if (labels.nonEmpty) sb.append(s"└── labels: ${labels.mkString(", ")}\n")
     sb.toString
   }
+
+  /** Provenance tree (`view_lineage`, `has_parents.py:254`): walk UP from
+    * an artifact through its producing run to that run's input artifacts,
+    * recursively. Driver-resident traversal over metadata rows with a
+    * visited set (re-converging DAG nodes render once as back-references).
+    */
+  def viewLineage(cat: Catalog, artifactId: Long, maxDepth: Int = 10): String = {
+    val sb = new StringBuilder
+    val seen = scala.collection.mutable.Set.empty[Long]
+
+    def artifactLabel(id: Long): String = {
+      val r = cat.table("artifact").filter(col("id") === id).head(1).headOption
+      r.map(a => s"Artifact ${a.getAs[String]("uid")} (${Option(a.getAs[String]("key")).getOrElse("?")})")
+        .getOrElse(s"Artifact #$id (missing)")
+    }
+
+    def walk(id: Long, indent: String, depth: Int): Unit = {
+      if (depth > maxDepth) { sb.append(s"$indent…\n"); return }
+      if (seen(id)) { sb.append(s"$indent${artifactLabel(id)} [see above]\n"); return }
+      seen += id
+      sb.append(s"$indent${artifactLabel(id)}\n")
+      val runIdOpt = cat.table("artifact").filter(col("id") === id).head(1).headOption
+        .flatMap(r => Option(r.getAs[Any]("run_id")).map(_.asInstanceOf[Long]))
+      runIdOpt.foreach { rid =>
+        val run = cat.table("run").filter(col("id") === rid).head(1).headOption
+        run.foreach { r =>
+          val tkey = cat.table("transform")
+            .filter(col("id") === r.getAs[Long]("transform_id"))
+            .head(1).headOption.map(_.getAs[String]("key")).getOrElse("?")
+          sb.append(s"$indent└─ Run ${r.getAs[String]("uid")} of '$tkey'\n")
+          val inputs = cat.table("run_inputs").filter(col("run_id") === rid)
+            .select("artifact_id").orderBy("artifact_id").collect().map(_.getLong(0))
+          inputs.foreach(in => walk(in, indent + "   ", depth + 1))
+        }
+      }
+    }
+    walk(artifactId, "", 0)
+    sb.toString
+  }
 }

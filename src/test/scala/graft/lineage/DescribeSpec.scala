@@ -34,4 +34,35 @@ class DescribeSpec extends AnyFunSuite {
     val byName = graft.query.QuerySet(cat, "ulabel").lookup("name")
     assert(byName.contains("validated-batch"))
   }
+
+  test("viewLineage walks producer runs to their inputs recursively") {
+    val root = TestSpark.tmpDir("vl")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val lin = new Lineage(cat)
+
+    // raw is registered OUTSIDE any run (no producer)
+    val raw = store.fromDataFrame(Seq((1, "raw")).toDF("id", "v"), "raw", root)
+    // stage 1: raw -> (run1) -> intermediate
+    lin.track("stage1.scala", "s1")
+    store.openByUid(raw("uid").toString).count() // records run input
+    val mid = store.fromDataFrame(Seq((2, "mid")).toDF("id", "v"), "mid", root)
+    lin.finish()
+    // stage 2: intermediate -> (run2) -> final
+    lin.track("stage2.scala", "s2")
+    store.openByUid(mid("uid").toString).count()
+    val fin = store.fromDataFrame(Seq((3, "fin")).toDF("id", "v"), "fin", root)
+    lin.finish()
+
+    val tree = Describe.viewLineage(cat, fin("id").asInstanceOf[Long])
+    assert(tree.contains(fin("uid").toString))
+    assert(tree.contains("stage2.scala"))
+    assert(tree.contains(mid("uid").toString))
+    assert(tree.contains("stage1.scala"))
+    assert(tree.contains(raw("uid").toString))
+    // deeper level is indented further
+    val finLine = tree.linesIterator.indexWhere(_.contains(fin("uid").toString))
+    val rawLine = tree.linesIterator.indexWhere(_.contains(raw("uid").toString))
+    assert(finLine === 0 && rawLine > finLine)
+  }
 }
