@@ -365,6 +365,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding near-dup pairs via LSH buckets — the LINEAR-scale path:
+    * candidate pairs come only from rows sharing a random-hyperplane
+    * bucket (one shuffle on the bucket key, never O(n²)); exact cosine +
+    * threshold applies within buckets. Recall is governed by nBits
+    * (fewer bits → bigger buckets → higher recall, more compute).
+    */
+  def embeddingCosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, nBits: Int, threshold: Double): DataFrame = {
+    val sig = Similarity.withSignatures(df, idCol, vecCol, dim, nBits)
+    val a = sig.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("ea"), col("nrm").as("na"))
+    val b = sig.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {

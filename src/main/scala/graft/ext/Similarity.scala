@@ -84,8 +84,8 @@ object Similarity {
     * kernel over the deterministic `planeCoef` hyperplane grid. Identical
     * bits to `lshSignature`; no giant expression tree to codegen.
     */
-  private def withSignatures(df: DataFrame, idCol: String, vecCol: String,
-                             dim: Int, nBits: Int): DataFrame = {
+  private[ext] def withSignatures(df: DataFrame, idCol: String, vecCol: String,
+                                  dim: Int, nBits: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val planes = Array.tabulate(nBits, dim)(planeCoef)
@@ -143,13 +143,19 @@ object Similarity {
     * from the SAME `planeCoef` values the Spark kernel uses, so buckets
     * (and therefore candidates and ranks) agree across engines.
     */
-  def lshOracleSql(dim: Int, nBits: Int, k: Int, queryMaxId: Long): String = {
-    def bucketExpr(col: String) = (0 until nBits).map { i =>
+  /** The hyperplane-bucket expression as DuckDB SQL — literal coefficient
+    * lists generated from the same `planeCoef` grid as the Spark kernel.
+    * Single line: a "\n | "-joined chain would have its OR pipes eaten by
+    * the enclosing stripMargin.
+    */
+  private def bucketSql(col: String, dim: Int, nBits: Int): String =
+    (0 until nBits).map { i =>
       val coefs = (0 until dim).map(j => planeCoef(i, j).toString).mkString(", ")
       s"(CASE WHEN list_inner_product($col, [$coefs]) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
-      // single line: a "\n  | " join would have its OR pipes eaten by the
-      // enclosing stripMargin
     }.mkString(" | ")
+
+  def lshOracleSql(dim: Int, nBits: Int, k: Int, queryMaxId: Long): String = {
+    def bucketExpr(col: String) = bucketSql(col, dim, nBits)
     val masks = (0L +: (0 until nBits).map(b => 1L << b)).mkString(", ")
     s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |sig AS (SELECT vec_id, e,
@@ -168,6 +174,21 @@ object Similarity {
        |SELECT query_id, neighbor_id, sim, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** DuckDB replica of `Dedup.embeddingCosinePairsLSH` over a
+    * `corpus(vec_id, e DOUBLE[])` CTE body — buckets generated from the
+    * same hyperplane grid.
+    */
+  def lshPairsOracleSql(corpusSql: String, dim: Int, nBits: Int, threshold: Double): String =
+    s"""WITH corpus AS ($corpusSql),
+       |sig AS (SELECT vec_id, e,
+       |  ${bucketSql("e", dim, nBits)} AS bucket
+       |  FROM corpus),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_cosine_similarity(a.e, b.e) AS s
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(s, 4) AS sim FROM pairs
+       |WHERE s >= $threshold ORDER BY id_a, id_b""".stripMargin
 
   /** ANN via IVF (inverted-file) coarse quantization: assign every corpus
     * vector to its nearest centroid cell, probe the `nProbe` nearest

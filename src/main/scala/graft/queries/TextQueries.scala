@@ -97,6 +97,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "e05_embedding_dedup_lsh" -> ((spark, dir) => {
+      // the linear-scale near-dup path: same planted corpus as e03, but
+      // candidates come from shared LSH buckets instead of all pairs
+      val emb = t(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + 0.1), slice(col("e"), 2, 63)).as("e"))
+      Dedup.embeddingCosinePairsLSH(emb.unionByName(perturbed), "vec_id", "e",
+          dim = 64, nBits = 8, threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
     "e02_ann_lsh" -> ((spark, dir) => {
       val emb = t(spark, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -147,6 +160,14 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "d09_minhash_portable" -> Dedup.minhashPortableOracleSql(corpusSql),
     "e02_ann_lsh" -> Similarity.lshOracleSql(dim = 64, nBits = 12, k = 10, queryMaxId = 5),
+
+    "e05_embedding_dedup_lsh" -> Similarity.lshPairsOracleSql(
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_prepend(e[1] + 0.1, e[2:])
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |  WHERE vec_id % 10 = 0""".stripMargin,
+      dim = 64, nBits = 8, threshold = 0.95),
 
     "d07_langid" ->
       // replica of TextOps.langId: top-40 trigram profiles per language
