@@ -114,9 +114,22 @@ final class QuerySet(
     * DataFrame is `forDf`. Relation traversal recurses into related tables.
     */
   private def compilePred(forT: TableDef, forDf: DataFrame, key: String, value: Any): Compiled = {
-    val k = if (forT eq t) aliased(key) else key
-    val segs = k.split("__").toList
-    compileSegs(forT, forDf, segs, value)
+    val k0 = if (forT eq t) aliased(key) else key
+    // `branch` is filterable like an FK on every branch-carrying registry
+    // (`filter(branch=branch)` / `branch_id=...`, test_get_filter_branch);
+    // an explicit branch/branch_id of None means "no branch constraint"
+    // (the reference drops it after it has disabled injection), NOT
+    // "branch IS NULL".
+    val segs0 = k0.split("__").toList
+    val segs = segs0 match {
+      case "branch" :: rest if forT.hasBranch && !forT.fieldNames.contains("branch") =>
+        "branch_id" :: rest
+      case other => other
+    }
+    segs match {
+      case "branch_id" :: Nil if value == null => Cond(lit(true))
+      case _ => compileSegs(forT, forDf, segs, value)
+    }
   }
 
   /** String→code translation for enum-coded columns (`_map_status_value`,

@@ -34,6 +34,12 @@ class QuerySetSpec extends AnyFunSuite {
   test("explicit branch filter wins over injection") {
     assert(qs.filter("branch_id" -> -1L).count() === 1) // trash only
     assert(qs.filter("branch_id__in" -> Seq(-1L, 0L, 1L, 2L)).count() === 5)
+    // `branch` aliases branch_id on branch-carrying registries
+    assert(qs.filter("branch" -> -1L).count() === 1)
+    assert(qs.filter("branch__in" -> Seq(1L, 2L)).count() === 3)
+    // branch=None disables injection WITHOUT constraining: all rows
+    assert(qs.filter("branch_id" -> null).count() === 5)
+    assert(qs.filter("branch" -> null, "name__contains" -> "cell").count() === 4)
   }
 
   test("id/uid/hash keys bypass injection") {
