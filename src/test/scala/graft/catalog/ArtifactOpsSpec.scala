@@ -136,6 +136,29 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(cat2.table("schema_features").filter(col("schema_id") === tgtSchemaId).count() === 1)
   }
 
+  test("transfer carries artifact label links through artifact_ulabels") {
+    val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 7)
+    val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 8)
+    val store1 = new ArtifactStore(cat1)
+    val st = cat1.insert("storage", Map("root" -> "/data/src"))
+    val art = cat1.insert("artifact", Map("key" -> "l.parquet", "hash" -> "h9",
+      "storage_id" -> st("id"), "is_latest" -> true))
+    val lab = cat1.insert("ulabel", Map("name" -> "curated"))
+    cat1.insert("artifact_ulabels", Map(
+      "artifact_id" -> art("id"), "ulabel_id" -> lab("id")))
+    cat2.insert("ulabel", Map("name" -> "occupies-id-1")) // skew target ids
+
+    store1.transferTo(cat2, "artifact", Seq(art("uid").toString))
+    val tgtArt = cat2.table("artifact").filter(col("uid") === art("uid")).head()
+    val linkLabels = cat2.table("artifact_ulabels")
+      .filter(col("artifact_id") === tgtArt.getAs[Long]("id"))
+      .join(cat2.table("ulabel").select(col("id").as("ulabel_id"), col("name"), col("uid")), "ulabel_id")
+      .select("name", "uid").collect()
+    assert(linkLabels.length === 1)
+    assert(linkLabels.head.getString(0) === "curated")
+    assert(linkLabels.head.getString(1) === lab("uid"))
+  }
+
   test("transfer survives self-referential FK chains (record.type_id)") {
     val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 3)
     val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 4)
