@@ -137,9 +137,14 @@ final class Catalog(
   private def writeSnapshot(name: String, df: DataFrame): Unit = {
     val v = manifest.getOrElse(name, 0) + 1
     val path = s"$root/$name/v$v"
-    // registry tables are metadata-scale; a handful of files is plenty and
-    // keeps every downstream catalog join broadcast-able
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    // most registry tables are metadata-scale: one file keeps every
+    // downstream catalog join broadcast-able. But a registry CAN be huge
+    // (the reference claims 1e9 runs) — when the incoming plan already
+    // carries many partitions, keep them instead of funnelling the
+    // rewrite through a single task.
+    val parts = df.rdd.getNumPartitions
+    val out = if (parts > 16) df else df.coalesce(1)
+    out.write.mode("overwrite").parquet(path)
     manifest(name) = v
     snapshotCache.remove(s"$name/v${v - 1}")
     saveManifest()
