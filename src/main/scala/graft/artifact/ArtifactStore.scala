@@ -412,54 +412,18 @@ final class ArtifactStore(val cat: Catalog) {
     * to main (`sqlrecord.py:2150-2156`); the promoted successor stays
     * head.
     */
-  def trash(artifactIds: Seq[Long]): Unit = {
-    cat.flush("artifact")
-    val promote = successorsFor(artifactIds)
-    cat.overwrite("artifact",
-      cat.table("artifact")
-        .withColumn("is_latest",
-          when(col("id").isin(promote: _*), lit(true))
-            .when(col("id").isin(artifactIds: _*), lit(false))
-            .otherwise(col("is_latest")))
-        .withColumn("branch_id",
-          when(col("id").isin(artifactIds: _*), lit(Catalog.TrashBranchId))
-            .otherwise(col("branch_id"))))
-  }
+  def trash(artifactIds: Seq[Long]): Unit =
+    graft.catalog.Lifecycle.trash(cat, "artifact", artifactIds)
 
-  def restore(artifactIds: Seq[Long]): Unit = {
-    cat.flush("artifact")
-    cat.overwrite("artifact",
-      cat.table("artifact").withColumn("branch_id",
-        when(col("id").isin(artifactIds: _*), lit(Catalog.MainBranchId))
-          .otherwise(col("branch_id"))))
-  }
-
-  /** Per (family stem, branch) whose head is being deleted: the id of the
-    * most recently created surviving version on that branch (none if the
-    * family dies with the deletion).
-    */
-  private def successorsFor(ids: Seq[Long]): Seq[Long] = {
-    val t = cat.table("artifact")
-    val stem = expr("substring(uid, 1, length(uid) - 4)")
-    val losing = t.filter(col("id").isin(ids: _*) && col("is_latest"))
-      .select(stem.as("__stem"), col("branch_id")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__stem", "branch_id")
-      .orderBy(col("created_at").desc, col("id").desc)
-    t.filter(!col("id").isin(ids: _*))
-      .withColumn("__stem", stem)
-      .join(broadcast(losing), Seq("__stem", "branch_id"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select("id").collect().map(_.getLong(0)).toIndexedSeq
-  }
+  def restore(artifactIds: Seq[Long]): Unit =
+    graft.catalog.Lifecycle.restore(cat, "artifact", artifactIds)
 
   /** Hard delete: remove rows and storage payloads (permanent=true path);
     * heads hand off to the newest surviving version first, like trash.
     */
   def deletePermanently(ids: Seq[Long], storageRoot: String): Unit = {
     cat.flush("artifact")
-    val promote = successorsFor(ids)
+    val promote = graft.catalog.Lifecycle.successorsFor(cat, "artifact", ids)
     val doomed = cat.table("artifact").filter(col("id").isin(ids: _*))
     val paths = pathsFor(doomed)
     cat.overwrite("artifact",

@@ -52,6 +52,26 @@ class BranchOpsSpec extends AnyFunSuite {
     assert(v1 != null)
   }
 
+  test("transform soft delete promotes its predecessor (generic lifecycle)") {
+    val cat = Catalog.deterministic(spark, TestSpark.tmpDir("lc"))
+    val v1 = cat.insert("transform", Map("key" -> "t.scala",
+      "uid" -> (("a" * 16) + "0000"), "is_latest" -> false))
+    val v2 = cat.insert("transform", Map("key" -> "t.scala",
+      "uid" -> (("a" * 16) + "0001"), "is_latest" -> true))
+    Lifecycle.trash(cat, "transform", Seq(v2("id").asInstanceOf[Long]))
+    val rows = cat.table("transform").orderBy("id")
+      .select("is_latest", "branch_id").collect()
+    assert(rows(0).getBoolean(0) === true)   // v1 promoted
+    assert(rows(1).getBoolean(0) === false)  // v2 demoted
+    assert(rows(1).getLong(1) === Catalog.TrashBranchId)
+    Lifecycle.restore(cat, "transform", Seq(v2("id").asInstanceOf[Long]))
+    assert(cat.table("transform").filter(col("id") === v2("id")).head().getAs[Long]("branch_id") === 1L)
+    // ulabel (unversioned): trash moves branch without touching heads
+    val lab = cat.insert("ulabel", Map("name" -> "x"))
+    Lifecycle.trash(cat, "ulabel", Seq(lab("id").asInstanceOf[Long]))
+    assert(cat.table("ulabel").head().getAs[Long]("branch_id") === Catalog.TrashBranchId)
+  }
+
   test("merging a branch into itself is a no-op; unknown branch raises") {
     val cat = Catalog.deterministic(spark, TestSpark.tmpDir("merge"))
     cat.insert("branch", Map("name" -> "main", "status_code" -> 0)) // id 1 = main
