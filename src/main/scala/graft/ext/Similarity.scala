@@ -175,6 +175,65 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Spherical k-means for IVF centroid training: deterministic init
+    * (the k lowest-id vectors), cosine assignment — the SAME rule
+    * `ivfTopK` uses at query time — and per-dimension mean updates.
+    * Each iteration is one broadcast-kernel pass over the corpus plus a
+    * (cid, dim)-grouped aggregate: no driver-side data loops, scales
+    * with the cluster. Returns (id, vec) centroids consumable by
+    * `ivfTopK(centroids = Some(...))`.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[(Long, Array[Double])] = base.orderBy("id").limit(k)
+        .select("id", "e").as[(Long, Array[Double])].collect()
+      (1 to iters).foreach { _ =>
+        val bc = spark.sparkContext.broadcast(centroids.map { case (cid, ce) =>
+          val n = math.sqrt(ce.map(x => x * x).sum)
+          (cid, ce, if (n == 0) 1.0 else n)
+        })
+        val assigned = base.select("id", "e", "nrm").as[(Long, Array[Double], Double)]
+          .mapPartitions { it =>
+            val cs = bc.value
+            it.map { case (_, v, nv) =>
+              var best = cs(0)._1
+              var bestSim = Double.NegativeInfinity
+              cs.foreach { case (cid, ce, cn) =>
+                var acc = 0.0; var d = 0
+                while (d < v.length) { acc += v(d) * ce(d); d += 1 }
+                val sim = acc / (nv * cn)
+                if (sim > bestSim || (sim == bestSim && cid < best)) { bestSim = sim; best = cid }
+              }
+              (best, v)
+            }
+          }.toDF("cid", "v")
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim").agg(avg("x").as("m"))
+          .collect().groupBy(_.getLong(0))
+        centroids = centroids.map { case (cid, old) =>
+          means.get(cid) match {
+            case Some(rows) =>
+              val arr = new Array[Double](old.length)
+              rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+              (cid, arr)
+            case None => (cid, old) // empty cell keeps its centroid
+          }
+        }
+      }
+      // same column names as the corpus so the result drops straight into
+      // ivfTopK(centroids = Some(...))
+      centroids.toSeq.toDF(idCol, vecCol)
+    } finally base.unpersist(blocking = false)
+  }
+
   /** DuckDB replica of `Dedup.embeddingCosinePairsLSH` over a
     * `corpus(vec_id, e DOUBLE[])` CTE body — buckets generated from the
     * same hyperplane grid.

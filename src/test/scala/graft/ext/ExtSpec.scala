@@ -85,6 +85,27 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansFit separates obvious blobs; trained centroids feed ivfTopK") {
+    // two tight clusters around orthogonal axes
+    val rnd = new scala.util.Random(11)
+    def blob(center: Array[Float], n: Int, base: Long) = (0 until n).map { i =>
+      (base + i, center.map(c => c + rnd.nextFloat() * 0.05f))
+    }
+    val emb = (blob(Array(1f, 0f, 0f, 0f), 20, 0L) ++ blob(Array(0f, 1f, 0f, 0f), 20, 100L))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 2, iters = 4)
+    val cs = cents.orderBy("vec_id").as[(Long, Array[Double])].collect()
+    assert(cs.length === 2)
+    // each trained centroid points at one blob axis
+    val axes = cs.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes === Set(0, 1))
+    // trained index answers queries sensibly
+    val r = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0L), "vec_id", "embedding",
+      k = 3, nProbe = 1, centroids = Some(cents))
+    val neighbors = r.select("neighbor_id").as[Long].collect()
+    assert(neighbors.nonEmpty && neighbors.forall(_ < 100L)) // same-blob neighbors only
+  }
+
   test("text ops: tokens, subwords, fingerprint stability, quality flags") {
     val r = docs.select(
       TextOps.tokenCount($"text").as("n"),
