@@ -60,6 +60,55 @@ final class Blocks(cat: Catalog) {
     }
   }
 
+  /** Record-attached block (`RecordBlock`, `block.py:396` +
+    * `test_record_block_*`): readme-kind recovers/revises per
+    * (record, kind) with the same rules as key-scoped blocks; comments
+    * are always new.
+    */
+  def createForRecord(recordId: Long, content: String = "", kind: String = "readme",
+                      versionTag: Option[String] = None): Map[String, Any] = {
+    require(kind == "readme" || kind == "comment", s"unsupported block kind '$kind'")
+    val hash = if (content.nonEmpty) Hashing.md5String(content) else null
+
+    def insertRow(uid: String): Map[String, Any] =
+      cat.insert("record_block", Map(
+        "uid" -> uid, "record_id" -> recordId, "content" -> content,
+        "hash" -> hash, "kind" -> kind, "version_tag" -> versionTag.orNull,
+        "is_latest" -> true))
+
+    if (kind == "comment") return insertRow(cat.newUidFor(cat.tableDef("record_block")))
+    val visible = cat.table("record_block").filter(
+      col("record_id") === recordId && col("kind") === kind &&
+        col("branch_id").isin(Catalog.defaultBranchIds(cat.currentBranchId): _*))
+    val head = visible.filter(col("is_latest")).head(1).headOption
+    head match {
+      case Some(r) if content.isEmpty || r.getAs[String]("hash") == hash =>
+        r.schema.fieldNames.zip(r.toSeq).toMap
+      case Some(r) =>
+        val stem = Versioning.stem(r.getAs[String]("uid"))
+        val familyUids = cat.table("record_block")
+          .filter(col("uid").startsWith(stem)).select("uid")
+          .collect().map(_.getString(0)).toSeq
+        val uid = Versioning.nextUidInFamily(familyUids)
+        cat.flush("record_block")
+        cat.overwrite("record_block",
+          cat.table("record_block").withColumn("is_latest",
+            when(col("uid").startsWith(stem) && col("branch_id") === cat.currentBranchId,
+              lit(false)).otherwise(col("is_latest"))))
+        insertRow(uid)
+      case None => insertRow(cat.newUidFor(cat.tableDef("record_block")))
+    }
+  }
+
+  /** Latest visible readme content of a record (`SQLRecord.notes`,
+    * `test_sqlrecord_notes_returns_latest_readme_content`).
+    */
+  def recordNotes(recordId: Long): Option[String] =
+    cat.table("record_block").filter(
+        col("record_id") === recordId && col("kind") === "readme" && col("is_latest") &&
+          col("branch_id").isin(Catalog.defaultBranchIds(cat.currentBranchId): _*))
+      .select("content").head(1).headOption.map(_.getString(0))
+
   /** Latest visible readme content for a key (`SQLRecord.notes` analog —
     * `test_sqlrecord_notes_returns_latest_readme_content`).
     */

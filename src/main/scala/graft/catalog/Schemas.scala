@@ -254,8 +254,20 @@ object Schemas {
     fks = Map("anchor" -> FK("anchor", "block", "anchor_id")),
     aliases = Map("version" -> "version_tag"))
 
+  /** Record-attached blocks (`RecordBlock`, `models/block.py:396`): same
+    * versioning machinery, scoped to a record instead of a key.
+    */
+  val recordBlock = TableDef(
+    "record_block",
+    StructType(Seq(f("id", L, false), f("uid", S, false),
+      f("record_id", L, false), f("content", S), f("hash", S), f("kind", S),
+      f("version_tag", S), f("is_latest", B, false)) ++ branchSpace ++ audit),
+    uidLen = 20, versioned = true, hasBranch = true,
+    fks = Map("record" -> FK("record", "record", "record_id")),
+    aliases = Map("version" -> "version_tag"))
+
   val all: Seq[TableDef] = Seq(
-    block,
+    block, recordBlock,
     storage, artifact, collection, collectionArtifacts, transform, run,
     runInputs, feature, schemaT, schemaFeatures, ulabel, ulabelParents,
     artifactUlabels, artifactSchemas, jsonValue, artifactJsonValues,

@@ -38,6 +38,28 @@ class BlocksSpec extends AnyFunSuite {
     assert(blocks.latestReadme("README.md") === Some("# v2\n\nhello"))
   }
 
+  test("record blocks: readme revises per (record, kind); notes return latest") {
+    val cat = Catalog.deterministic(spark, TestSpark.tmpDir("rblocks"))
+    val blocks = new Blocks(cat)
+    val rec = cat.insert("record", Map("name" -> "sheet-row"))
+    val rid = rec("id").asInstanceOf[Long]
+    val v1 = blocks.createForRecord(rid, content = "first notes")
+    // identical content recovers
+    assert(blocks.createForRecord(rid, content = "first notes")("uid") === v1("uid"))
+    // changed content revises in-family
+    val v2 = blocks.createForRecord(rid, content = "updated notes")
+    assert(v2("uid").toString.take(16) === v1("uid").toString.take(16))
+    assert(blocks.recordNotes(rid) === Some("updated notes"))
+    // a different record has its own family
+    val other = cat.insert("record", Map("name" -> "other"))
+    val o1 = blocks.createForRecord(other("id").asInstanceOf[Long], content = "x")
+    assert(o1("uid").toString.take(16) !== v1("uid").toString.take(16))
+    // comments on records are always new
+    val c1 = blocks.createForRecord(rid, content = "hm", kind = "comment")
+    val c2 = blocks.createForRecord(rid, content = "hm", kind = "comment")
+    assert(c1("uid") !== c2("uid"))
+  }
+
   test("comments are never versioned or recovered") {
     val cat = Catalog.deterministic(spark, TestSpark.tmpDir("blocks"))
     val blocks = new Blocks(cat)
