@@ -46,6 +46,10 @@ final class Catalog(
   var currentBranchId: Long = MainBranchId
   /** Active run for lineage auto-linking; set by Lineage.track. */
   var currentRunId: Option[Long] = None
+  /** Audit identity: fills `created_by_id` on insert when set (the
+    * reference's `current_user_id` default on every TracksRun model).
+    */
+  var currentUserId: Option[Long] = None
 
   locally { loadManifest() }
 
@@ -106,6 +110,8 @@ final class Catalog(
       if (t.hasBranch && !m.contains("branch_id")) m += "branch_id" -> currentBranchId
       if (t.fieldNames.contains("is_latest") && !m.contains("is_latest")) m += "is_latest" -> true
       if (t.fieldNames.contains("created_at") && !m.contains("created_at")) m += "created_at" -> clock()
+      if (t.fieldNames.contains("created_by_id") && !m.contains("created_by_id"))
+        currentUserId.foreach(u => m += "created_by_id" -> u)
       m
     }
     val unknown = withDefaults.keySet -- t.fieldNames

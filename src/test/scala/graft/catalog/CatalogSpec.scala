@@ -70,6 +70,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(store.querySet.count() === 1)
   }
 
+  test("created_by_id audit default fills from the current user context") {
+    val cat = Catalog.deterministic(spark, TestSpark.tmpDir("audit"))
+    val u = cat.insert("user", Map("handle" -> "alice"))
+    cat.currentUserId = Some(u("id").asInstanceOf[Long])
+    val l = cat.insert("ulabel", Map("name" -> "owned"))
+    assert(l("created_by_id") === u("id"))
+    // explicit value wins; no context -> stays null
+    cat.currentUserId = None
+    val l2 = cat.insert("ulabel", Map("name" -> "orphan"))
+    assert(!l2.contains("created_by_id") || l2("created_by_id") == null)
+  }
+
   test("run status filters accept names, codes, and __in lists; invalid raises") {
     val root = TestSpark.tmpDir("cat")
     val cat = Catalog.deterministic(spark, root)
