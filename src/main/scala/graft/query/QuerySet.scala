@@ -391,6 +391,58 @@ final class QuerySet(
     }
   }
 
+  /** `to_dataframe(include=[...])` annotation columns
+    * (`query_set.py:1191-1260` + `reshape_annotate_result`): FK paths
+    * (`run__transform__key`) join through and land as a single-valued
+    * column named by the path; M2M paths (`ulabels__name`) aggregate to a
+    * sorted set per row (`analyze_lookup_cardinality`: to-many → set,
+    * to-one → first).
+    */
+  def withIncluded(paths: Seq[String]): DataFrame =
+    paths.foldLeft(df)((acc, p) => includeOne(acc, p))
+
+  private def includeOne(acc: DataFrame, path: String): DataFrame = {
+    val segs = aliased(path).split("__").toList
+    segs match {
+      case m2mName :: rest if t.m2ms.contains(m2mName) =>
+        val m = t.m2ms(m2mName)
+        val targetT = env.tableDef(m.target)
+        val field = rest match {
+          case Nil      => "name"
+          case f :: Nil => f
+          case other    => throw new FieldError(s"include path too deep: ${other.mkString("__")}")
+        }
+        val values = env.table(m.link)
+          .join(env.table(m.target)
+              .select(col(targetT.pk).as(m.rightCol), col(field).as("__v")),
+            m.rightCol)
+          .groupBy(col(m.leftCol).as(t.pk))
+          .agg(sort_array(collect_set(col("__v"))).as(path))
+        acc.join(values, Seq(t.pk), "left")
+      case fkName :: rest if t.fks.contains(fkName) && rest.nonEmpty =>
+        // walk the FK chain, carrying the local join key forward
+        var fk = t.fks(fkName)
+        var joined = env.table(fk.target)
+        var remaining = rest
+        var curT = env.tableDef(fk.target)
+        while (remaining.length > 1 && curT.fks.contains(remaining.head)) {
+          val next = curT.fks(remaining.head)
+          joined = joined.join(
+            env.table(next.target).withColumnRenamed(next.targetCol, s"__k_${next.target}"),
+            col(next.localCol) === col(s"__k_${next.target}"))
+          curT = env.tableDef(next.target)
+          remaining = remaining.tail
+        }
+        val field = remaining match {
+          case f :: Nil if joined.columns.contains(f) => f
+          case other => throw new FieldError(s"cannot resolve include path '$path' at ${other.mkString("__")}")
+        }
+        val lookup = joined.select(col(fk.targetCol).as(fk.localCol), col(field).as(path))
+        acc.join(broadcast(lookup), Seq(fk.localCol), "left")
+      case _ => throw new FieldError(s"cannot include '$path': not an FK or M2M path on ${t.name}")
+    }
+  }
+
   /** `suggest_records_with_similar_names` (`sqlrecord.py:608-650`): exact
     * match on the name field (within the type subset for typed registries)
     * returns the record; otherwise a truncated fuzzy search proposes up to

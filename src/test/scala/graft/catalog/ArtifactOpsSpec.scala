@@ -173,6 +173,28 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(gotTyp.getAs[String]("name") === "CellType")
   }
 
+  test("withIncluded annotates FK chains single-valued and M2M paths as sets") {
+    val root = TestSpark.tmpDir("ops")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val lin = new Lineage(cat)
+    lin.track("annotate.scala", "src-v1")
+    val a = store.fromDataFrame(Seq((1, "a")).toDF("id", "v"), "m", root)
+    lin.finish()
+    val aid = a("id").asInstanceOf[Long]
+    Seq("batch1", "batch2").foreach { n =>
+      val lid = cat.insert("ulabel", Map("name" -> n))("id").asInstanceOf[Long]
+      cat.insert("artifact_ulabels", Map("artifact_id" -> aid, "ulabel_id" -> lid))
+    }
+    val qs = store.querySet
+    val wide = qs.withIncluded(Seq("run__transform__key", "ulabels__name"))
+    val row = wide.filter(col("id") === aid).head()
+    assert(row.getAs[String]("run__transform__key") === "annotate.scala")
+    assert(row.getAs[Seq[String]]("ulabels__name") === Seq("batch1", "batch2"))
+    // unknown path raises with context
+    intercept[graft.query.FieldError](qs.withIncluded(Seq("nope__name")))
+  }
+
   test("field alias traversal: version -> version_tag, transform -> run__transform") {
     val root = TestSpark.tmpDir("ops")
     val cat = Catalog.deterministic(spark, root)
