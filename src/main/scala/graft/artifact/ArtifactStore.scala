@@ -321,8 +321,8 @@ final class ArtifactStore(val cat: Catalog) {
     if (fresh.isEmpty) return 0L
 
     // FK columns to remap: declared registry FKs plus the implicit audit
-    // (created_by -> user) and space links. branch_id is a universal
-    // constant (-1/0/1), not catalog-local.
+    // (created_by -> user) and space links. branch_id -1/0/1 are universal
+    // constants; ids >= 2 are catalog-local branches (handled below).
     val fkCols: Seq[(String, String)] =
       tdef.fks.values.map(fk => fk.localCol -> fk.target).toSeq ++
         (if (tdef.fieldNames.contains("created_by_id")) Seq("created_by_id" -> "user") else Nil) ++
@@ -347,6 +347,30 @@ final class ArtifactStore(val cat: Catalog) {
       }
     }.toMap
 
+    // catalog-local branches (BranchOps creates ids >= 2): remap through
+    // the branch registry's uid like any other FK; a branch that can't be
+    // mapped normalizes the row onto the target's main branch rather than
+    // carrying a dangling/wrong id across
+    val branchRemap: Map[Long, Long] =
+      if (registry == "branch" || !tdef.fieldNames.contains("branch_id")) Map.empty
+      else {
+        val localIds = fresh.flatMap(r => Option(r.getAs[Any]("branch_id")))
+          .map(_.asInstanceOf[Long]).filter(_ >= 2L).distinct.toIndexedSeq
+        if (localIds.isEmpty) Map.empty
+        else {
+          val srcUidById = cat.table("branch").filter(col("id").isin(localIds: _*))
+            .select("id", "uid").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          val branchUids = srcUidById.values.toSeq.distinct
+          if (branchUids.nonEmpty)
+            parentCreated += transferTo(target, "branch", branchUids, flight)
+          val tgtIdByUid = target.table("branch").filter(col("uid").isin(branchUids: _*))
+            .select("uid", "id").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          srcUidById.flatMap { case (sid, u) => tgtIdByUid.get(u).map(sid -> _) }
+        }
+      }
+
     fresh.foreach { r =>
       var m = r.schema.fieldNames.zip(r.toSeq).toMap - "id"
       remaps.foreach { case (c, idMap) =>
@@ -354,6 +378,11 @@ final class ArtifactStore(val cat: Catalog) {
           case Some(v: Long) => m = m.updated(c, idMap.get(v).orNull)
           case _             => ()
         }
+      }
+      if (registry != "branch") m.get("branch_id") match {
+        case Some(v: Long) if v >= 2L =>
+          m = m.updated("branch_id", branchRemap.getOrElse(v, graft.catalog.Catalog.MainBranchId))
+        case _ => ()
       }
       target.insert(registry, m.filter(_._2 != null))
     }

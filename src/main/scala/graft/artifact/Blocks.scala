@@ -9,12 +9,17 @@ import graft.core.{Hashing, Versioning}
   * blocks are never versioned.
   *
   * Creation semantics mirror the reference constructor
-  * (`block.py:100-165` + `tests/pydata/test_blocks.py`):
+  * (`block.py:100-165,261-371` + `tests/pydata/test_blocks.py`):
   *  - `kind="comment"`: always a new block; revising comments is an error;
-  *  - `kind="readme"`, same key and identical content hash (or blank new
-  *    content): RECOVER the existing visible head instead of creating;
-  *  - `kind="readme"`, same key and different content: new version in the
-  *    head's uid family, head flips on the current branch;
+  *  - `kind="readme"`, existing head with BLANK content: recover that head
+  *    (the reference's "no content was yet saved, returning existing
+  *    block", `block.py:319-329`) — the new content is not applied;
+  *  - `kind="readme"`, non-blank content that hash-matches ANY visible
+  *    latest block (any key, `block.py:344-360`): recover that block,
+  *    keeping its original key;
+  *  - otherwise: new version in the head's uid family, head flips on the
+  *    current branch (blank new content over a non-blank head is a new
+  *    version, not a recovery);
   *  - trashed blocks are invisible to recovery — re-creating after a soft
   *    delete starts a fresh identity.
   */
@@ -34,15 +39,23 @@ final class Blocks(cat: Catalog) {
 
     if (kind == "comment") return insertRow(cat.newUidFor(cat.tableDef("block")))
 
-    // readme: recovery against the VISIBLE head for this (key, kind)
-    val visible = cat.table("block").filter(
-      col("key") === key && col("kind") === kind &&
-        col("branch_id").isin(Catalog.defaultBranchIds(cat.currentBranchId): _*))
-    val head = visible.filter(col("is_latest")).head(1).headOption
+    // readme: recovery semantics from block.py:308-360. Non-trash is the
+    // reference's `~Q(branch_id=-1)` — recovery looks across branches.
+    val nonTrash = cat.table("block").filter(
+      col("kind") === kind && col("branch_id") =!= Catalog.TrashBranchId)
+    val head = nonTrash.filter(col("key") === key && col("is_latest"))
+      .head(1).headOption
+    val headBlank = head.exists { r =>
+      val c = r.getAs[String]("content"); c == null || c.isEmpty
+    }
+    if (headBlank) return head.get.schema.fieldNames.zip(head.get.toSeq).toMap
+    // global content-hash dedup across ALL visible latest blocks (any key)
+    if (hash != null) {
+      val byHash = nonTrash.filter(col("is_latest") && col("hash") === hash)
+        .head(1).headOption
+      byHash.foreach { r => return r.schema.fieldNames.zip(r.toSeq).toMap }
+    }
     head match {
-      case Some(r) if content.isEmpty || r.getAs[String]("hash") == hash =>
-        // blank new content or identical content: return the existing block
-        r.schema.fieldNames.zip(r.toSeq).toMap
       case Some(r) =>
         // revise: next suffix in the head's family, demote current head
         val stem = Versioning.stem(r.getAs[String]("uid"))
@@ -60,10 +73,12 @@ final class Blocks(cat: Catalog) {
     }
   }
 
-  /** Record-attached block (`RecordBlock`, `block.py:396` +
-    * `test_record_block_*`): readme-kind recovers/revises per
-    * (record, kind) with the same rules as key-scoped blocks; comments
-    * are always new.
+  /** Record-attached block (`RecordBlock`, `block.py:396`, generic init
+    * `block.py:100-165` + `test_record_block_*`): readme-kind recovers the
+    * per-(record, kind) head only when the EXISTING head's content is
+    * blank; otherwise every create — including identical content — is a
+    * new version (the generic init path has no hash dedup). Comments are
+    * always new.
     */
   def createForRecord(recordId: Long, content: String = "", kind: String = "readme",
                       versionTag: Option[String] = None): Map[String, Any] = {
@@ -79,10 +94,11 @@ final class Blocks(cat: Catalog) {
     if (kind == "comment") return insertRow(cat.newUidFor(cat.tableDef("record_block")))
     val visible = cat.table("record_block").filter(
       col("record_id") === recordId && col("kind") === kind &&
-        col("branch_id").isin(Catalog.defaultBranchIds(cat.currentBranchId): _*))
+        col("branch_id") =!= Catalog.TrashBranchId)
     val head = visible.filter(col("is_latest")).head(1).headOption
     head match {
-      case Some(r) if content.isEmpty || r.getAs[String]("hash") == hash =>
+      case Some(r) if { val c = r.getAs[String]("content"); c == null || c.isEmpty } =>
+        // existing head never had content saved: recover it (block.py:137-146)
         r.schema.fieldNames.zip(r.toSeq).toMap
       case Some(r) =>
         val stem = Versioning.stem(r.getAs[String]("uid"))

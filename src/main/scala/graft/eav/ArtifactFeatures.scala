@@ -43,17 +43,24 @@ final class ArtifactFeatures(cat: Catalog) {
     }
 
   /** `artifact.labels.add(...)`: link ulabels (optionally under a
-    * feature); duplicates are no-ops (`_label_manager.py`).
+    * feature); duplicates are no-ops. Link uniqueness is the reference's
+    * ArtifactULabel (artifact, ulabel, feature) triple — the same label
+    * may be linked again under a DIFFERENT feature (`_label_manager.py`).
     */
   def addLabels(artifactId: Long, labelIds: Seq[Long], featureId: Option[Long] = None): Unit = {
-    val existing = cat.table("artifact_ulabels")
-      .filter(col("artifact_id") === artifactId && col("ulabel_id").isin(labelIds: _*))
-      .select("ulabel_id").collect().map(_.getLong(0)).toSet
-    labelIds.filterNot(existing).foreach { lid =>
+    val existing = existingLinkKeys(artifactId)
+    labelIds.filterNot(lid => existing((lid, featureId))).foreach { lid =>
       cat.insert("artifact_ulabels", Map("artifact_id" -> artifactId,
         "ulabel_id" -> lid) ++ featureId.map("feature_id" -> _))
     }
   }
+
+  /** (ulabel_id, feature_id) pairs already linked to an artifact. */
+  private def existingLinkKeys(artifactId: Long): Set[(Long, Option[Long])] =
+    cat.table("artifact_ulabels").filter(col("artifact_id") === artifactId)
+      .select("ulabel_id", "feature_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
 
   /** `artifact.labels.remove(...)`. */
   def removeLabels(artifactId: Long, labelIds: Seq[Long]): Unit = {
@@ -70,14 +77,14 @@ final class ArtifactFeatures(cat: Catalog) {
   def addLabelsFrom(targetId: Long, sourceId: Long): Long = {
     val src = cat.table("artifact_ulabels").filter(col("artifact_id") === sourceId)
       .select("ulabel_id", "feature_id").collect()
-    val existing = cat.table("artifact_ulabels").filter(col("artifact_id") === targetId)
-      .select("ulabel_id").collect().map(_.getLong(0)).toSet
+    val existing = existingLinkKeys(targetId)
     var n = 0L
     src.foreach { r =>
-      if (!existing(r.getLong(0))) {
+      val key = (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      if (!existing(key)) {
         cat.insert("artifact_ulabels", Map(
           "artifact_id" -> targetId, "ulabel_id" -> r.getLong(0),
-          "feature_id" -> (if (r.isNullAt(1)) null else r.getLong(1))))
+          "feature_id" -> key._2.map(Long.box).orNull))
         n += 1
       }
     }

@@ -33,6 +33,21 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Broadcast hint gated on the optimizer's size estimate for the side:
+    * under the session's `autoBroadcastJoinThreshold` (scaled by `fanout`
+    * for sides about to be exploded) the hint pins the efficient
+    * broadcast plan; over it the hint is DROPPED so the planner/AQE can
+    * fall back to a shuffle join instead of OOMing an executor on an
+    * unbounded query set at scale.
+    */
+  private def gatedBroadcast(df: DataFrame, fanout: Long = 1L): DataFrame = {
+    val conf = df.sparkSession.conf
+    val thresh = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes * fanout
+    if (thresh > 0 && est <= thresh) broadcast(df) else df
+  }
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
@@ -128,7 +143,9 @@ object Similarity {
       .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qvec")
       .withColumnRenamed("nrm", "qnorm")
       .withColumn("bucket", explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
-    val sims = c.join(broadcast(q), "bucket")
+    // query side is usually bounded (hint) but not assumed to be (gate):
+    // each query row explodes into nBits+1 probes, hence the fanout scale
+    val sims = c.join(gatedBroadcast(q, fanout = nBits + 1L), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id"))
@@ -280,7 +297,10 @@ object Similarity {
       .select(col("id").as("neighbor_id"), col("cid"), col("e").as("ne"), col("nrm").as("nnrm"))
     val qprobe = assign(prep(queries)).filter(col("rn") <= nProbe)
       .select(col("id").as("query_id"), col("cid"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val sims = cells.join(broadcast(qprobe), "cid")
+    // bounded-queries assumption made explicit: the broadcast hint only
+    // applies while the query set's size estimate stays under the session
+    // broadcast threshold (x nProbe probe rows); larger sets shuffle-join
+    val sims = cells.join(gatedBroadcast(qprobe, fanout = nProbe.toLong), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("ne"), col("qe")) / (col("nnrm") * col("qnrm")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)

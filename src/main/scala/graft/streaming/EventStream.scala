@@ -49,6 +49,7 @@ object EventStream {
     // skip the trailing no-data watermark microbatch (complete mode never
     // evicts state, so the extra batch only re-commits all stores)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
@@ -65,7 +66,13 @@ object EventStream {
       try q.processAllAvailable()
       finally q.stop()
       spark.table(queryName)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None    => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
   }
 
   /** Same plan, batch source — bit-identical results to the stream. */

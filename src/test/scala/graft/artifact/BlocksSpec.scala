@@ -7,21 +7,31 @@ import graft.catalog.Catalog
 class BlocksSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("readme recovery by hash and key; trash breaks the identity") {
+  test("readme recovery by hash and blank head; trash breaks the identity") {
     val cat = Catalog.deterministic(spark, TestSpark.tmpDir("blocks"))
     val blocks = new Blocks(cat)
     val b1 = blocks.create("__lamindb_block__", content = "1")
-    // identical content recovers the same block
+    // identical content recovers the same block (global hash dedup)
     val b2 = blocks.create("__lamindb_block__", content = "1")
     assert(b2("uid") === b1("uid"))
-    // blank new content recovers the existing block too
+    // same content under a DIFFERENT key also recovers it, keeping the
+    // original key (block.py:344-360 warns and keeps the original)
+    val b2b = blocks.create("other_key", content = "1")
+    assert(b2b("uid") === b1("uid"))
+    assert(b2b("key") === "__lamindb_block__")
+    // blank new content over a non-blank head is a NEW version in-family
     val b3 = blocks.create("__lamindb_block__")
-    assert(b3("uid") === b1("uid"))
-    assert(cat.table("block").count() === 1)
+    assert(b3("uid") !== b1("uid"))
+    assert(b3("uid").toString.take(16) === b1("uid").toString.take(16))
+    assert(cat.table("block").count() === 2)
+    // now the head is blank: any create with this key recovers the blank
+    // head ("no content was yet saved, returning existing block")
+    val b4 = blocks.create("__lamindb_block__", content = "fresh words")
+    assert(b4("uid") === b3("uid"))
     // after trash, recreation starts a fresh identity
-    blocks.trash(Seq(b1("id").asInstanceOf[Long]))
-    val b4 = blocks.create("__lamindb_block__", content = "1")
-    assert(b4("uid") !== b1("uid"))
+    blocks.trash(Seq(b1("id").asInstanceOf[Long], b3("id").asInstanceOf[Long]))
+    val b5 = blocks.create("__lamindb_block__", content = "1")
+    assert(b5("uid") !== b1("uid"))
   }
 
   test("readme with changed content revises in the same family; head flips") {
@@ -44,9 +54,12 @@ class BlocksSpec extends AnyFunSuite {
     val rec = cat.insert("record", Map("name" -> "sheet-row"))
     val rid = rec("id").asInstanceOf[Long]
     val v1 = blocks.createForRecord(rid, content = "first notes")
-    // identical content recovers
-    assert(blocks.createForRecord(rid, content = "first notes")("uid") === v1("uid"))
-    // changed content revises in-family
+    // the generic init path has NO hash dedup: identical content is a NEW
+    // version in the same family (block.py:100-165)
+    val v1b = blocks.createForRecord(rid, content = "first notes")
+    assert(v1b("uid") !== v1("uid"))
+    assert(v1b("uid").toString.take(16) === v1("uid").toString.take(16))
+    // changed content keeps revising in-family
     val v2 = blocks.createForRecord(rid, content = "updated notes")
     assert(v2("uid").toString.take(16) === v1("uid").toString.take(16))
     assert(blocks.recordNotes(rid) === Some("updated notes"))
@@ -54,6 +67,12 @@ class BlocksSpec extends AnyFunSuite {
     val other = cat.insert("record", Map("name" -> "other"))
     val o1 = blocks.createForRecord(other("id").asInstanceOf[Long], content = "x")
     assert(o1("uid").toString.take(16) !== v1("uid").toString.take(16))
+    // a BLANK existing head is recovered by any later create ("no content
+    // was yet saved"), regardless of the new content
+    val blankRec = cat.insert("record", Map("name" -> "blank"))
+    val bid = blankRec("id").asInstanceOf[Long]
+    val b0 = blocks.createForRecord(bid)
+    assert(blocks.createForRecord(bid, content = "ignored")("uid") === b0("uid"))
     // comments on records are always new
     val c1 = blocks.createForRecord(rid, content = "hm", kind = "comment")
     val c2 = blocks.createForRecord(rid, content = "hm", kind = "comment")

@@ -107,6 +107,31 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(cat2.table("storage").filter(col("uid") === st("uid")).count() === 1)
   }
 
+  test("transfer remaps catalog-local branch ids through the branch registry") {
+    val cat1 = Catalog.deterministic(spark, TestSpark.tmpDir("src"), seed = 11)
+    val cat2 = Catalog.deterministic(spark, TestSpark.tmpDir("dst"), seed = 12)
+    val store1 = new ArtifactStore(cat1)
+    cat1.insert("branch", Map("name" -> "main", "status_code" -> 0)) // id 1 = main
+    val dev = cat1.insert("branch", Map("name" -> "dev", "status_code" -> 0))
+    val devId = dev("id").asInstanceOf[Long]
+    assert(devId >= 2L)
+    val onDev = cat1.insert("ulabel", Map("name" -> "wip", "branch_id" -> devId))
+    // skew the target's branch table so a verbatim id copy lands wrong
+    cat2.insert("branch", Map("name" -> "main", "status_code" -> 0))
+    cat2.insert("branch", Map("name" -> "unrelated", "status_code" -> 0))
+    store1.transferTo(cat2, "ulabel", Seq(onDev("uid").toString))
+    val got = cat2.table("ulabel").filter(col("uid") === onDev("uid")).head()
+    val gotBranch = cat2.table("branch")
+      .filter(col("id") === got.getAs[Long]("branch_id")).head()
+    assert(gotBranch.getAs[String]("uid") === dev("uid"))
+    assert(gotBranch.getAs[String]("name") === "dev")
+    // universal-constant branches (main/archive/trash) pass through as-is
+    val onMain = cat1.insert("ulabel", Map("name" -> "plain"))
+    store1.transferTo(cat2, "ulabel", Seq(onMain("uid").toString))
+    val gotMain = cat2.table("ulabel").filter(col("uid") === onMain("uid")).head()
+    assert(gotMain.getAs[Long]("branch_id") === Catalog.MainBranchId)
+  }
+
   test("transfer carries M2M members by uid; same-name local rows coexist") {
     // reference tests/transfer: schema members transfer by uid even when a
     // local feature with the same NAME (different uid) already exists

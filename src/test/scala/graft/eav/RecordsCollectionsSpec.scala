@@ -161,5 +161,15 @@ class RecordsCollectionsSpec extends AnyFunSuite {
     af.removeLabels(a1, labels.take(2))
     assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a1).count() === 1)
     assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a2).count() === 3)
+    // link uniqueness is (artifact, ulabel, feature): the SAME label under
+    // a different feature is a new link, and re-adding it is the no-op
+    val fid = cat.insert("feature", Map("name" -> "scope", "dtype" -> "cat"))("id")
+      .asInstanceOf[Long]
+    af.addLabels(a2, labels.take(1), featureId = Some(fid))
+    assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a2).count() === 4)
+    af.addLabels(a2, labels.take(1), featureId = Some(fid))
+    assert(cat.table("artifact_ulabels").filter(col("artifact_id") === a2).count() === 4)
+    // add_from carries the feature-scoped link too
+    assert(af.addLabelsFrom(a1, a2) === 3) // 2 removed plain links + 1 feature-scoped
   }
 }
