@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.TextQueries.queries ++
       _root_.graft.queries.CurateQueries.queries ++
       _root_.graft.queries.PipelineQueries.queries ++
-      _root_.graft.queries.ScaleQueries.queries
+      _root_.graft.queries.ScaleQueries.queries ++
+      _root_.graft.queries.AnnQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       _root_.graft.queries.TextQueries.oracle ++
       _root_.graft.queries.CurateQueries.oracle ++
       _root_.graft.queries.PipelineQueries.oracle ++
-      _root_.graft.queries.ScaleQueries.oracle
+      _root_.graft.queries.ScaleQueries.oracle ++
+      _root_.graft.queries.AnnQueries.oracle
 }

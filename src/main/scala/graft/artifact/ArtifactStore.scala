@@ -65,6 +65,54 @@ final class ArtifactStore(val cat: Catalog) {
     row
   }
 
+  /** Write a MULTI-SLOT dataset (named sub-tables) as ONE managed
+    * directory artifact under the auto-key `.lamindb/{uid}{suffix}/<slot>`
+    * — the storage shape behind `from_anndata`/`from_mudata`
+    * (`artifact.py:2374,2502`): a composite object whose components stay
+    * individually scannable Parquet. Same hash-dedup / key-versioning
+    * decision as `fromDataFrame`; `n_files` counts all slot files and the
+    * directory hash covers every slot.
+    */
+  def fromSlots(slots: Seq[(String, DataFrame)], key: String, storageRoot: String,
+                suffix: String, otype: String, nObservations: Option[Long] = None,
+                description: String = null): Map[String, Any] = {
+    require(slots.nonEmpty, "at least one slot required")
+    val storageId = ensureStorage(storageRoot)
+    val stagePath = s"$storageRoot/.staging/${cat.uid(8)}"
+    slots.foreach { case (slot, df) =>
+      require(slot.matches("[A-Za-z0-9_.-]+"), s"bad slot name '$slot'")
+      df.write.mode("overwrite").parquet(s"$stagePath/$slot")
+    }
+    val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
+    findByHash(hash) match {
+      case Some(existing) =>
+        deletePath(stagePath)
+        existing
+      case None =>
+        val row = createArtifact(hash, hashType, size, nFiles, key, suffix, storageId,
+          "dataset", description, nObservations = nObservations, otype = Some(otype))
+        movePath(stagePath, artifactPath(row, storageRoot))
+        row
+    }
+  }
+
+  /** Open one named slot of a multi-slot artifact as a lazy scan. */
+  def openSlot(uid: String, slot: String): DataFrame = {
+    val art = cat.table("artifact").filter(col("uid") === uid)
+    trackRunInputs(art)
+    val paths = pathsFor(art)
+    if (paths.isEmpty) throw new DoesNotExist(s"no artifact with uid $uid")
+    spark.read.parquet(s"${paths.head}/$slot")
+  }
+
+  /** Slot names present in a multi-slot artifact (storage listing). */
+  def listSlots(uid: String): Seq[String] = {
+    val paths = pathsFor(cat.table("artifact").filter(col("uid") === uid))
+    if (paths.isEmpty) throw new DoesNotExist(s"no artifact with uid $uid")
+    val dir = new java.io.File(paths.head)
+    Option(dir.listFiles()).toSeq.flatten.filter(_.isDirectory).map(_.getName).sorted
+  }
+
   /** Replace the artifact's content in storage WITHOUT a new version
     * (`Artifact.replace`, `artifact.py:2809-2900`): same uid, updated
     * hash/size/counts. If the new content hash already belongs to some
@@ -161,7 +209,8 @@ final class ArtifactStore(val cat: Catalog) {
   private def createArtifact(hash: String, hashType: String, size: Long, nFiles: Long,
                              key: String, suffix: String, storageId: Long, kind: String,
                              description: String, nObservations: Option[Long] = None,
-                             realPath: Option[String] = None): Map[String, Any] = {
+                             realPath: Option[String] = None,
+                             otype: Option[String] = None): Map[String, Any] = {
     findByHash(hash) match {
       case Some(existing) => existing // content-identical: idempotent return
       case None =>
@@ -175,6 +224,7 @@ final class ArtifactStore(val cat: Catalog) {
         if (isRevision) demoteFamilyHeads(Versioning.stem(uid))
         cat.insert("artifact", Map(
           "uid" -> uid, "key" -> key, "suffix" -> suffix, "kind" -> kind,
+          "otype" -> otype.orNull,
           "real_path" -> realPath.orNull,
           "description" -> description, "size" -> size, "hash" -> hash,
           "hash_type" -> hashType, "n_files" -> nFiles,
