@@ -81,7 +81,12 @@ final class ArtifactStore(val cat: Catalog) {
     val stagePath = s"$storageRoot/.staging/${cat.uid(8)}"
     slots.foreach { case (slot, df) =>
       require(slot.matches("[A-Za-z0-9_.-]+"), s"bad slot name '$slot'")
-      df.write.mode("overwrite").parquet(s"$stagePath/$slot")
+      // small slots (obs/var metadata) collapse to one file; a huge X
+      // keeps its incoming partitioning (same stats gate as catalog
+      // snapshots — don't funnel a 100 TB matrix through one task)
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val out = if (est > (1L << 30)) df else df.coalesce(1)
+      out.write.mode("overwrite").parquet(s"$stagePath/$slot")
     }
     val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
     findByHash(hash) match {

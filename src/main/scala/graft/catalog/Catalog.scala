@@ -145,11 +145,14 @@ final class Catalog(
     val path = s"$root/$name/v$v"
     // most registry tables are metadata-scale: one file keeps every
     // downstream catalog join broadcast-able. But a registry CAN be huge
-    // (the reference claims 1e9 runs) — when the incoming plan already
-    // carries many partitions, keep them instead of funnelling the
-    // rewrite through a single task.
-    val parts = df.rdd.getNumPartitions
-    val out = if (parts > 16) df else df.coalesce(1)
+    // (the reference claims 1e9 runs) — past ~1 GiB estimated, keep the
+    // incoming partitioning instead of funnelling the rewrite through a
+    // single task. The gate reads logical-plan STATS, not
+    // `df.rdd.getNumPartitions`: the latter both forces physical planning
+    // per flush and mis-fires on buffered local relations, whose default
+    // parallelism made 500-row tables write 33 tiny files each.
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val out = if (est > (1L << 30)) df else df.coalesce(1)
     out.write.mode("overwrite").parquet(path)
     manifest(name) = v
     snapshotCache.remove(s"$name/v${v - 1}")

@@ -32,18 +32,16 @@ object AnnQueries {
   /** Ingest once per (process, sf dir); hash-dedup makes re-runs return
     * the same artifact.
     */
-  private val ingested = scala.collection.concurrent.TrieMap.empty[String, (ArtifactStore, String)]
+  private val ingested = scala.collection.concurrent.TrieMap.empty[String, AnnDataset]
 
-  def ingestedDataset(spark: SparkSession, dir: String): AnnDataset = {
-    val (store, uid) = ingested.getOrElseUpdate(dir, {
+  def ingestedDataset(spark: SparkSession, dir: String): AnnDataset =
+    ingested.getOrElseUpdate(dir, {
       val root = java.nio.file.Files.createTempDirectory("graft_ann").toString
       val cat = Catalog.deterministic(spark, root)
       val store = new ArtifactStore(cat)
       val art = AnnBridge.ingest(store, buildDataset(spark, dir), "sc/bridge.anndata", root)
-      (store, art("uid").toString)
+      AnnBridge.open(store, art("uid").toString)
     })
-    AnnBridge.open(store, uid)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // backed obs-slicing: adata[adata.obs.lang == "en" & n_chars >= 500]
