@@ -21,43 +21,69 @@ object MappedDataset {
   /** Union the per-store DataFrames with explicit (store_idx, local_idx)
     * routing columns. Column spaces align inner or outer
     * (`_make_join_vars`, `join="inner"/"outer"`).
+    *
+    * `obsFilter` is the reference's `obs_filter` dict
+    * (`_mapped_collection.py:200-221`): per store, one isin mask per
+    * (column -> values) entry, AND-combined; a store missing the column
+    * contributes NOTHING (all-false mask); a null among the filter values
+    * additionally matches null labels (the `pd.isna` branch). Local
+    * indices are assigned BEFORE filtering, so a routed row keeps its
+    * original in-store position (`indices_storage = np.where(mask)`).
     */
   def mapped(stores: Seq[DataFrame], join: String = "inner",
-             orderCol: Option[String] = None): DataFrame = {
+             orderCol: Option[String] = None,
+             obsFilter: Map[String, Seq[Any]] = Map.empty): DataFrame = {
     require(stores.nonEmpty, "no stores")
-    val aligned = join match {
-      case "outer" => stores
-      case "inner" =>
-        val common = stores.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
-        stores.map(_.select(common.map(col): _*))
-      case other => throw new IllegalArgumentException(s"join must be inner/outer, got $other")
-    }
-    val indexed = aligned.zipWithIndex.map { case (df, i) =>
+    val indexed = stores.zipWithIndex.map { case (df, i) =>
       val ordered = orderCol match {
         case Some(c) => Window.orderBy(col(c))
         case None    => Window.orderBy(monotonically_increasing_id())
       }
-      df.withColumn("store_idx", lit(i))
+      val withIdx = df.withColumn("store_idx", lit(i))
         .withColumn("local_idx", row_number().over(ordered).cast("long") - 1)
+      val mask = obsFilter.toSeq.sortBy(_._1).map { case (key, values) =>
+        if (!df.columns.contains(key)) lit(false)
+        else {
+          val nonNull = values.filter(_ != null)
+          val base = if (nonNull.nonEmpty) col(key).isin(nonNull: _*) else lit(false)
+          if (values.exists(_ == null)) base || col(key).isNull else base
+        }
+      }.reduceOption(_ && _)
+      mask.map(withIdx.filter).getOrElse(withIdx)
     }
-    indexed.reduce(_.unionByName(_, allowMissingColumns = join == "outer"))
+    val aligned = join match {
+      case "outer" => indexed
+      case "inner" =>
+        val common = stores.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
+        indexed.map(_.select((common.map(col) :+ col("store_idx") :+ col("local_idx")): _*))
+      case other => throw new IllegalArgumentException(s"join must be inner/outer, got $other")
+    }
+    aligned.reduce(_.unionByName(_, allowMissingColumns = join == "outer"))
   }
 
   /** Dictionary-encode a label column: (label -> int code) by sorted
-    * label order; unknown/null labels encode to -1
-    * (`unknown_label -> -1` semantics). Returns (encoded df, dictionary).
+    * label order over the MERGED categories (`get_merged_categories` —
+    * the input here is already the merged union view). The reference's
+    * `unknown_label` contract (`_make_encoders`,
+    * `_mapped_collection.py:302-314`): the unknown label is REMOVED from
+    * the category set before enumeration — so the remaining codes stay
+    * dense from 0 — and encodes to -1, as do labels absent from the
+    * dictionary and nulls. Returns (encoded df, dictionary).
     */
   def encodeLabels(df: DataFrame, labelCol: String,
-                   knownLabels: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
+                   knownLabels: Option[Seq[String]] = None,
+                   unknownLabel: Option[String] = None): (DataFrame, DataFrame) = {
     val dict = knownLabels match {
       case Some(ls) =>
         val spark = df.sparkSession
         import spark.implicits._
-        ls.sorted.zipWithIndex.map { case (l, i) => (l, i) }.toDF(labelCol, "label_code")
+        ls.filterNot(unknownLabel.contains).sorted.zipWithIndex
+          .map { case (l, i) => (l, i) }.toDF(labelCol, "label_code")
       case None =>
-        df.select(labelCol).distinct()
-          .withColumn("label_code",
-            (row_number().over(Window.orderBy(col(labelCol))) - 1))
+        val cats = df.select(labelCol).distinct()
+        val kept = unknownLabel.map(u => cats.filter(col(labelCol) =!= u)).getOrElse(cats)
+        kept.withColumn("label_code",
+          (row_number().over(Window.orderBy(col(labelCol))) - 1))
     }
     val encoded = df.join(broadcast(dict), Seq(labelCol), "left")
       .withColumn("label_code", coalesce(col("label_code"), lit(-1)))

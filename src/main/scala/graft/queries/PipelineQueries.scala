@@ -52,6 +52,23 @@ object PipelineQueries {
       graft.ml.MappedDataset.mapped(stores, join = "inner", orderCol = Some("doc_id"))
         .select("store_idx", "local_idx", "doc_id", "lang")
         .orderBy("store_idx", "local_idx")
+    }),
+
+    "l03_mapped_filtered_encoded" -> ((spark, dir) => {
+      // obs_filter + unknown_label parity: per-store isin masks applied
+      // AFTER local-index assignment (rows keep their in-store position),
+      // and the 'src0' label is removed from the encoder's category set
+      // (codes stay dense from 0) while encoding to -1
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source")
+      val stores = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      val m = graft.ml.MappedDataset.mapped(stores, join = "inner",
+        orderCol = Some("doc_id"), obsFilter = Map("lang" -> Seq("en", "fr")))
+      val (enc, _) = graft.ml.MappedDataset.encodeLabels(m, "source",
+        unknownLabel = Some("src0"))
+      enc.select(col("store_idx"), col("local_idx"), col("doc_id"), col("lang"),
+          col("label_code").as("source_code"))
+        .orderBy("store_idx", "local_idx")
     })
   )
 
@@ -93,6 +110,21 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS BIGINT) AS local_idx,
         |  doc_id, lang
         |FROM documents ORDER BY store_idx, local_idx""".stripMargin,
+
+    "l03_mapped_filtered_encoded" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id % 2 AS INTEGER) AS store_idx,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS BIGINT) AS local_idx,
+        |    doc_id, lang, source
+        |  FROM documents),
+        |dict AS (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS INTEGER) AS code
+        |  FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0')),
+        |f AS (SELECT * FROM m WHERE lang IN ('en', 'fr'))
+        |SELECT store_idx, local_idx, doc_id, lang,
+        |  CAST(coalesce(d.code, -1) AS INTEGER) AS source_code
+        |FROM f LEFT JOIN dict d USING (source)
+        |ORDER BY store_idx, local_idx""".stripMargin,
 
     "m02_frame_sample" ->
       """SELECT doc_id, unnest(range(0, least(n_chars % 100 + 1 - 1, 70) + 1, 10)) AS frame_idx

@@ -40,6 +40,45 @@ class MappedDatasetSpec extends AnyFunSuite {
     assert(byObs(1L) === 1 && byObs(2L) === 0 && byObs(4L) === -1)
   }
 
+  test("obs_filter: isin masks per store, original local indices, AND across keys") {
+    // rows keep their pre-filter in-store position (reference
+    // indices_storage = np.where(mask): original row indices)
+    val m = MappedDataset.mapped(Seq(store1, store2), orderCol = Some("obs_id"),
+      obsFilter = Map("cell_type" -> Seq("T cell")))
+    val routed = m.select("store_idx", "local_idx", "obs_id")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(routed === Set((0, 0L, 1L), (1, 0L, 3L), (1, 2L, 5L)))
+    // AND across filter keys
+    val m2 = MappedDataset.mapped(Seq(store1, store2), orderCol = Some("obs_id"),
+      obsFilter = Map("cell_type" -> Seq("T cell"), "obs_id" -> Seq(3L, 5L)))
+    assert(m2.select("obs_id").as[Long].collect().toSet === Set(3L, 5L))
+    // a store missing the filter column contributes nothing (all-false)
+    val m3 = MappedDataset.mapped(Seq(store1, store3), "inner", Some("obs_id"),
+      obsFilter = Map("score" -> Seq(0.1, 0.2)))
+    assert(m3.select("store_idx").as[Int].collect().toSet === Set(0))
+    // a null among filter values matches null labels (pd.isna branch)
+    val withNull = Seq((7L, null.asInstanceOf[String]), (8L, "B cell"))
+      .toDF("obs_id", "cell_type")
+    val m4 = MappedDataset.mapped(Seq(withNull), orderCol = Some("obs_id"),
+      obsFilter = Map("cell_type" -> Seq("T cell", null)))
+    assert(m4.select("obs_id").as[Long].collect().toSet === Set(7L))
+  }
+
+  test("unknown_label is removed from the category set and encodes to -1") {
+    val m = MappedDataset.mapped(Seq(store1, store2), orderCol = Some("obs_id"))
+    // merged cats = {B cell, NK cell, T cell}; NK declared unknown -> codes
+    // stay dense over the remaining cats: B=0, T=1
+    val (encoded, dict) = MappedDataset.encodeLabels(m, "cell_type",
+      unknownLabel = Some("NK cell"))
+    assert(dict.as[(String, Int)].collect().toMap === Map("B cell" -> 0, "T cell" -> 1))
+    val byObs = encoded.select("obs_id", "label_code").as[(Long, Int)].collect().toMap
+    assert(byObs === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> -1, 5L -> 1))
+    // same contract on the explicit knownLabels path
+    val (_, d2) = MappedDataset.encodeLabels(m, "cell_type",
+      knownLabels = Some(Seq("B cell", "NK cell", "T cell")), unknownLabel = Some("NK cell"))
+    assert(d2.as[(String, Int)].collect().toMap === Map("B cell" -> 0, "T cell" -> 1))
+  }
+
   test("inverse-frequency label weights") {
     val m = MappedDataset.mapped(Seq(store1, store2), orderCol = Some("obs_id"))
     val w = MappedDataset.labelWeights(m, "cell_type")
