@@ -93,7 +93,7 @@ object Schemas {
   val transform = TableDef(
     "transform",
     StructType(Seq(f("id", L, false), f("uid", S, false), f("key", S),
-      f("typ", S), f("description", S), f("source_code_hash", S),
+      f("typ", S), f("description", S), f("source_code", S), f("source_code_hash", S),
       f("version_tag", S), f("is_latest", B, false)) ++ branchSpace ++ audit),
     uidLen = 16, versioned = true, hasBranch = true,
     searchFields = Seq("key", "description"),

@@ -13,23 +13,59 @@ import graft.core.Hashing
   */
 final class Lineage(val cat: Catalog) {
 
-  /** Create-or-reuse a Transform by (key, source hash), then start a Run
-    * and make it current so opens/saves auto-link lineage.
+  /** Create-or-reuse a Transform, then start a Run and make it current so
+    * opens/saves auto-link lineage. Reference idempotency contract
+    * (`Transform._create_or_load_from_source`, `models/transform.py:
+    * 435-580` + `_context.py:676-748`):
+    *
+    *  - the source is hashed AS WRITTEN, but persisted with secret-looking
+    *    hardcoded assignments redacted (`transform.py:453-461`);
+    *  - same source hash → the SAME transform row, only a new run;
+    *  - same key with changed source → a new VERSION in the existing uid
+    *    family (head flips);
+    *  - `params` are serialized to JSON with sensitive keys/values
+    *    redacted (`serialize_params_to_json`, `_context.py:393-428`).
+    *
     * Returns (transformId, runId).
     */
-  def track(key: String, sourceCode: String = "", paramsJson: String = null): (Long, Long) = {
+  def track(key: String, sourceCode: String = "",
+            params: Map[String, Any] = Map.empty,
+            asCopy: Boolean = false): (Long, Long) = {
     val hash = Hashing.md5String(sourceCode)
-    val existing = cat.table("transform")
-      .filter(col("key") === key && col("source_code_hash") === hash)
-      .select("id").head(1)
-    val transformId = existing.headOption.map(_.getLong(0)).getOrElse {
+    // hash-reuse is GLOBAL (any key): the reference's rename prompt
+    // defaults to "renamed, reuse" (`transform.py:553-563`); pass
+    // asCopy=true for the "intentionally made a copy" answer, which
+    // forces a fresh transform identity for the same source
+    val existing =
+      if (asCopy) None
+      else cat.table("transform")
+        .filter(col("source_code_hash") === hash)
+        .select("id").head(1).headOption
+    val transformId = existing.map(_.getLong(0)).getOrElse {
+      val (stored, _) = Redaction.redactSource(sourceCode)
+      val family = cat.table("transform").filter(col("key") === key)
+        .select("uid").collect().map(_.getString(0)).toSeq
+      val uid =
+        if (family.isEmpty) cat.newUidFor(cat.tableDef("transform"))
+        else graft.core.Versioning.nextUidInFamily(family)
+      if (family.nonEmpty) {
+        val stem = graft.core.Versioning.stem(uid)
+        cat.flush("transform")
+        cat.overwrite("transform",
+          cat.table("transform").withColumn("is_latest",
+            when(col("uid").startsWith(stem) && col("branch_id") === cat.currentBranchId,
+              lit(false)).otherwise(col("is_latest"))))
+      }
       cat.insert("transform", Map(
-        "key" -> key, "typ" -> "script", "source_code_hash" -> hash,
+        "uid" -> uid, "key" -> key, "typ" -> "script",
+        "source_code" -> (if (stored.isEmpty) null else stored),
+        "source_code_hash" -> hash,
         "is_latest" -> true))("id").asInstanceOf[Long]
     }
+    val pj = if (params.nonEmpty) Redaction.serializeParams(params) else null
     val runId = cat.insert("run", Map(
       "transform_id" -> transformId, "status_code" -> -1,
-      "started_at" -> cat.clock(), "params_json" -> paramsJson))("id").asInstanceOf[Long]
+      "started_at" -> cat.clock(), "params_json" -> pj))("id").asInstanceOf[Long]
     cat.currentRunId = Some(runId)
     (transformId, runId)
   }

@@ -196,8 +196,15 @@ class CatalogSpec extends AnyFunSuite {
     // statuses: both completed
     val statuses = cat.table("run").select("status_code").collect().map(_.getInt(0)).toSet
     assert(statuses === Set(0))
-    // identical source hash reuses the transform only when keys match
+    // identical source hash reuses the transform even across keys (the
+    // reference's rename prompt defaults to reuse, transform.py:553-563)
+    assert(cat.table("transform").count() === 1)
+    // ... unless the caller declares an intentional copy
+    val (t3, _) = lin.track("step3.scala", "v1", asCopy = true)
+    lin.finish()
     assert(cat.table("transform").count() === 2)
+    assert(cat.table("transform").filter(col("id") === t3).head()
+      .getAs[String]("key") === "step3.scala")
   }
 
   test("is_latest window recompute honors base62 decoded order") {
