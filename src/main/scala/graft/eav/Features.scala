@@ -42,8 +42,26 @@ final class FeatureStore(
     val labels: Option[DataFrame] = None
 ) {
 
-  private def featureIdCond(name: String): DataFrame =
-    features.filter(col("name") === name).select(col("id").as("feature_id"))
+  /** Feature dictionary (name -> (id, dtype)), collected ONCE per store,
+    * lazily. The dictionary is metadata-scale by definition; caching it
+    * turns predicate compilation into pure driver work — a 3-predicate
+    * filter used to launch a lookup job (`head`/`isEmpty`) per predicate
+    * before planning a single semi-join.
+    */
+  private lazy val dict: Map[String, (Long, String)] =
+    features.select("id", "name", "dtype").collect()
+      .map(r => r.getString(1) -> (r.getLong(0), Option(r.getString(2)).getOrElse("str")))
+      .toMap
+
+  /** Is the feature name known to this store? (No cluster job.) */
+  def knows(name: String): Boolean = dict.contains(name)
+
+  /** value rows of one feature — an id-literal filter, not a join. */
+  private def valuesOf(name: String): DataFrame =
+    dict.get(name) match {
+      case Some((id, _)) => values.filter(col("feature_id") === id)
+      case None          => values.filter(lit(false))
+    }
 
   /** JSON scalar extracted as string ('"x"' -> x, '1.5' -> 1.5). */
   private def extracted: Column = get_json_object(col("value_json"), "$")
@@ -59,7 +77,7 @@ final class FeatureStore(
 
   /** DataFrame of record ids matching `feature <comparator> value`. */
   def matchingIds(p: FeaturePredicate): DataFrame = {
-    val forFeature = values.join(broadcast(featureIdCond(p.feature)), "feature_id")
+    val forFeature = valuesOf(p.feature)
     p.comparator match {
       case "isnull" =>
         // presence/absence of any value row (`_feature_manager.py:855-877`)
@@ -93,10 +111,8 @@ final class FeatureStore(
     }
   }
 
-  private def isCategorical(name: String): Boolean = {
-    val r = features.filter(col("name") === name).select("dtype").head(1)
-    r.nonEmpty && Option(r.head.getString(0)).exists(_.startsWith("cat"))
-  }
+  private def isCategorical(name: String): Boolean =
+    dict.get(name).exists(_._2.startsWith("cat"))
 
   /** Resolve label names in the label registry then follow the link table
     * (`_feature_manager.py:934-971`). Raises if no label matches.
@@ -105,8 +121,9 @@ final class FeatureStore(
     val lbls = labels.get.filter(col("name").isin(labelNames: _*)).select(col("id").as("label_id"))
     if (lbls.isEmpty)
       throw new graft.query.DoesNotExist(s"no label matching $labelNames for feature '$feature'")
+    val fid = dict(feature)._1
     labelLinks.get
-      .join(broadcast(featureIdCond(feature)), "feature_id")
+      .filter(col("feature_id") === fid)
       .join(broadcast(lbls), "label_id")
       .select(col("record_id"))
   }
@@ -128,8 +145,7 @@ final class FeatureStore(
     */
   def hook: QuerySet.FeatureHook = new QuerySet.FeatureHook {
     def compile(feature: String, lookupSegs: List[String], value: Any): Option[(DataFrame, Boolean)] = {
-      val known = !features.filter(col("name") === feature).isEmpty
-      if (!known) None
+      if (!knows(feature)) None
       else {
         val comparator = lookupSegs match {
           case Nil      => "exact"
@@ -156,9 +172,8 @@ final class FeatureStore(
     * columnar equivalent).
     */
   def pivotWide(records: DataFrame, pk: String): DataFrame = {
-    val meta = features.select(col("id").as("feature_id"), col("name"), col("dtype")).collect()
-    val names = meta.map(_.getString(1)).toSeq.sorted
-    val dtypes = meta.map(r => r.getString(1) -> Option(r.getString(2)).getOrElse("str")).toMap
+    val names = dict.keys.toSeq.sorted
+    val dtypes = dict.map { case (n, (_, d)) => n -> d }
 
     val scalarLong = values
       .join(broadcast(features.select(col("id").as("feature_id"), col("name"))), "feature_id")
