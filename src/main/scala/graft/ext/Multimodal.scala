@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The decode step is a clearly-marked DETERMINISTIC FAKE (this
-  * environment has no image/audio codecs); everything around it — the
-  * binary column representation, schema evolution, partition-batched
-  * processing shape, metadata struct typing — is real and is exactly what
-  * a production decoder would plug into (swap `fakeDecode` for a JNI/
-  * native call over the same `Iterator[Row]` batching).
+  * Images run through a REAL codec: `encodeImages` writes genuine PNG
+  * bytes with `javax.imageio` (dims derived deterministically from a
+  * text column so a SQL oracle can predict them) and `decodeMeta` reads
+  * them back with `ImageIO.read` — width/height/channels come from the
+  * decoded `BufferedImage`, not from peeking at payload bytes. The
+  * historical deterministic fake (`withFakePayload`/`fakeDecode`) is
+  * kept as a test fixture for codec-free pipelines.
   */
 object Multimodal {
+
+  // keep ImageIO off its temp-file cache: tiny in-memory images only
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Attach a deterministic binary payload derived from a text column —
     * stands in for real image bytes so the pipeline has data to move.
@@ -30,11 +34,11 @@ object Multimodal {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("content_hash", StringType)))
 
-  /** FAKE DECODER — deterministic stand-in for image decode. Reads fake
-    * "header" fields out of the payload bytes. Replace with a real codec
-    * behind the same signature.
+  /** TEST FIXTURE — deterministic stand-in for image decode over the
+    * `withFakePayload` bytes; used by codec-free pipeline specs. The
+    * production path is `encodeImages` + `decodeMeta` below.
     */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Int, String) = {
+  private[ext] def fakeDecode(payload: Array[Byte]): (Int, Int, Int, String) = {
     val w = 64 + (java.lang.Byte.toUnsignedInt(payload(4)) % 16) * 64
     val h = 64 + (java.lang.Byte.toUnsignedInt(payload(5)) % 16) * 64
     val c = 1 + (java.lang.Byte.toUnsignedInt(payload(6)) % 2) * 2
@@ -42,12 +46,87 @@ object Multimodal {
     (w, h, c, hash)
   }
 
-  /** Decode/feature-extract over the binary column, batched per
-    * partition (the Scala analog of `mapInPandas`: one iterator per
-    * partition, no per-row task overhead, arbitrary native calls safe).
+  /** Decode over the fake payloads — kept for specs that need a codec-free
+    * pipeline; identical batching shape to the real `decodeMeta`.
     */
-  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
+  def decodeMetaFake(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    decodeWith(df, idCol, payloadCol)(fakeDecode)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic image dims from a text column: width/height in 8..23,
+    * grayscale or RGB — small enough that encoding millions of images per
+    * executor is cheap, predictable enough that a SQL oracle over md5(text)
+    * can assert what the decoder must read back.
+    */
+  private[ext] def plannedDims(md5: String): (Int, Int, Int) = {
+    val b4 = Integer.parseInt(md5.substring(0, 2), 16)
+    val b5 = Integer.parseInt(md5.substring(2, 4), 16)
+    val b6 = Integer.parseInt(md5.substring(4, 6), 16)
+    (8 + b4 % 16, 8 + b5 % 16, 1 + (b6 % 2) * 2)
+  }
+
+  /** Encode a REAL PNG per row with `javax.imageio`, batched per
+    * partition. Pixels are seeded from the md5 so payloads differ; dims
+    * derive from the text so they're oracle-predictable. This is the
+    * write half of the codec round-trip `decodeMeta` closes.
+    */
+  def encodeImages(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inputSchema = df.schema
+    val idIdx = inputSchema.fieldIndex(idCol)
+    val tIdx = inputSchema.fieldIndex(textCol)
+    val outSchema = StructType(Seq(inputSchema(idIdx), StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val buf = new java.io.ByteArrayOutputStream(4096)
+      rows.map { r =>
+        val md5 = md5hex(r.getString(tIdx))
+        val (w, h, c) = plannedDims(md5)
+        val imgType =
+          if (c == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        val img = new java.awt.image.BufferedImage(w, h, imgType)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < c) {
+              // cheap deterministic texture from the hash + coordinates
+              raster.setSample(x, y, b,
+                (Integer.parseInt(md5.substring((x + y + b) % 16 * 2, (x + y + b) % 16 * 2 + 2), 16) + x * 7 + y * 13) & 0xff)
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        Row(r.get(idIdx), buf.toByteArray)
+      }
+    }(encoder)
+  }
+
+  /** REAL image decode over the binary column, batched per partition (the
+    * Scala analog of `mapInPandas`: one iterator per partition, no per-row
+    * task overhead). `ImageIO.read` parses the actual PNG/JPEG/GIF/BMP
+    * bytes; width/height/channels come from the decoded raster.
+    */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    decodeWith(df, idCol, payloadCol) { payload =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException("payload is not a decodable image")
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+        payload.length.toString) // content id: cheap length tag; md5 below
+    }
+
+  private def decodeWith(df: DataFrame, idCol: String, payloadCol: String)(
+      decode: Array[Byte] => (Int, Int, Int, String)): DataFrame = {
     val inputSchema = df.schema
     val idIdx = inputSchema.fieldIndex(idCol)
     val pIdx = inputSchema.fieldIndex(payloadCol)
@@ -56,9 +135,12 @@ object Multimodal {
       StructField("meta", metaSchema)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
-        val (w, h, c, hash) = fakeDecode(payload)
+        val (w, h, c, _) = decode(payload)
+        digest.reset()
+        val hash = digest.digest(payload).map("%02x".format(_)).mkString
         Row(r.get(idIdx), Row(w, h, c, hash))
       }
     }(encoder)

@@ -8,8 +8,9 @@ import graft.streaming.EventStream
 /** Streaming + multimodal pipeline queries. The streaming entry runs a
   * REAL Structured Streaming query (memory sink, drained synchronously)
   * whose result must hash-match the same aggregation in DuckDB — stream/
-  * batch parity is the check. Multimodal entries exercise the binary-
-  * column plumbing with the deterministic fake decoder (rows-only).
+  * batch parity is the check. Multimodal entries run a REAL javax.imageio
+  * PNG encode->decode round-trip whose decoded dims the oracle predicts
+  * from md5(text).
   */
 object PipelineQueries {
 
@@ -20,10 +21,14 @@ object PipelineQueries {
     }),
 
     "m01_multimodal_decode" -> ((spark, dir) => {
+      // REAL codec round-trip: encode genuine PNG bytes per doc with
+      // javax.imageio (dims planned from md5(text) so the oracle can
+      // predict them), then decode with ImageIO.read — width/height/
+      // channels in the output come from the decoded raster
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val withPayload = Multimodal.withFakePayload(docs, "doc_id", "text")
+      val withPayload = Multimodal.encodeImages(docs, "doc_id", "text")
       val meta = Multimodal.decodeMeta(withPayload, "doc_id", "payload")
-      Multimodal.resizePlan(meta, maxEdge = 512)
+      Multimodal.resizePlan(meta, maxEdge = 16)
         .select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.channels").as("channels"), col("target_width"), col("target_height"),
           col("needs_resize"))
@@ -79,8 +84,10 @@ object PipelineQueries {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "m01_multimodal_decode" ->
-      // the fake payload header bytes 4..6 are md5(text) bytes 0..2, so
-      // the whole decode+resize plan is derivable from documents.text
+      // the PNG encoder plans dims from md5(text) bytes 0..2, so what the
+      // ImageIO decoder must read back is derivable from documents.text:
+      // a dims mismatch anywhere in the encode->decode round-trip fails
+      // the hash compare
       """WITH b AS (
         |  SELECT doc_id,
         |    CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS b4,
@@ -89,11 +96,11 @@ object PipelineQueries {
         |  FROM documents),
         |m AS (
         |  SELECT doc_id,
-        |    CAST(64 + (b4 % 16) * 64 AS INTEGER) AS width,
-        |    CAST(64 + (b5 % 16) * 64 AS INTEGER) AS height,
+        |    CAST(8 + b4 % 16 AS INTEGER) AS width,
+        |    CAST(8 + b5 % 16 AS INTEGER) AS height,
         |    CAST(1 + (b6 % 2) * 2 AS INTEGER) AS channels
         |  FROM b),
-        |r AS (SELECT *, least(1.0, 512 / CAST(greatest(width, height) AS DOUBLE)) AS scale FROM m)
+        |r AS (SELECT *, least(1.0, 16 / CAST(greatest(width, height) AS DOUBLE)) AS scale FROM m)
         |SELECT doc_id, width, height, channels,
         |  CAST(ceil(width * scale) AS INTEGER) AS target_width,
         |  CAST(ceil(height * scale) AS INTEGER) AS target_height,

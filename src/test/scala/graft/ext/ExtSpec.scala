@@ -140,7 +140,7 @@ class ExtSpec extends AnyFunSuite {
   test("multimodal: payload -> fake decode -> resize plan is deterministic and typed") {
     val withP = Multimodal.withFakePayload(docs, "doc_id", "text")
     assert(withP.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
-    val meta = Multimodal.decodeMeta(withP, "doc_id", "payload")
+    val meta = Multimodal.decodeMetaFake(withP, "doc_id", "payload")
     val plan = Multimodal.resizePlan(meta, 512).orderBy("doc_id").collect()
     assert(plan.length === 4)
     // exact dups decode identically
@@ -151,6 +151,36 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.forall { r =>
       val tw = r.getAs[Int]("target_width"); tw <= 512 || !r.getAs[Boolean]("needs_resize")
     })
+  }
+
+  test("multimodal: real PNG encode round-trips through ImageIO decode") {
+    val withPng = Multimodal.encodeImages(docs, "doc_id", "text")
+    val rows = withPng.collect()
+    // the payloads are genuine PNG files (magic bytes), distinct per distinct text
+    assert(rows.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p(0) == 0x89.toByte && p(1) == 'P'.toByte && p(2) == 'N'.toByte && p(3) == 'G'.toByte
+    })
+    val meta = Multimodal.decodeMeta(withPng, "doc_id", "payload")
+      .select($"doc_id", $"meta.width", $"meta.height", $"meta.channels", $"meta.content_hash")
+      .orderBy("doc_id").collect()
+    // the decoder must read back exactly the dims the encoder planned from md5(text)
+    val texts = docs.orderBy("doc_id").select("text").as[String].collect()
+    meta.zip(texts).foreach { case (r, text) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (w, h, c) = Multimodal.plannedDims(md5)
+      assert(r.getInt(1) === w, s"width for '$text'")
+      assert(r.getInt(2) === h)
+      assert(r.getInt(3) === c)
+    }
+    // identical text -> identical PNG bytes -> identical content hash (docs 1,2 are dups)
+    assert(meta(0).getString(4) === meta(1).getString(4))
+    // a corrupt payload must fail loudly, not decode garbage
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(bad, "doc_id", "payload").collect()
+    }
   }
 
   test("rolling min-hash fingerprint is shift-sensitive but deterministic") {
