@@ -205,6 +205,56 @@ final class ArtifactStore(val cat: Catalog) {
     (novel.size.toLong, entries.size.toLong - novel.size)
   }
 
+  /** Per-file ingest of a directory tree (reference `Artifact.from_dir`,
+    * `artifact.py:2698-2807`): one artifact per file under `path`, keys
+    * maintaining the hierarchy as `folderKey/relative/path`. False
+    * duplicates — distinct files whose content hashes collide — are
+    * dropped keeping the first occurrence, like the reference's sanity
+    * check (`artifact.py:2769-2802`; it logs and drops them before
+    * save). Dropped keys are RETURNED, not logged, so callers can act.
+    * Registration routes through the bulk one-anti-join `registerBatch`,
+    * never a per-file catalog lookup.
+    */
+  final case class FromDirResult(artifacts: Seq[Map[String, Any]], droppedDuplicateKeys: Seq[String])
+
+  def fromDir(path: String, storageRoot: String, key: Option[String] = None,
+              kind: String = "dataset"): FromDirResult = {
+    val fs = Hashing.fileSystem(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(fs.getFileStatus(root).isDirectory, s"$path is not a directory")
+    val storageId = ensureStorage(storageRoot)
+    // key=None keeps the folder's own name, like the out-of-storage
+    // default `Path(folderpath.name)` in the reference
+    val folderKey = key.getOrElse(root.getName)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) { val st = it.next(); if (st.isFile) b += st }
+      b.result().sortBy(_.getPath.toUri.getPath)
+    }
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val entries = files.map { st =>
+      val p = st.getPath
+      val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val name = p.getName
+      val i = name.lastIndexOf('.')
+      val suffix = if (i >= 0) name.substring(i) else ""
+      StatEntry(Hashing.hashFile(fs, p), "md5", st.getLen, 1L,
+        s"$folderKey/$rel", suffix, realPath = Some(p.toUri.getPath))
+    }
+    // first occurrence per hash wins; later same-hash files are dropped
+    val seen = scala.collection.mutable.Set.empty[String]
+    val (kept, dropped) = entries.partition(e => seen.add(e.hash))
+    registerBatch(kept, storageId, kind)
+    // constructor semantics: return the catalog row per kept file, which
+    // is the pre-existing artifact when the hash was already registered —
+    // ONE filtered collect, not a lookup per file
+    val byHash = cat.table("artifact")
+      .filter(col("hash").isin(kept.map(_.hash): _*))
+      .collect().map(r => r.getAs[String]("hash") -> rowToMap(r)).toMap
+    FromDirResult(kept.map(e => byHash(e.hash)), dropped.map(_.key))
+  }
+
   private def findByHash(hash: String): Option[Map[String, Any]] = {
     // hash lookup bypasses branch filtering (`query_set.py:273-293`)
     val rows = cat.table("artifact").filter(col("hash") === hash).head(1)

@@ -252,4 +252,31 @@ class ArtifactOpsSpec extends AnyFunSuite {
     assert(store.querySet.filter("kind__startswith" -> "__lamindb")
       .toDataFrame(limit = None)._1.count() === 1)
   }
+
+  test("fromDir registers one artifact per file, hierarchy in keys, dup hashes dropped") {
+    val root = TestSpark.tmpDir("ops")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    // a small tree: two distinct files, a nested file, and a false
+    // duplicate (distinct path, identical content)
+    val dir = java.nio.file.Paths.get(TestSpark.tmpDir("fromdir"), "sample_001")
+    java.nio.file.Files.createDirectories(dir.resolve("nested"))
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "alpha")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "beta")
+    java.nio.file.Files.writeString(dir.resolve("nested/c.csv"), "1,2,3")
+    java.nio.file.Files.writeString(dir.resolve("nested/a_copy.txt"), "alpha")
+    val r = store.fromDir(dir.toString, root)
+    // 4 files, 1 false duplicate dropped (first occurrence a.txt wins)
+    assert(r.artifacts.length === 3)
+    assert(r.droppedDuplicateKeys === Seq("sample_001/nested/a_copy.txt"))
+    val keys = r.artifacts.map(_("key").toString)
+    assert(keys === Seq("sample_001/a.txt", "sample_001/b.txt", "sample_001/nested/c.csv"))
+    assert(r.artifacts.forall(_("n_files") === 1L))
+    assert(r.artifacts.map(_("suffix").toString) === Seq(".txt", ".txt", ".csv"))
+    // explicit key overrides the folder name; re-ingest is idempotent by
+    // hash: the SAME artifact rows come back, no new catalog rows
+    val again = store.fromDir(dir.toString, root, key = Some("renamed"))
+    assert(again.artifacts.map(_("uid")) === r.artifacts.map(_("uid")))
+    assert(cat.table("artifact").count() === 3)
+  }
 }
