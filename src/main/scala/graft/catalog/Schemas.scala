@@ -72,7 +72,9 @@ object Schemas {
       "schema" -> FK("schema", "schema", "schema_id")),
     m2ms = Map(
       "ulabels" -> M2M("ulabels", "artifact_ulabels", "artifact_id", "ulabel_id", "ulabel"),
-      "collections" -> M2M("collections", "collection_artifacts", "artifact_id", "collection_id", "collection")),
+      "collections" -> M2M("collections", "collection_artifacts", "artifact_id", "collection_id", "collection"),
+      "references" -> M2M("references", "artifact_references", "artifact_id", "reference_id", "reference"),
+      "projects" -> M2M("projects", "artifact_projects", "artifact_id", "project_id", "project")),
     aliases = Map("version" -> "version_tag", "transform" -> "run__transform"))
 
   val collection = TableDef(
@@ -237,7 +239,69 @@ object Schemas {
     "project",
     StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false),
       f("description", S)) ++ branchSpace ++ audit),
-    uidLen = 12, hasBranch = true)
+    uidLen = 12, hasBranch = true,
+    m2ms = Map(
+      "references" -> M2M("references", "project_references", "project_id", "reference_id", "reference"),
+      "users" -> M2M("users", "project_users", "project_id", "user_id", "user"),
+      "artifacts" -> M2M("artifacts", "artifact_projects", "project_id", "artifact_id", "artifact")))
+
+  /** References — papers, internal studies, documents, URLs
+    * (`models/project.py:45-249`): a typed registry (self-FK `type_id`
+    * like ULabel) with bibliographic fields and M2M links to artifacts /
+    * transforms / collections.
+    */
+  val reference = TableDef(
+    "reference",
+    StructType(Seq(f("id", L, false), f("uid", S, false), f("name", S, false),
+      f("description", S), f("abbr", S), f("url", S),
+      f("pubmed_id", L), f("doi", S), f("text", S), f("date", DateType),
+      f("type_id", L), f("is_type", B)) ++ branchSpace ++ audit),
+    uidLen = 12, hasBranch = true,
+    searchFields = Seq("name", "abbr", "text"),
+    fks = Map("type" -> FK("type", "reference", "type_id")),
+    m2ms = Map(
+      "artifacts" -> M2M("artifacts", "artifact_references", "reference_id", "artifact_id", "artifact"),
+      "transforms" -> M2M("transforms", "transform_references", "reference_id", "transform_id", "transform"),
+      "collections" -> M2M("collections", "collection_references", "reference_id", "collection_id", "collection"),
+      "projects" -> M2M("projects", "project_references", "reference_id", "project_id", "project")))
+
+  /** Link tables for Reference (`ArtifactReference` is feature-scoped
+    * like `ArtifactULabel`: unique on (artifact, reference, feature),
+    * `project.py:480-507`).
+    */
+  val artifactReferences = TableDef(
+    "artifact_references",
+    StructType(Seq(f("id", L, false), f("artifact_id", L, false),
+      f("reference_id", L, false), f("feature_id", L))))
+
+  val transformReferences = TableDef(
+    "transform_references",
+    StructType(Seq(f("id", L, false), f("transform_id", L, false),
+      f("reference_id", L, false))))
+
+  val collectionReferences = TableDef(
+    "collection_references",
+    StructType(Seq(f("id", L, false), f("collection_id", L, false),
+      f("reference_id", L, false))))
+
+  val projectReferences = TableDef(
+    "project_references",
+    StructType(Seq(f("id", L, false), f("project_id", L, false),
+      f("reference_id", L, false))))
+
+  val artifactProjects = TableDef(
+    "artifact_projects",
+    StructType(Seq(f("id", L, false), f("artifact_id", L, false),
+      f("project_id", L, false), f("feature_id", L))))
+
+  /** Project membership with a role (`ProjectUser`, `project.py:541-550`:
+    * unique on (project, user, role)) — the reference's person-link
+    * surface, since contributors are User rows.
+    */
+  val projectUsers = TableDef(
+    "project_users",
+    StructType(Seq(f("id", L, false), f("project_id", L, false),
+      f("user_id", L, false), f("role", S))))
 
   /** Markdown blocks (`models/block.py:206` `Block(BaseBlock, SQLRecord)`):
     * versioned readme-kind content keyed like artifacts, unversioned
@@ -272,7 +336,9 @@ object Schemas {
     runInputs, feature, schemaT, schemaFeatures, ulabel, ulabelParents,
     artifactUlabels, artifactSchemas, jsonValue, artifactJsonValues,
     runJsonValues, record, recordJson, recordRecord, recordUlabel,
-    recordArtifact, user, branch, space, project)
+    recordArtifact, user, branch, space, project,
+    reference, artifactReferences, transformReferences, collectionReferences,
+    projectReferences, artifactProjects, projectUsers)
 
   val byName: Map[String, TableDef] = all.map(t => t.name -> t).toMap
 }
