@@ -65,6 +65,20 @@ object Bench {
         val corpus = graft.queries.TextQueries.corpusWithNearDups(spark, sfDir)
         graft.ext.Dedup.simhashCandidates(corpus, "doc_id", "text")
           .filter(col("hamming") <= 6).count()
+      },
+      // exact-vs-approx distinct/quantile pair on the largest table: the
+      // approx tier (HLL++ + approx_percentile, constant per-group state)
+      // is the 100 TB path; the exact pair is what q25-family oracles run
+      "b05_lineitem_stats_exact" -> time {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9))").as("q"))
+          .collect()
+      },
+      "b06_lineitem_stats_approx" -> time {
+        graft.ext.Sketches.lineitemStatsApprox(
+          spark.read.parquet(s"$sfDir/lineitem.parquet")).collect()
       })
 
     val all = queryTimes ++ catalogTimes
