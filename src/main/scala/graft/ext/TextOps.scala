@@ -108,6 +108,42 @@ object TextOps {
       transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
       .otherwise(array(norm))
 
+  /** PII surface patterns — the public scrub-list shapes (emails, dashed
+    * phone numbers, IPv4, SSN-form ids). Kept to syntax both Java regex
+    * and RE2 execute identically so oracles can replay them.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction: per-doc match counts for each pattern, an
+    * overall flag, and the text with matches replaced by typed tags. Pure
+    * Column expressions (whole-stage codegen, map-only — a 100 TB corpus
+    * scrubs in one pass with no shuffle).
+    *
+    * Phone (3-3-4) and SSN (3-2-4) shapes are disjoint; emails are
+    * redacted before IPs so a hostname-ish domain can't double-match.
+    */
+  def piiColumns(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    def count(re: String) = size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    df.withColumn("n_emails", count(EmailRe))
+      .withColumn("n_phones", count(PhoneRe))
+      .withColumn("n_ssn", count(SsnRe))
+      .withColumn("n_ipv4", count(Ipv4Re))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ssn") + col("n_ipv4") > 0)
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, EmailRe, "[EMAIL]"),
+              PhoneRe, "[PHONE]"),
+            SsnRe, "[SSN]"),
+          Ipv4Re, "[IP]"))
+  }
+
   /** Rolling-hash (Rabin-Karp-style) document fingerprint over token
     * windows — deterministic 64-bit content signature usable for shift-
     * resistant chunk dedup. Returns the min window hash (a "winnowing"

@@ -149,8 +149,33 @@ object TextQueries {
         .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
       Dedup.ngramJaccard(planted.unionByName(background), corpus, "doc_id", "text")
         .orderBy("id_a", "id_b")
+    }),
+
+    "d11_pii_detect" -> ((spark, dir) => {
+      // the synthetic corpus carries no digits, so PII-shaped strings are
+      // planted deterministically from doc_id (same derivation in the
+      // oracle); the detector itself is the real regex scrub pass
+      TextOps.piiColumns(corpusWithPii(spark, dir), "text")
+        .select("doc_id", "n_emails", "n_phones", "n_ssn", "n_ipv4", "has_pii", "redacted")
+        .orderBy("doc_id")
     })
   )
+
+  /** Documents with deterministic PII-shaped plants: emails on %7, dashed
+    * phones on %11, SSN-form ids on %13, IPv4 hosts on %17 — every value
+    * derived from doc_id so the DuckDB oracle can replant identically.
+    */
+  private[graft] def corpusWithPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val id = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    docs.withColumn("text", concat(
+      col("text"),
+      when(id % 7 === 0, concat(lit(" contact user"), s(id), lit("@example.com"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" call 555-"), s(id % 900 + 100), lit("-"), s(id % 9000 + 1000))).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" id "), s(id % 900 + 100), lit("-"), s(id % 90 + 10), lit("-"), s(id % 9000 + 1000))).otherwise(lit("")),
+      when(id % 17 === 0, concat(lit(" host 10."), s(id % 256), lit("."), s((id * 7) % 256), lit("."), s(id % 250 + 1))).otherwise(lit(""))))
+  }
 
   /** corpus CTE body shared by d08/d09 oracles (docs + planted near-dups). */
   private val corpusSql =
@@ -160,6 +185,35 @@ object TextQueries {
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d11_pii_detect" ->
+      // replants the deterministic PII strings, then replays the same
+      // regex counts/redaction (RE2 and Java regex agree on these shapes)
+      """WITH corpus AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |    CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4
+        |  FROM corpus)
+        |SELECT doc_id, n_emails, n_phones, n_ssn, n_ipv4,
+        |  n_emails + n_phones + n_ssn + n_ipv4 > 0 AS has_pii,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM counted ORDER BY doc_id""".stripMargin,
+
     "d09_minhash_portable" -> Dedup.minhashPortableOracleSql(corpusSql),
     // valid for the xxhash64 path because at bands=8/threshold=0.8 the
     // hash family cannot change the verified pair set (see query note)

@@ -183,6 +183,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pii detection counts each shape once and redacts with typed tags") {
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or 555-867-5309"),
+      (2L, "ssn 123-45-6789 from host 192.168.0.1"),
+      (3L, "clean text, no identifiers at all"),
+      (4L, "two mails: a@b.co c@d.io")
+    ).toDF("doc_id", "text")
+    val r = TextOps.piiColumns(df, "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_emails") === 1 && r(0).getAs[Long]("n_phones") === 1)
+    assert(r(0).getAs[String]("redacted") === "reach me at [EMAIL] or [PHONE]")
+    assert(r(1).getAs[Long]("n_ssn") === 1 && r(1).getAs[Long]("n_ipv4") === 1)
+    assert(r(1).getAs[String]("redacted") === "ssn [SSN] from host [IP]")
+    // phone (3-3-4) never double-counts as SSN (3-2-4) and vice versa
+    assert(r(0).getAs[Long]("n_ssn") === 0 && r(1).getAs[Long]("n_phones") === 0)
+    assert(!r(2).getAs[Boolean]("has_pii"))
+    assert(r(3).getAs[Long]("n_emails") === 2)
+  }
+
   test("rolling min-hash fingerprint is shift-sensitive but deterministic") {
     val a = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
     val b = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
