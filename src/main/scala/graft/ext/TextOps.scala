@@ -144,6 +144,64 @@ object TextOps {
           Ipv4Re, "[IP]"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, public):
+    * duplicate-line fraction, duplicate-line character fraction, and the
+    * character fraction of the most frequent word bigram, plus a keep
+    * flag at the published thresholds (<0.30 / <0.20 / <0.20).
+    *
+    * "Lines" are fixed `lineTokens`-token chunks (the synthetic corpus
+    * has no newlines; for real text pass pre-split lines). Shape: two
+    * explode→groupBy passes keyed by doc id — per-key state is one count
+    * per distinct line/bigram, never O(doc²), so a 100 TB corpus runs as
+    * two doc-keyed shuffles with map-side partial aggregation.
+    */
+  def repetitionColumns(df: DataFrame, idCol: String, textCol: String,
+                        lineTokens: Int = 8): DataFrame = {
+    val id = col(idCol)
+    val base = df
+      .select(id, tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__norm_len", length(concat_ws(" ", col("__toks"))).cast("double"))
+
+    val lines = base.select(id,
+        explode(transform(
+          sequence(lit(0), ceil(col("__n") / lineTokens.toDouble).cast("int") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * lineTokens + 1, lit(lineTokens))))).as("line"))
+    val lineAgg = lines.groupBy(id, col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(
+        sum("c").as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(when(col("c") > 1, col("c") * length(col("line"))).otherwise(lit(0L))).as("dup_chars"))
+
+    val bigrams = base.filter(col("__n") >= 2).select(id,
+        explode(transform(sequence(lit(1), col("__n") - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1)))).as("bg"))
+    val topBigram = bigrams.groupBy(id, col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(id)
+          .orderBy(col("c").desc, col("bg"))))
+      .filter(col("rn") === 1)
+      .select(id, col("bg").as("top_bigram"), col("c").as("top_bigram_count"))
+
+    base.join(lineAgg, Seq(idCol))
+      .join(topBigram, Seq(idCol), "left")
+      .select(id,
+        col("n_lines"),
+        round(lit(1.0) - col("n_distinct_lines") / col("n_lines"), 9).as("dup_line_frac"),
+        round(col("dup_chars") / col("__norm_len"), 9).as("dup_line_char_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        // a bigram seen once is not repetition: the char fraction only
+        // counts REPEATED top bigrams (otherwise every short doc trips
+        // the threshold on its first bigram)
+        round(when(coalesce(col("top_bigram_count"), lit(0L)) > 1,
+            col("top_bigram_count") * length(col("top_bigram")) / col("__norm_len"))
+          .otherwise(lit(0.0)), 9).as("top_bigram_char_frac"))
+      .withColumn("repetition_ok",
+        col("dup_line_frac") < 0.30 && col("dup_line_char_frac") < 0.20 &&
+          col("top_bigram_char_frac") < 0.20)
+  }
+
   /** Rolling-hash (Rabin-Karp-style) document fingerprint over token
     * windows — deterministic 64-bit content signature usable for shift-
     * resistant chunk dedup. Returns the min window hash (a "winnowing"

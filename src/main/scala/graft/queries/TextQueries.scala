@@ -151,6 +151,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "d12_repetition" -> ((spark, dir) => {
+      // Gopher repetition rules over a corpus where %19 docs are doubled
+      // (planted repetition, same derivation in the oracle)
+      val docs = t(spark, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 19 === 0, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.repetitionColumns(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "d11_pii_detect" -> ((spark, dir) => {
       // the synthetic corpus carries no digits, so PII-shaped strings are
       // planted deterministically from doc_id (same derivation in the
@@ -185,6 +195,53 @@ object TextQueries {
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d12_repetition" ->
+      // mirrors TextOps.repetitionColumns: 8-token lines, word bigrams,
+      // Gopher thresholds; DuckDB range() is stop-exclusive where Spark
+      // sequence() is inclusive, hence range(0, ceil) / range(1, n)
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |b2 AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    length(array_to_string(toks, ' ')) AS norm_len
+        |  FROM base),
+        |lines AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(n / 8.0) AS BIGINT)),
+        |    i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS line
+        |  FROM b2),
+        |lcnt AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+        |lagg AS (
+        |  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_dist,
+        |    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+        |  FROM lcnt GROUP BY 1),
+        |bigr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM b2 WHERE n >= 2),
+        |bcnt AS (SELECT doc_id, bg, count(*) AS c FROM bigr GROUP BY 1, 2),
+        |btop AS (
+        |  SELECT doc_id, bg, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+        |    FROM bcnt) WHERE rn = 1),
+        |m AS (
+        |  SELECT b2.doc_id,
+        |    CAST(lagg.n_lines AS BIGINT) AS n_lines,
+        |    round(1.0 - CAST(lagg.n_dist AS DOUBLE) / lagg.n_lines, 9) AS dup_line_frac,
+        |    round(CAST(lagg.dup_chars AS DOUBLE) / b2.norm_len, 9) AS dup_line_char_frac,
+        |    coalesce(btop.bg, '') AS top_bigram,
+        |    round(CASE WHEN coalesce(btop.c, 0) > 1
+        |      THEN CAST(btop.c * length(btop.bg) AS DOUBLE) / b2.norm_len
+        |      ELSE 0.0 END, 9) AS top_bigram_char_frac
+        |  FROM b2 JOIN lagg ON b2.doc_id = lagg.doc_id
+        |  LEFT JOIN btop ON b2.doc_id = btop.doc_id)
+        |SELECT *,
+        |  dup_line_frac < 0.30 AND dup_line_char_frac < 0.20 AND top_bigram_char_frac < 0.20
+        |    AS repetition_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "d11_pii_detect" ->
       // replants the deterministic PII strings, then replays the same
       // regex counts/redaction (RE2 and Java regex agree on these shapes)

@@ -201,6 +201,31 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3).getAs[Long]("n_emails") === 2)
   }
 
+  test("repetition metrics: duplicate lines, top bigram, single-token edge") {
+    val df = Seq(
+      (1L, "x y x y x y x y x y x y x y x y"), // 16 toks: two identical 8-tok lines
+      (2L, "all these words differ from each other fully"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionColumns(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 2 lines, both dups -> frac 0.5; dup chars 30 of 31;
+    // top bigram "x y" appears 8x, 3 chars -> 24/31
+    assert(r(0).getAs[Long]("n_lines") === 2)
+    assert(r(0).getAs[Double]("dup_line_frac") === 0.5)
+    assert(math.abs(r(0).getAs[Double]("dup_line_char_frac") - 30.0 / 31) < 1e-9)
+    assert(r(0).getAs[String]("top_bigram") === "x y")
+    assert(math.abs(r(0).getAs[Double]("top_bigram_char_frac") - 24.0 / 31) < 1e-9)
+    assert(!r(0).getAs[Boolean]("repetition_ok"))
+    // doc 2: no repetition at all
+    assert(r(1).getAs[Double]("dup_line_frac") === 0.0)
+    assert(r(1).getAs[Boolean]("repetition_ok"))
+    // doc 3: one token -> one line, no bigrams, empty top_bigram
+    assert(r(2).getAs[Long]("n_lines") === 1)
+    assert(r(2).getAs[String]("top_bigram") === "")
+    assert(r(2).getAs[Double]("top_bigram_char_frac") === 0.0)
+  }
+
   test("rolling min-hash fingerprint is shift-sensitive but deterministic") {
     val a = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
     val b = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
