@@ -150,6 +150,21 @@ object CoreQueries {
         .select("p_partkey", "p_name", "rank")
     }),
 
+    "q26_asof_join" -> ((spark, dir) => {
+      // backward as-of: each click matched to the user's most recent
+      // prior-or-equal error event — one user_id shuffle, no range join
+      val ev = events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+          col("value").as("err_value"))
+      graft.ext.AsOfJoin.asOf(clicks, errors, "user_id", "ts", "ts",
+          Seq("err_id", "err_value"))
+        .select("event_id", "user_id", "asof_err_id", "asof_err_value")
+        .orderBy("event_id")
+    }),
+
     "q25_quantiles" -> ((spark, dir) => {
       // exact interpolated percentiles (both engines use linear
       // interpolation) + exact distinct counts per group
@@ -376,6 +391,13 @@ object CoreQueries {
         s"""SELECT p_partkey, p_name, CAST($rankExpr AS INT) AS rank
            |FROM part WHERE $prefilter
            |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin,
+
+      "q26_asof_join" ->
+        """SELECT l.event_id, l.user_id, r.event_id AS asof_err_id, r.value AS asof_err_value
+          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+          |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error') r
+          |  ON l.user_id = r.user_id AND l.ts >= r.ts
+          |ORDER BY l.event_id""".stripMargin,
 
       "q25_quantiles" ->
         """SELECT lang, count(DISTINCT source) AS n_sources,

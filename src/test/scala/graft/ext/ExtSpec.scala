@@ -183,6 +183,28 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: latest prior-or-equal right row per key, null when none") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq(
+      (10L, 1L, ts(100)), // after r at 50 -> matches 50
+      (11L, 1L, ts(200)), // equal to r at 200 -> inclusive match
+      (12L, 1L, ts(40)),  // before any right row -> null
+      (13L, 2L, ts(500))  // key with no right rows -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(50), 90L, 1.5),
+      (1L, ts(200), 91L, 2.5),
+      (1L, ts(300), 92L, 3.5) // later than every left row: never matched
+    ).toDF("user_id", "ts", "err_id", "err_value")
+    val r = AsOfJoin.asOf(left, right, "user_id", "ts", "ts", Seq("err_id", "err_value"))
+      .orderBy("event_id").collect()
+    assert(r.map(x => Option(x.getAs[java.lang.Long]("asof_err_id"))).toSeq ===
+      Seq(Some(90L), Some(91L), None, None))
+    assert(r(1).getAs[Double]("asof_err_value") === 2.5)
+    // left columns survive untouched
+    assert(r.map(_.getAs[Long]("event_id")).toSeq === Seq(10L, 11L, 12L, 13L))
+  }
+
   test("pii detection counts each shape once and redacts with typed tags") {
     val df = Seq(
       (1L, "reach me at jo.doe+x@mail.example.org or 555-867-5309"),
