@@ -20,6 +20,16 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     }),
 
+    "s02_session_window" -> ((spark, dir) => {
+      // REAL streaming session windows (append mode): a session is
+      // emitted exactly once when the watermark passes its end; the
+      // oracle replays the same sessions as gaps-and-islands SQL with
+      // the same finalization predicate
+      EventStream.runSessionStreaming(spark, dir, "8 hours",
+          s"graft_sessions_${dir.replaceAll("\\W", "_")}")
+        .orderBy("session_start", "user_id")
+    }),
+
     "m01_multimodal_decode" -> ((spark, dir) => {
       // REAL codec round-trip: encode genuine PNG bytes per doc with
       // javax.imageio (dims planned from md5(text) so the oracle can
@@ -82,6 +92,28 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "s02_session_window" ->
+      // sessions as gaps-and-islands: a new island when the gap from the
+      // previous event exceeds 8h STRICTLY (Spark merges at exactly
+      // last+gap); only sessions finalized at the terminal watermark
+      // (max event time, delay 0) are emitted by the append-mode stream
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 8 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |agg AS (
+        |  SELECT min(ts) AS session_start, max(ts) + INTERVAL 8 HOUR AS session_end,
+        |    user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT session_start, session_end, user_id, n, sum_value
+        |FROM agg WHERE session_end <= (SELECT max(ts) FROM events)
+        |ORDER BY session_start, user_id""".stripMargin,
 
     "m01_multimodal_decode" ->
       // the PNG encoder plans dims from md5(text) bytes 0..2, so what the

@@ -81,4 +81,86 @@ object EventStream {
     val batch = toTimestamp(spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet"))
     windowedCounts(batch, withWatermark = false)
   }
+
+  /** Session-window aggregation per user: events within `gap` of the
+    * previous one merge into the session; the session spans
+    * [first_ts, last_ts + gap) (half-open — an event at exactly
+    * last_ts + gap starts a NEW session).
+    */
+  def sessionCounts(events: DataFrame, gap: String, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "0 seconds") else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows as a REAL streaming query (append mode — the only
+    * mode that makes sense for sessions: a session is emitted exactly
+    * once, when the watermark passes its end). The trailing no-data
+    * microbatch is REQUIRED here (it advances the watermark and flushes
+    * finalized sessions); sessions still open at the final watermark
+    * stay in state, which is the honest streaming answer — the batch
+    * twin (`runBatchSessions`) applies the same finalization predicate.
+    */
+  def runSessionStreaming(spark: SparkSession, dir: String, gap: String,
+                          queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      val stream = spark.readStream
+        .schema(eventsRawSchema)
+        .parquet(s"$dir/events*.parquet")
+      val agg = sessionCounts(toTimestamp(stream), gap, withWatermark = true)
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None    => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
+  /** Batch twin of the session stream: same sessions, filtered to those
+    * the stream has finalized (`finalizedOnly`) — i.e. session end at or
+    * before the terminal watermark (max event time, delay 0).
+    */
+  def runBatchSessions(spark: SparkSession, dir: String, gap: String,
+                       finalizedOnly: Boolean): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = toTimestamp(spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet"))
+    val sessions = sessionCounts(batch, gap, withWatermark = false)
+    if (!finalizedOnly) sessions
+    else {
+      val wm = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      // CORRECTNESS TRAP (verified on Spark 4.1.2): session_window is a
+      // grouping expression, so Catalyst pushes a `session_end <= wm`
+      // filter BELOW the aggregate — legal for ordinary group keys,
+      // WRONG for session windows: the pushed predicate becomes
+      // `ts + gap <= wm` on the raw scan, dropping tail events
+      // pre-merge and truncating sessions (u0's 7-event session loses
+      // its last 2 events and reports a closed end it never had).
+      // Logical-plan barriers don't survive: an unused nondeterministic
+      // column is pruned before pushdown, and even an OR'd
+      // nondeterministic disjunct got simplified away. localCheckpoint
+      // materializes the POST-merge sessions, which no rule crosses —
+      // fine for this batch verification twin (streaming is the
+      // production path; its watermark applies post-merge by design).
+      sessions.localCheckpoint().filter(col("session_end") <= lit(wm))
+    }
+  }
 }
