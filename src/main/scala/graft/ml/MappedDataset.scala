@@ -100,6 +100,28 @@ object MappedDataset {
     df.join(broadcast(freq), Seq(labelCol), "left")
   }
 
+  /** Round-robin batch sharding — the parallel-loader worker split. A
+    * torch DataLoader with `num_workers=N` serves batch b from worker
+    * b % N; the reference leans on that split and re-opens store
+    * connections per worker (`torch_worker_init_fn`,
+    * `_mapped_collection.py:691-703`). Here the split is explicit data:
+    * every row gets (global_idx, batch_idx, worker_id), so
+    * `filter(worker_id === w)` IS worker w's shard — shards are disjoint,
+    * complete, and each serves whole contiguous batches.
+    *
+    * The global row_number runs unpartitioned — fine for the loader tier
+    * (an epoch's index assignment is one pass over row ids); shard the
+    * underlying scan, not this bookkeeping, at 100 TB.
+    */
+  def workerShard(df: DataFrame, orderCols: Seq[String], batchSize: Int,
+                  numWorkers: Int): DataFrame = {
+    require(batchSize > 0 && numWorkers > 0, "batchSize and numWorkers must be positive")
+    df.withColumn("global_idx",
+        row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long") - 1)
+      .withColumn("batch_idx", expr(s"global_idx div $batchSize"))
+      .withColumn("worker_id", (col("batch_idx") % numWorkers).cast("int"))
+  }
+
   /** Deterministic epoch iteration: shuffle rows with a seeded hash order
     * and stream batches to the training process without collecting the
     * dataset (`toLocalIterator` = one partition in memory at a time).

@@ -69,6 +69,18 @@ object PipelineQueries {
         .orderBy("store_idx", "local_idx")
     }),
 
+    "l04_worker_shard" -> ((spark, dir) => {
+      // parallel-loader split: batch b -> worker b % 3 over the routed
+      // union, batch size 32 (torch DataLoader round-robin contract)
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang")
+      val stores = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      val m = graft.ml.MappedDataset.mapped(stores, join = "inner", orderCol = Some("doc_id"))
+      graft.ml.MappedDataset.workerShard(m, Seq("store_idx", "local_idx"),
+          batchSize = 32, numWorkers = 3)
+        .select("store_idx", "local_idx", "doc_id", "global_idx", "batch_idx", "worker_id")
+        .orderBy("global_idx")
+    }),
+
     "l03_mapped_filtered_encoded" -> ((spark, dir) => {
       // obs_filter + unknown_label parity: per-store isin masks applied
       // AFTER local-index assignment (rows keep their in-store position),
@@ -149,6 +161,18 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS BIGINT) AS local_idx,
         |  doc_id, lang
         |FROM documents ORDER BY store_idx, local_idx""".stripMargin,
+
+    "l04_worker_shard" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id % 2 AS INTEGER) AS store_idx,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS BIGINT) AS local_idx,
+        |    doc_id
+        |  FROM documents),
+        |g AS (SELECT *, CAST(row_number() OVER (ORDER BY store_idx, local_idx) - 1 AS BIGINT) AS global_idx FROM m)
+        |SELECT store_idx, local_idx, doc_id, global_idx,
+        |  CAST(global_idx // 32 AS BIGINT) AS batch_idx,
+        |  CAST((global_idx // 32) % 3 AS INTEGER) AS worker_id
+        |FROM g ORDER BY global_idx""".stripMargin,
 
     "l03_mapped_filtered_encoded" ->
       """WITH m AS (

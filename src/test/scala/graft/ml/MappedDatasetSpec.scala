@@ -96,4 +96,23 @@ class MappedDatasetSpec extends AnyFunSuite {
     assert(e1.map(_.getLong(2)).toSet === Set(1L, 2L, 3L, 4L, 5L))
     assert(e1 !== e3)                       // different seed reshuffles
   }
+
+  test("worker shards are disjoint, complete, and serve whole round-robin batches") {
+    val df = spark.range(0, 100).select($"id".as("doc_id"))
+    val sharded = MappedDataset.workerShard(df, Seq("doc_id"), batchSize = 8, numWorkers = 3)
+    val rows = sharded.collect()
+    // disjoint + complete: every row has exactly one worker
+    assert(rows.length === 100)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === (0L until 100L).toSet)
+    // batch b -> worker b % 3, whole batches only
+    rows.foreach { r =>
+      val b = r.getAs[Long]("batch_idx")
+      assert(b === r.getAs[Long]("global_idx") / 8)
+      assert(r.getAs[Int]("worker_id") === (b % 3).toInt)
+    }
+    // worker 0 serves batches 0,3,6,9,12 -> 8+8+8+8+4 rows (tail batch short)
+    assert(rows.count(_.getAs[Int]("worker_id") === 0) === 36)
+    assert(rows.count(_.getAs[Int]("worker_id") === 1) === 32)
+    assert(rows.count(_.getAs[Int]("worker_id") === 2) === 32)
+  }
 }
