@@ -202,6 +202,51 @@ object TextOps {
           col("top_bigram_char_frac") < 0.20)
   }
 
+  /** Sliding-window document chunking — the context-window preparation
+    * step for pretraining/RAG: token chunks of `chunkSize` starting every
+    * `stride` tokens (overlap = chunkSize - stride), final chunk clamped.
+    * `nChunks = 1 + ceil(max(n - chunkSize, 0) / stride)` — a doc shorter
+    * than one chunk yields exactly one. Map-only explode (no shuffle): a
+    * 100 TB corpus chunks in a single pass.
+    */
+  def chunkColumns(df: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int = 64, stride: Int = 56): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    base.select(col(idCol),
+        explode(transform(
+          sequence(lit(0),
+            (ceil(greatest(col("__n") - chunkSize, lit(0)) / stride.toDouble)).cast("int")),
+          k => struct(
+            k.cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("__toks"), k * stride + 1, lit(chunkSize))).as("chunk_text"),
+            size(slice(col("__toks"), k * stride + 1, lit(chunkSize))).cast("long").as("n_chunk_tokens"))))
+          .as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.n_chunk_tokens"), col("c.chunk_text"))
+  }
+
+  /** TF-IDF top-k terms per document (sklearn-style smoothed idf:
+    * ln((N+1)/(df+1)) + 1). Two doc-keyed/term-keyed shuffles with
+    * map-side partial aggregation; the per-term document-frequency table
+    * is corpus-vocabulary-sized and joins broadcast.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val terms = df.select(id, explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(id).distinct().count()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", round(col("tf") * col("idf"), 9))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(id)
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(id, col("rn").as("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Rolling-hash (Rabin-Karp-style) document fingerprint over token
     * windows — deterministic 64-bit content signature usable for shift-
     * resistant chunk dedup. Returns the min window hash (a "winnowing"

@@ -151,6 +151,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "d13_chunking" -> ((spark, dir) => {
+      // sliding 24-token windows, stride 16 (8-token overlap) — small
+      // enough that the ~30-token synthetic docs produce multiple chunks
+      TextOps.chunkColumns(t(spark, dir, "documents"), "doc_id", "text",
+          chunkSize = 24, stride = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "d14_tfidf" -> ((spark, dir) => {
+      TextOps.tfidfTopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     "d12_repetition" -> ((spark, dir) => {
       // Gopher repetition rules over a corpus where %19 docs are doubled
       // (planted repetition, same derivation in the oracle)
@@ -195,6 +208,44 @@ object TextQueries {
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d13_chunking" ->
+      // nChunks = 1 + ceil(max(n-24,0)/16); chunk k = toks[16k+1 : 16k+24]
+      """WITH b AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(greatest(n - 24, 0) / 16.0) AS BIGINT) + 1)) AS chunk_idx,
+        |    toks
+        |  FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx*16+1 : chunk_idx*16+24]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_idx*16+1 : chunk_idx*16+24], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "d14_tfidf" ->
+      // smoothed idf = ln((N+1)/(df+1)) + 1, top 3 terms per doc by
+      // (tfidf desc, term asc)
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    ln((CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE) + 1.0)
+        |      / (count(*) + 1.0)) + 1.0 AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * dfreq.idf, 9) AS tfidf
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM scored)
+        |SELECT doc_id, rank, term, tf, df, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "d12_repetition" ->
       // mirrors TextOps.repetitionColumns: 8-token lines, word bigrams,
       // Gopher thresholds; DuckDB range() is stop-exclusive where Spark

@@ -205,6 +205,28 @@ class ExtSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("event_id")).toSeq === Seq(10L, 11L, 12L, 13L))
   }
 
+  test("chunking: overlap windows, clamped tail, short-doc single chunk") {
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks, C=8 S=6 -> 3 chunks
+      (2L, "a b c")                                   // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val r = TextOps.chunkColumns(df, "doc_id", "text", chunkSize = 8, stride = 6)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: starts at 0, 6, 12 -> 1 + ceil((20-8)/6) = 3 chunks
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1.length === 3)
+    assert(d1(0).getAs[String]("chunk_text") === (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(d1(1).getAs[String]("chunk_text") === (7 to 14).map(i => s"t$i").mkString(" "))
+    assert(d1(2).getAs[String]("chunk_text") === (13 to 20).map(i => s"t$i").mkString(" "))
+    assert(d1.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(8L, 8L, 8L))
+    // doc 2: one clamped chunk
+    val d2 = r.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2(0).getAs[Long]("n_chunk_tokens") === 3L)
+    // consecutive chunks overlap by chunkSize - stride = 2 tokens
+    assert(d1(0).getAs[String]("chunk_text").split(" ").takeRight(2).toSeq ===
+      d1(1).getAs[String]("chunk_text").split(" ").take(2).toSeq)
+  }
+
   test("pii detection counts each shape once and redacts with typed tags") {
     val df = Seq(
       (1L, "reach me at jo.doe+x@mail.example.org or 555-867-5309"),
