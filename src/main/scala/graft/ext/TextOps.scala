@@ -163,15 +163,20 @@ object TextOps {
       .withColumn("__n", size(col("__toks")))
       .withColumn("__norm_len", length(concat_ws(" ", col("__toks"))).cast("double"))
 
-    val lines = base.select(id,
+    // norm_len rides the line explode (first() per group) so the final
+    // assembly never joins back to the token arrays — two narrow
+    // doc-keyed aggregation paths and one slim left join
+    val lines = base.select(id, col("__norm_len"),
         explode(transform(
           sequence(lit(0), ceil(col("__n") / lineTokens.toDouble).cast("int") - 1),
           i => concat_ws(" ", slice(col("__toks"), i * lineTokens + 1, lit(lineTokens))))).as("line"))
-    val lineAgg = lines.groupBy(id, col("line")).agg(count(lit(1)).as("c"))
+    val lineAgg = lines.groupBy(id, col("line"))
+      .agg(count(lit(1)).as("c"), first(col("__norm_len")).as("__norm_len"))
       .groupBy(id).agg(
         sum("c").as("n_lines"),
         count(lit(1)).as("n_distinct_lines"),
-        sum(when(col("c") > 1, col("c") * length(col("line"))).otherwise(lit(0L))).as("dup_chars"))
+        sum(when(col("c") > 1, col("c") * length(col("line"))).otherwise(lit(0L))).as("dup_chars"),
+        first(col("__norm_len")).as("__norm_len"))
 
     val bigrams = base.filter(col("__n") >= 2).select(id,
         explode(transform(sequence(lit(1), col("__n") - 1),
@@ -184,7 +189,7 @@ object TextOps {
       .filter(col("rn") === 1)
       .select(id, col("bg").as("top_bigram"), col("c").as("top_bigram_count"))
 
-    base.join(lineAgg, Seq(idCol))
+    lineAgg
       .join(topBigram, Seq(idCol), "left")
       .select(id,
         col("n_lines"),

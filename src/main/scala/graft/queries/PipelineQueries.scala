@@ -25,8 +25,12 @@ object PipelineQueries {
       // emitted exactly once when the watermark passes its end; the
       // oracle replays the same sessions as gaps-and-islands SQL with
       // the same finalization predicate
+      // 4 state-store partitions: the store open+commit cost per
+      // partition dominates a one-shot local session stream (sweep: 4 ->
+      // 4.1 s, 8 -> 4.5, 32 -> 9.3 at sf0.1); a long-lived cluster job
+      // would size this up with the key space
       EventStream.runSessionStreaming(spark, dir, "8 hours",
-          s"graft_sessions_${dir.replaceAll("\\W", "_")}")
+          s"graft_sessions_${dir.replaceAll("\\W", "_")}", shufflePartitions = 4)
         .orderBy("session_start", "user_id")
     }),
 

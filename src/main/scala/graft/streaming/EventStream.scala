@@ -106,12 +106,12 @@ object EventStream {
     * twin (`runBatchSessions`) applies the same finalization predicate.
     */
   def runSessionStreaming(spark: SparkSession, dir: String, gap: String,
-                          queryName: String): DataFrame = {
+                          queryName: String, shufflePartitions: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try {
       val stream = spark.readStream
