@@ -70,6 +70,37 @@ final class Lineage(val cat: Catalog) {
     (transformId, runId)
   }
 
+  /** Capture the compute environment of the current run — the JVM analog
+    * of the reference's `track_python_environment` (pip-freeze into
+    * `environments/run_{uid}/run_env_pip.txt`,
+    * `core/_track_environment.py:14-31`): JVM/Scala/Spark versions, key
+    * Spark confs, and the sorted classpath jar manifest, written to
+    * `<catalog root>/environments/run_<id>/run_env_jvm.txt`. Returns the
+    * file path. Driver-side by nature (environment is a driver fact).
+    */
+  def trackEnvironment(): String = {
+    val runId = cat.currentRunId.getOrElse(
+      throw new IllegalStateException("no active run - call track() first"))
+    val spark = cat.spark
+    val dir = java.nio.file.Paths.get(cat.root, "environments", s"run_$runId")
+    java.nio.file.Files.createDirectories(dir)
+    val jars = System.getProperty("java.class.path", "")
+      .split(java.io.File.pathSeparatorChar)
+      .map(_.trim).filter(_.endsWith(".jar"))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    val confs = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+      "spark.sql.session.timeZone", "spark.master")
+      .flatMap(k => spark.conf.getOption(k).map(v => s"$k=$v"))
+    val content =
+      (Seq(
+        s"java.version=${System.getProperty("java.version")}",
+        s"scala.version=${scala.util.Properties.versionNumberString}",
+        s"spark.version=${spark.version}") ++ confs ++ jars).mkString("\n")
+    val file = dir.resolve("run_env_jvm.txt")
+    java.nio.file.Files.writeString(file, content)
+    file.toString
+  }
+
   /** Mark the current run completed (`ln.finish()`). */
   def finish(statusCode: Int = 0): Unit = {
     cat.currentRunId.foreach { runId =>

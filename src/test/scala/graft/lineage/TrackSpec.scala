@@ -81,4 +81,19 @@ class TrackSpec extends AnyFunSuite {
     assert(n === 2)
     assert(!red.contains("abc") && !red.contains("xyz"))
   }
+
+  test("trackEnvironment writes a per-run JVM manifest under the catalog root") {
+    val root = graft.TestSpark.tmpDir("trackenv")
+    val cat = Catalog.deterministic(spark, root)
+    val lin = new Lineage(cat)
+    intercept[IllegalStateException](lin.trackEnvironment()) // no active run
+    val (_, runId) = lin.track("env.scala", "src")
+    val path = lin.trackEnvironment()
+    assert(path === s"$root/environments/run_$runId/run_env_jvm.txt")
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(content.contains(s"spark.version=${spark.version}"))
+    assert(content.contains("java.version="))
+    assert(content.contains("spark.sql.session.timeZone=UTC"))
+    lin.finish()
+  }
 }
