@@ -252,6 +252,61 @@ object TextOps {
       .select(id, col("rn").as("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Deterministic hash split — the train/val/test assignment step.
+    * md5-based so any engine reproduces it (xxhash64 would be faster but
+    * is not portable): bucket = first 8 md5 hex digits of `id || salt`
+    * mod 100, assigned by cumulative fraction. Map-only, stable across
+    * runs and engines, and re-running with more data never reassigns an
+    * existing id (the property random splits lack).
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                fractions: Seq[(String, Int)]): DataFrame = {
+    require(fractions.map(_._2).sum == 100, "fractions must sum to 100")
+    val bucket = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long") % 100
+    val (expr0, _) = fractions.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, cum), (name, pct)) =>
+        (when(bucket >= cum && bucket < cum + pct, lit(name)).otherwise(acc), cum + pct)
+    }
+    df.withColumn("split_bucket", bucket).withColumn("split", expr0)
+  }
+
+  /** Bigram language-model scoring — the model-based quality signal:
+    * train add-one-smoothed bigram probabilities on a corpus slice, score
+    * each document's average log-probability (higher = more "in
+    * distribution"). Train = one (prev, term) shuffle; score = explode +
+    * broadcast model join + per-doc mean. `<s>` bounds each document.
+    */
+  def bigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    def bigrams(df: DataFrame) = {
+      // pad with <s> so every token has a predecessor and indices stay
+      // in bounds under ANSI element_at
+      val base = df.select(col(idCol),
+          concat(array(lit("<s>")), tokens(col(textCol))).as("__padded"))
+        .withColumn("__n", size(col("__padded")))
+      base.select(col(idCol),
+        explode(transform(sequence(lit(1), col("__n") - 1),
+          i => struct(
+            element_at(col("__padded"), i).as("prev"),
+            element_at(col("__padded"), i + 1).as("term")))).as("bg"))
+        .select(col(idCol), col("bg.prev"), col("bg.term"))
+    }
+    val counts = bigrams(train).groupBy("prev", "term").agg(count(lit(1)).as("c"))
+    val prevTotals = counts.groupBy("prev")
+      .agg(sum("c").as("prev_total"), count(lit(1)).as("n_follow"))
+    val vocab = counts.select("term").distinct().count()
+    val model = counts.join(prevTotals, "prev")
+      .withColumn("logp", log((col("c") + 1.0) / (col("prev_total") + lit(vocab.toDouble))))
+      .select("prev", "term", "logp")
+    val unseenFallback = log(lit(1.0) / vocab.toDouble)
+    bigrams(score)
+      .join(broadcast(model), Seq("prev", "term"), "left")
+      .groupBy(idCol)
+      .agg(round(avg(coalesce(col("logp"), unseenFallback)), 9).as("avg_logp"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Rolling-hash (Rabin-Karp-style) document fingerprint over token
     * windows — deterministic 64-bit content signature usable for shift-
     * resistant chunk dedup. Returns the min window hash (a "winnowing"

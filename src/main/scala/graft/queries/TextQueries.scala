@@ -164,6 +164,20 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    "d15_hash_split" -> ((spark, dir) => {
+      TextOps.hashSplit(t(spark, dir, "documents").select("doc_id", "lang"),
+          "doc_id", salt = "v1", fractions = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "lang", "split_bucket", "split")
+        .orderBy("doc_id")
+    }),
+
+    "d16_bigram_logprob" -> ((spark, dir) => {
+      // train the bigram LM on the %5<2 slice (like langid), score all
+      val docs = t(spark, dir, "documents")
+      TextOps.bigramLogProb(docs.filter(col("doc_id") % 5 < 2), docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "d12_repetition" -> ((spark, dir) => {
       // Gopher repetition rules over a corpus where %19 docs are doubled
       // (planted repetition, same derivation in the oracle)
@@ -208,6 +222,44 @@ object TextQueries {
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d15_hash_split" ->
+      // same md5 bucket math: first 8 hex digits of md5(id || 'v1') mod 100
+      """SELECT doc_id, lang,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS split_bucket,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d16_bigram_logprob" ->
+      // add-one-smoothed bigram LM trained on doc_id % 5 < 2; <s> pads
+      // the start; unseen bigrams fall back to ln(1/V)
+      """WITH tr AS (
+        |  SELECT doc_id, list_prepend('<s>', string_split_regex(trim(text), '\s+')) AS p
+        |  FROM documents WHERE doc_id % 5 < 2),
+        |trb AS (
+        |  SELECT p[i] AS prev, p[i+1] AS term
+        |  FROM (SELECT p, unnest(range(1, len(p))) AS i FROM tr)),
+        |counts AS (SELECT prev, term, count(*) AS c FROM trb GROUP BY 1, 2),
+        |pt AS (SELECT prev, sum(c) AS prev_total FROM counts GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term) AS vocab FROM counts),
+        |model AS (
+        |  SELECT prev, term,
+        |    ln((c + 1.0) / (prev_total + (SELECT vocab FROM v))) AS logp
+        |  FROM counts JOIN pt USING (prev)),
+        |sc AS (
+        |  SELECT doc_id, list_prepend('<s>', string_split_regex(trim(text), '\s+')) AS p
+        |  FROM documents),
+        |scb AS (
+        |  SELECT doc_id, p[i] AS prev, p[i+1] AS term
+        |  FROM (SELECT doc_id, p, unnest(range(1, len(p))) AS i FROM sc))
+        |SELECT doc_id,
+        |  round(avg(coalesce(m.logp, ln(1.0 / (SELECT vocab FROM v)))), 9) AS avg_logp,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM scb LEFT JOIN model m USING (prev, term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d13_chunking" ->
       // nChunks = 1 + ceil(max(n-24,0)/16); chunk k = toks[16k+1 : 16k+24]
       """WITH b AS (
