@@ -159,6 +159,46 @@ final class Catalog(
     saveManifest()
   }
 
+  /** Snapshot retention: every write creates `<table>/v<N>`, so a
+    * long-lived catalog accumulates dead versions. Vacuum deletes all
+    * but the newest `keepLast` versions per table (never the manifest's
+    * current version — readers resolve through the manifest, so removing
+    * superseded snapshots is safe in this single-writer design). Returns
+    * the number of snapshot directories removed.
+    */
+  def vacuum(keepLast: Int = 2): Int = {
+    require(keepLast >= 1, "must keep at least the current version")
+    var removed = 0
+    manifest.foreach { case (name, current) =>
+      val dir = Paths.get(root, name)
+      if (Files.isDirectory(dir)) {
+        val stream = Files.list(dir)
+        try {
+          stream.iterator().asScala.foreach { p =>
+            val fn = p.getFileName.toString
+            if (fn.startsWith("v") && fn.drop(1).forall(_.isDigit)) {
+              val v = fn.drop(1).toInt
+              if (v <= current - keepLast) {
+                deleteRecursively(p)
+                snapshotCache.remove(s"$name/v$v")
+                removed += 1
+              }
+            }
+          }
+        } finally stream.close()
+      }
+    }
+    removed
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   // ------------------------------------------------------------- manifest
 
   private def manifestPath = Paths.get(root, "_manifest.json")

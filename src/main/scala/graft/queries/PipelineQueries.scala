@@ -20,6 +20,14 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     }),
 
+    "s03_stream_enrich" -> ((spark, dir) => {
+      // stream-static join: events stream enriched with a broadcast user
+      // dimension, then hourly per-segment aggregation
+      EventStream.runEnrichedStreaming(spark, dir,
+          s"graft_enrich_${dir.replaceAll("\\W", "_")}")
+        .orderBy("hour", "segment")
+    }),
+
     "s02_session_window" -> ((spark, dir) => {
       // REAL streaming session windows (append mode): a session is
       // emitted exactly once when the watermark passes its end; the
@@ -108,6 +116,13 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "s03_stream_enrich" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  'seg' || CAST(user_id % 7 AS VARCHAR) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, segment""".stripMargin,
 
     "s02_session_window" ->
       // sessions as gaps-and-islands: a new island when the gap from the

@@ -82,6 +82,52 @@ object EventStream {
     windowedCounts(batch, withWatermark = false)
   }
 
+  /** Stream-static enrichment: join the event stream against a STATIC
+    * dimension (broadcast per microbatch — the planner treats the static
+    * side like any batch relation, so a small dim broadcasts and the
+    * stream never shuffles for the join), then a watermarked per-hour
+    * per-segment aggregation. The dimension here derives user segments
+    * from the users' own id space so the oracle can rebuild it.
+    */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.join(broadcast(userDim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("segment"), col("n"), col("sum_value"))
+  }
+
+  /** The derived user dimension: deterministic segments from user_id. */
+  def userSegments(spark: SparkSession, nUsers: Int = 1000): DataFrame =
+    spark.range(0, nUsers).select(col("id").as("user_id"),
+      concat(lit("seg"), (col("id") % 7).cast("string")).as("segment"))
+
+  /** Run the stream-static enrichment as a REAL streaming query. */
+  def runEnrichedStreaming(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val stream = spark.readStream.schema(eventsRawSchema).parquet(s"$dir/events*.parquet")
+      val agg = enrichedCounts(toTimestamp(stream), userSegments(spark), withWatermark = true)
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None    => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   /** Session-window aggregation per user: events within `gap` of the
     * previous one merge into the session; the session spans
     * [first_ts, last_ts + gap) (half-open — an event at exactly

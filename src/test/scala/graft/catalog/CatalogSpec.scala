@@ -226,4 +226,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(got.toSeq === samples.map(graft.core.Base62.decode))
     assert(got(0) === 1L) // the split("") trailing-empty trap multiplied by 62
   }
+
+  test("vacuum removes superseded snapshots, keeps the readable current version") {
+    val root = TestSpark.tmpDir("vacuum")
+    val cat = Catalog.deterministic(spark, root)
+    (1 to 4).foreach { i =>
+      cat.insert("ulabel", Map("name" -> s"l$i")); cat.flush("ulabel")
+    }
+    val dir = java.nio.file.Paths.get(root, "ulabel")
+    def versions = java.nio.file.Files.list(dir).iterator()
+    def count = { var n = 0; val it = versions; while (it.hasNext) { it.next(); n += 1 }; n }
+    assert(count === 4)
+    val removed = cat.vacuum(keepLast = 2)
+    assert(removed === 2)
+    assert(count === 2)
+    // the catalog still reads the current snapshot and can keep writing
+    assert(cat.table("ulabel").count() === 4)
+    cat.insert("ulabel", Map("name" -> "l5")); cat.flush("ulabel")
+    assert(cat.table("ulabel").count() === 5)
+    assert(cat.vacuum(keepLast = 1) === 2)
+    assert(cat.table("ulabel").count() === 5)
+    intercept[IllegalArgumentException](cat.vacuum(0))
+  }
 }
