@@ -183,7 +183,12 @@ object Curate {
   */
 final case class FeatureSpec(name: String, dtype: String, nullable: Boolean = true,
                              optional: Boolean = false,
-                             catRegistry: Option[(DataFrame, String)] = None)
+                             catRegistry: Option[(DataFrame, String)] = None,
+                             /** Regex the (non-null) value must fully satisfy —
+                               * the reference's field RegexValidator, e.g. the
+                               * Reference.doi pattern (`models/project.py:178-186`).
+                               */
+                             pattern: Option[String] = None)
 
 final case class SchemaSpec(features: Seq[FeatureSpec],
                             minimalSet: Boolean = true,
@@ -237,7 +242,11 @@ object SchemaValidator {
         else None
       val dtypeAgg = dtypeViolation(c, f.dtype).map(v =>
         sum(when(v, 1L).otherwise(0L)).as(s"__dtype__${f.name}"))
-      nullAgg.toSeq ++ dtypeAgg.toSeq
+      // pattern check rides the same single aggregate pass
+      val patternAgg = f.pattern.map(re =>
+        sum(when(c.isNotNull && !c.cast("string").rlike(re), 1L).otherwise(0L))
+          .as(s"__pattern__${f.name}"))
+      nullAgg.toSeq ++ dtypeAgg.toSeq ++ patternAgg.toSeq
     }
     if (aggs.nonEmpty) {
       val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -246,7 +255,11 @@ object SchemaValidator {
         if (cnt > 0) {
           val Array(_, kind, colName) = n.split("__", 3)
           issues += ValidationIssue(
-            if (kind == "null") "null_values" else "dtype_mismatch",
+            kind match {
+              case "null"    => "null_values"
+              case "pattern" => "pattern_mismatch"
+              case _         => "dtype_mismatch"
+            },
             colName, s"$cnt violating rows", cnt)
         }
       }

@@ -167,4 +167,24 @@ class CurateSpec extends AnyFunSuite {
     assert(report.issues.exists(i => i.check === "null_values" && i.column === "a" && i.n === 1))
     assert(report.issues.exists(i => i.check === "dtype_mismatch" && i.column === "a" && i.n === 1))
   }
+
+  test("pattern constraint: the reference DOI regex flags malformed values, skips nulls") {
+    // the Reference.doi RegexValidator pattern (models/project.py:178-186)
+    val doiRe = """^(?:https?://(?:dx\.)?doi\.org/|doi:|DOI:)?10\.\d+/.*$"""
+    val df = Seq(
+      ("r1", "10.1000/xyz123"),
+      ("r2", "https://doi.org/10.5555/abc"),
+      ("r3", "doi:10.1/ok"),
+      ("r4", "not-a-doi"),
+      ("r5", null.asInstanceOf[String])
+    ).toDF("name", "doi")
+    val spec = SchemaSpec(Seq(
+      FeatureSpec("name", "str"),
+      FeatureSpec("doi", "str", pattern = Some(doiRe))))
+    val report = SchemaValidator.validate(df, spec)
+    val issue = report.issues.find(_.check === "pattern_mismatch")
+    assert(issue.isDefined && issue.get.column === "doi" && issue.get.n === 1)
+    // all-conforming (and null) values pass
+    assert(SchemaValidator.validate(df.filter($"name" =!= "r4"), spec).passed)
+  }
 }
