@@ -146,6 +146,49 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL pixel resize: decode, scale with Graphics2D under the same
+    * max-edge rule as `resizePlan` (scale = min(1, maxEdge/max(w,h)),
+    * ceil'd targets), re-encode PNG — same per-partition batching as the
+    * other codec passes. Images already within bounds pass through
+    * byte-identical. Color model is preserved (gray stays 1-channel).
+    */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+                   maxEdge: Int): DataFrame = {
+    val inputSchema = df.schema
+    val idIdx = inputSchema.fieldIndex(idCol)
+    val pIdx = inputSchema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(inputSchema(idIdx), StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val buf = new java.io.ByteArrayOutputStream(4096)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalArgumentException("payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val scale = math.min(1.0, maxEdge.toDouble / math.max(w, h))
+        val out =
+          if (scale >= 1.0) payload
+          else {
+            val tw = math.ceil(w * scale).toInt
+            val th = math.ceil(h * scale).toInt
+            val target = new java.awt.image.BufferedImage(tw, th, img.getType)
+            val g = target.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            buf.reset()
+            javax.imageio.ImageIO.write(target, "png", buf)
+            buf.toByteArray
+          }
+        Row(r.get(idIdx), out)
+      }
+    }(encoder)
+  }
+
   /** "Resize" planning: pure-metadata op computing target dims under a
     * max-edge constraint — the Spark-side half of a resize pipeline (the
     * pixel work happens inside the decode/encode stub).

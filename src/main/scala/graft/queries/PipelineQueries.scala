@@ -57,6 +57,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "m03_resize_roundtrip" -> ((spark, dir) => {
+      // REAL pixel pipeline: encode PNG -> Graphics2D resize to max edge
+      // 12 -> decode again; the oracle predicts the post-resize dims from
+      // md5(text) through the same ceil(scale) math
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val png = Multimodal.encodeImages(docs, "doc_id", "text")
+      val resized = Multimodal.resizeImages(png, "doc_id", "payload", maxEdge = 12)
+      Multimodal.decodeMeta(resized, "doc_id", "payload")
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"))
+        .orderBy("doc_id")
+    }),
+
     "m02_frame_sample" -> ((spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), (col("n_chars") % 100 + 1).cast("long").as("n_frames"))
@@ -207,6 +220,26 @@ object PipelineQueries {
         |  CAST(coalesce(d.code, -1) AS INTEGER) AS source_code
         |FROM f LEFT JOIN dict d USING (source)
         |ORDER BY store_idx, local_idx""".stripMargin,
+
+    "m03_resize_roundtrip" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS b4,
+        |    CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS b5,
+        |    CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) AS b6
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(8 + b4 % 16 AS INTEGER) AS w,
+        |    CAST(8 + b5 % 16 AS INTEGER) AS h,
+        |    CAST(1 + (b6 % 2) * 2 AS INTEGER) AS channels
+        |  FROM b),
+        |r AS (SELECT *, least(1.0, 12 / CAST(greatest(w, h) AS DOUBLE)) AS scale FROM m)
+        |SELECT doc_id,
+        |  CAST(ceil(w * scale) AS INTEGER) AS width,
+        |  CAST(ceil(h * scale) AS INTEGER) AS height,
+        |  channels
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "m02_frame_sample" ->
       """SELECT doc_id, unnest(range(0, least(n_chars % 100 + 1 - 1, 70) + 1, 10)) AS frame_idx

@@ -270,6 +270,21 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getAs[Double]("top_bigram_char_frac") === 0.0)
   }
 
+  test("resizeImages: oversize images shrink under the max edge, small ones pass byte-identical") {
+    val png = Multimodal.encodeImages(docs, "doc_id", "text") // dims in 8..23
+    val before = png.orderBy("doc_id").collect().map(_.getAs[Array[Byte]]("payload"))
+    // maxEdge 64: everything already fits -> byte-identical pass-through
+    val same = Multimodal.resizeImages(png, "doc_id", "payload", maxEdge = 64)
+      .orderBy("doc_id").collect().map(_.getAs[Array[Byte]]("payload"))
+    assert(before.zip(same).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // maxEdge 8: every image shrinks to max edge exactly 8, channels kept
+    val shrunk = Multimodal.decodeMeta(
+      Multimodal.resizeImages(png, "doc_id", "payload", maxEdge = 8), "doc_id", "payload")
+      .select($"meta.width", $"meta.height", $"meta.channels").collect()
+    assert(shrunk.forall(r => math.max(r.getInt(0), r.getInt(1)) <= 8))
+    assert(shrunk.exists(r => r.getInt(2) === 1) || shrunk.exists(r => r.getInt(2) === 3))
+  }
+
   test("rolling min-hash fingerprint is shift-sensitive but deterministic") {
     val a = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
     val b = docs.filter($"doc_id" === 1).select(TextOps.rollingMinHash($"text")).head().getLong(0)
