@@ -203,6 +203,78 @@ object Multimodal {
       .withColumn("needs_resize", scale < 1.0)
   }
 
+  /** REAL audio encode: genuine 16-bit mono PCM WAV bytes via
+    * `javax.sound.sampled` (headless-safe). Sample rate and frame count
+    * derive from md5(text) so a SQL oracle can predict what the decoder
+    * must read back; samples are a deterministic hash-seeded waveform.
+    */
+  def encodeWavs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inputSchema = df.schema
+    val idIdx = inputSchema.fieldIndex(idCol)
+    val tIdx = inputSchema.fieldIndex(textCol)
+    val outSchema = StructType(Seq(inputSchema(idIdx), StructField("audio", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val md5 = md5hex(r.getString(tIdx))
+        val (rate, frames) = plannedAudio(md5)
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          // hash-seeded sawtooth so payloads differ per doc
+          val s = ((Integer.parseInt(md5.substring(i % 16, i % 16 + 2), 16) * 257 + i * 31) % 65536 - 32768).toShort
+          pcm(i * 2) = (s & 0xff).toByte
+          pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val stream = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val buf = new java.io.ByteArrayOutputStream(pcm.length + 64)
+        javax.sound.sampled.AudioSystem.write(stream,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        Row(r.get(idIdx), buf.toByteArray)
+      }
+    }(encoder)
+  }
+
+  /** Deterministic audio parameters from the md5: rate in {8000..15000},
+    * frame count in 100..355.
+    */
+  private[ext] def plannedAudio(md5: String): (Int, Int) = {
+    val b4 = Integer.parseInt(md5.substring(0, 2), 16)
+    val b5 = Integer.parseInt(md5.substring(2, 4), 16)
+    (8000 + (b4 % 8) * 1000, 100 + b5)
+  }
+
+  /** REAL audio metadata decode: `AudioSystem` parses the WAV header —
+    * sample rate, channels, bit depth, frame count — per-partition
+    * batched like the image passes.
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String, audioCol: String): DataFrame = {
+    val inputSchema = df.schema
+    val idIdx = inputSchema.fieldIndex(idCol)
+    val aIdx = inputSchema.fieldIndex(audioCol)
+    val outSchema = StructType(Seq(
+      inputSchema(idIdx),
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("bits", IntegerType), StructField("n_frames", LongType),
+      StructField("duration_ms", DoubleType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](aIdx)
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        Row(r.get(idIdx), fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, frames,
+          frames * 1000.0 / fmt.getSampleRate)
+      }
+    }(encoder)
+  }
+
   /** Frame-sampling planning for video-like payloads: every k-th frame
     * index up to a cap — generates the (artifact, frame_idx) work list a
     * decode stage would consume.

@@ -70,6 +70,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "m04_audio_meta" -> ((spark, dir) => {
+      // REAL audio codec round-trip: PCM WAV bytes written with
+      // javax.sound.sampled, header parsed back by AudioSystem; the
+      // oracle predicts rate/frames/duration from md5(text)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val wavs = Multimodal.encodeWavs(docs, "doc_id", "text")
+      Multimodal.decodeAudioMeta(wavs, "doc_id", "audio")
+        .orderBy("doc_id")
+    }),
+
     "m02_frame_sample" -> ((spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), (col("n_chars") % 100 + 1).cast("long").as("n_frames"))
@@ -240,6 +250,20 @@ object PipelineQueries {
         |  CAST(ceil(h * scale) AS INTEGER) AS height,
         |  channels
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "m04_audio_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS b4,
+        |    CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS b5
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(8000 + (b4 % 8) * 1000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(100 + b5 AS BIGINT) AS n_frames,
+        |  CAST(100 + b5 AS DOUBLE) * 1000.0 / (8000 + (b4 % 8) * 1000) AS duration_ms
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "m02_frame_sample" ->
       """SELECT doc_id, unnest(range(0, least(n_chars % 100 + 1 - 1, 70) + 1, 10)) AS frame_idx
