@@ -165,6 +165,23 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    "q27_range_join" -> ((spark, dir) => {
+      // point-in-interval: clicks falling inside any [error_ts,
+      // error_ts + 2h] window of the same user — bucketed so the range
+      // predicate joins as (user_id, bucket) equi-keys
+      val ev = events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      graft.ext.RangeJoin.pointInInterval(clicks, windows, "user_id",
+          "ts", "start_ts", "end_ts", bucketWidthSec = 7200L)
+        .select("click_id", "error_id", "user_id")
+        .orderBy("click_id", "error_id")
+    }),
+
     "q25_quantiles" -> ((spark, dir) => {
       // exact interpolated percentiles (both engines use linear
       // interpolation) + exact distinct counts per group
@@ -398,6 +415,14 @@ object CoreQueries {
           |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error') r
           |  ON l.user_id = r.user_id AND l.ts >= r.ts
           |ORDER BY l.event_id""".stripMargin,
+
+      "q27_range_join" ->
+        """SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+          |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+          |  ON c.user_id = e.user_id
+          |  AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
+          |ORDER BY click_id, error_id""".stripMargin,
 
       "q25_quantiles" ->
         """SELECT lang, count(DISTINCT source) AS n_sources,

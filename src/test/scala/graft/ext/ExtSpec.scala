@@ -227,6 +227,30 @@ class ExtSpec extends AnyFunSuite {
       d1(1).getAs[String]("chunk_text").split(" ").take(2).toSeq)
   }
 
+  test("bucketed range join matches the naive BETWEEN join, plans equi-keys") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val points = Seq(
+      (10L, 1L, ts(100)), (11L, 1L, ts(7300)), (12L, 1L, ts(14500)),
+      (13L, 2L, ts(100)), (14L, 1L, ts(7200)) // exactly at an interval end
+    ).toDF("pid", "k", "pts")
+    val intervals = Seq(
+      (90L, 1L, ts(0), ts(7200)),     // covers 100 and the boundary 7200
+      (91L, 1L, ts(7000), ts(14200)), // covers 7200, 7300
+      (92L, 3L, ts(0), ts(99999))     // other key: matches nothing
+    ).toDF("iid", "k", "s", "e")
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "pts", "s", "e", 7200L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, Seq("k"))
+      .filter($"pts" >= $"s" && $"pts" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got === Set((10L, 90L), (14L, 90L), (14L, 91L), (11L, 91L)))
+    // the plan joins on equi-keys (no nested loop / cartesian)
+    val plan = RangeJoin.pointInInterval(points, intervals, "k", "pts", "s", "e", 7200L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("pii detection counts each shape once and redacts with typed tags") {
     val df = Seq(
       (1L, "reach me at jo.doe+x@mail.example.org or 555-867-5309"),
