@@ -98,8 +98,12 @@ object EventStream {
       .select(col("window.start").as("hour"), col("segment"), col("n"), col("sum_value"))
   }
 
-  /** The derived user dimension: deterministic segments from user_id. */
-  def userSegments(spark: SparkSession, nUsers: Int = 1000): DataFrame =
+  /** The derived user dimension: deterministic segments from user_id.
+    * Sized well past any SF's user-id space — an id outside the dim
+    * would left-join to a NULL segment and silently grow the group
+    * count (caught at sf0.1, whose user space exceeds 1000).
+    */
+  def userSegments(spark: SparkSession, nUsers: Int = 100000): DataFrame =
     spark.range(0, nUsers).select(col("id").as("user_id"),
       concat(lit("seg"), (col("id") % 7).cast("string")).as("segment"))
 
