@@ -123,7 +123,12 @@ object Quantization {
     * (query, row) pair; ranking is the usual per-query window.
     */
   def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              books: Codebooks, topK: Int): DataFrame = {
+              books: Codebooks, topK: Int,
+              /** Round distances before ranking — use when an external
+                * oracle replays the ranking (e01 precedent: float sums
+                * tie-break unstably at full precision across engines).
+                */
+              roundDist: Option[Int] = None): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     // driver-side table build: |queries| × m × k doubles — bounded tier
@@ -152,9 +157,13 @@ object Quantization {
           }
         }
       }.toDF("query_id", "neighbor_id", "approx_dist")
+    val ranked = roundDist match {
+      case Some(d) => scored.withColumn("approx_dist", round(col("approx_dist"), d))
+      case None    => scored
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
 

@@ -112,6 +112,18 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "e06_pq_adc" -> ((spark, dir) => {
+      // PQ with iters=0: codebooks ARE the 16 lowest-id vectors'
+      // sub-slices, so the whole encode + ADC scan is SQL-replayable;
+      // ranking rounds distances like e01 (cross-engine float ties)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val books = graft.ext.Quantization.fit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 0)
+      val encoded = graft.ext.Quantization.encode(emb, "vec_id", "embedding", books)
+      graft.ext.Quantization.adcTopK(encoded, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", books, topK = 10, roundDist = Some(6))
+        .orderBy("query_id", "rank")
+    }),
+
     "e02_ann_lsh" -> ((spark, dir) => {
       val emb = t(spark, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -380,6 +392,40 @@ object TextQueries {
     "d05_minhash_lsh" -> Dedup.minhashPortableOracleSql(corpusSql,
       k = 16, bands = 8, threshold = 0.8),
     "e02_ann_lsh" -> Similarity.lshOracleSql(dim = 64, nBits = 12, k = 10, queryMaxId = 5),
+
+    "e06_pq_adc" ->
+      // replica of Quantization with iters=0: codebook c of subspace s is
+      // vecs-by-id[c].e[s*8+1 : s*8+8]; assignment = argmin L2^2 with
+      // lowest-code tie-break; ADC dist = sum of per-subspace table
+      // lookups, rounded to 6 before ranking
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cd AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, e
+        |       FROM base ORDER BY vec_id LIMIT 16),
+        |d2s AS (
+        |  SELECT b.vec_id, t.s, c.code,
+        |    sum((b.e[t.s*8+j.j] - c.e[t.s*8+j.j]) * (b.e[t.s*8+j.j] - c.e[t.s*8+j.j])) AS d2
+        |  FROM base b, range(0, 8) t(s), cd c, range(1, 9) j(j)
+        |  GROUP BY 1, 2, 3),
+        |assign AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        |    FROM d2s) WHERE rn = 1),
+        |qt AS (
+        |  SELECT q.vec_id AS query_id, t.s, c.code,
+        |    sum((q.e[t.s*8+j.j] - c.e[t.s*8+j.j]) * (q.e[t.s*8+j.j] - c.e[t.s*8+j.j])) AS d2
+        |  FROM base q, range(0, 8) t(s), cd c, range(1, 9) j(j)
+        |  WHERE q.vec_id < 5
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT qt.query_id, a.vec_id AS neighbor_id, round(sum(qt.d2), 6) AS approx_dist
+        |  FROM assign a JOIN qt ON a.s = qt.s AND a.code = qt.code
+        |  WHERE a.vec_id <> qt.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, approx_dist, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "e05_embedding_dedup_lsh" -> Similarity.lshPairsOracleSql(
       """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
