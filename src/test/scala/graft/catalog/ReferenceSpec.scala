@@ -84,6 +84,27 @@ class ReferenceSpec extends AnyFunSuite {
     assert(QuerySet(cat, "project").filter("artifacts__key" -> "k1").count() === 1)
   }
 
+  test("query_references walks sub-types through the type DAG") {
+    // the reference's `_query_relatives` (`project.py:141-149`): while
+    // `.references` retrieves records of ONE type, query_references also
+    // retrieves records whose type is a sub-type
+    val (cat, _, _) = setup()
+    val doc = cat.insert("reference", Map("name" -> "Document", "is_type" -> true))
+    val paper = cat.insert("reference", Map(
+      "name" -> "Paper", "is_type" -> true, "type_id" -> doc("id")))
+    cat.insert("reference", Map("name" -> "internal memo", "type_id" -> doc("id")))
+    cat.insert("reference", Map("name" -> "a paper", "type_id" -> paper("id")))
+    cat.insert("reference", Map("name" -> "untyped"))
+    val under = graft.query.TypeOps.instancesUnder(cat, "reference",
+      doc("id").asInstanceOf[Long])
+    // sub-type node "Paper" plus both instances; NOT the untyped row
+    assert(under.select("name").collect().map(_.getString(0)).toSet ===
+      Set("Paper", "internal memo", "a paper"))
+    // the direct-type query stays narrow
+    assert(graft.query.QuerySet(cat, "reference")
+      .filter("type__name" -> "Paper").count() === 1)
+  }
+
   test("reference search ranks name over abstract text") {
     val (cat, _, _) = setup()
     cat.insert("reference", Map("name" -> "single cell atlas", "text" -> "methods"))
