@@ -79,7 +79,12 @@ object Bench {
       "b06_lineitem_stats_approx" -> time {
         graft.ext.Sketches.lineitemStatsApprox(
           spark.read.parquet(s"$sfDir/lineitem.parquet")).collect()
-      })
+      },
+      // iterative connected components at meaningful edge count (the
+      // driver queries only see ~1k-edge pair sets): 190k chain edges,
+      // 10k components of diameter 20 — converges in ~log2(20) rounds
+      // thanks to the pointer jump
+      "b07_cc_190k_edges" -> time(benchCC(spark)))
 
     val all = queryTimes ++ catalogTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -108,6 +113,17 @@ object Bench {
     val (n2, d2) = store.registerBatch(entries, storageId)
     require(n2 == 0 && d2 == 1000, s"batch2 $n2/$d2")
     require(cat.table("artifact").count() == 500)
+  }
+
+  /** 200k nodes in 10k chains of 20: component count and a spot label
+    * verify the clustering, not just the timing.
+    */
+  private def benchCC(spark: SparkSession): Unit = {
+    val edges = spark.range(0, 200000).filter(col("id") % 20 =!= 19)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cc = graft.ext.Dedup.connectedComponents(edges)
+    val n = cc.select("cluster_id").distinct().count()
+    require(n == 10000, s"expected 10000 components, got $n")
   }
 
   private def benchBfs(spark: SparkSession): Unit = {

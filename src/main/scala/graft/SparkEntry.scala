@@ -21,7 +21,8 @@ object SparkEntry {
       _root_.graft.queries.CurateQueries.queries ++
       _root_.graft.queries.PipelineQueries.queries ++
       _root_.graft.queries.ScaleQueries.queries ++
-      _root_.graft.queries.AnnQueries.queries
+      _root_.graft.queries.AnnQueries.queries ++
+      _root_.graft.queries.MixQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       _root_.graft.queries.CurateQueries.oracle ++
       _root_.graft.queries.PipelineQueries.oracle ++
       _root_.graft.queries.ScaleQueries.oracle ++
-      _root_.graft.queries.AnnQueries.oracle
+      _root_.graft.queries.AnnQueries.oracle ++
+      _root_.graft.queries.MixQueries.oracle
 }

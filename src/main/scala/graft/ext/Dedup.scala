@@ -385,6 +385,104 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Connected components over an undirected candidate-pair edge set —
+    * the resolution step a near-dup pipeline needs after `minhashPairs`/
+    * `simhashCandidates`: pairs chain (A~B, B~C ⇒ {A,B,C} is one group),
+    * so keep/drop decisions must be made per component, not per pair.
+    *
+    * Every node is labeled with the minimum id reachable from it
+    * (`cluster_id`). Each round does one neighbor-min propagation (one
+    * shuffle on the edge key) plus one pointer-jump (`comp ← comp(comp)`,
+    * a self-join on the label table), so convergence is
+    * O(log(component diameter)) rounds, not O(diameter) — dup chains from
+    * LSH are shallow, and the jump makes even pathological chains cheap.
+    * The reference resolves version chains one row at a time in Python
+    * (`lamindb/models/_is_versioned.py:271-336`); here the whole corpus
+    * resolves in a handful of distributed rounds.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    // localCheckpoint per round: the pointer-jump self-join would double
+    // the logical plan each iteration (exponential analyze/explain cost);
+    // checkpointing keeps every round's plan constant-size, like the BFS
+    // frontier loop in lineage.Graph
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("ncomp").as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      // pointer jump: follow the label one hop (comp is itself a node id)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = jumped
+        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
+        .filter(col("comp") =!= col("old_comp")).limit(1).count()
+      labels = jumped
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
+  /** Per-document duplicate resolution: join the corpus against the
+    * connected components of its candidate pairs. Docs in no pair form
+    * their own singleton cluster; the canonical doc of a cluster is the
+    * minimum id (= the cluster label).
+    */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comps = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .withColumn("is_canonical", col(idCol).cast("long") === col("cluster_id"))
+  }
+
+  /** C4-style cross-document line deduplication: split every doc into
+    * fixed-width token lines, keep only the globally FIRST occurrence of
+    * each line (ordered by doc id, then position), and rebuild the doc
+    * from its surviving lines. Removes boilerplate repeated across the
+    * corpus (headers, navigation, license blurbs).
+    *
+    * One shuffle partitioned by the line content (the first-occurrence
+    * window) + one on the doc id (reassembly) — linear in corpus size.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                lineTokens: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("tk"))
+      .withColumn("n", size(col("tk")))
+    val lines = toks.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(col("n") / lit(lineTokens.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("tk"), i * lineTokens + 1, lit(lineTokens)))))
+        .as(Seq("line_idx", "line")))
+    val w = Window.partitionBy(col("line")).orderBy(col("id"), col("line_idx"))
+    lines.withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_idx").as("i"), col("line").as("l"))))),
+          s => s.getField("l"))).as("text_dedup"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {

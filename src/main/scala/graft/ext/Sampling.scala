@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic domain-mix sampling for training-data pipelines: given
+  * target proportions per domain (source/language/quality tier), select
+  * the largest corpus subset that realizes the mix exactly, with a
+  * reproducible hash-ordered choice of rows.
+  *
+  * Two tiers:
+  *  - `domainMix` — exact quotas via a per-domain rank over md5(id‖salt).
+  *    One shuffle; each domain partition is sorted, so use it when the
+  *    largest domain fits a healthy sort (the oracle tier).
+  *  - `domainMixThreshold` — map-only: keep a row iff its hash bucket
+  *    falls below the domain's acceptance rate. No sort, no shuffle,
+  *    quota hit within binomial noise — the 100 TB path.
+  *
+  * Both derive per-domain quotas the same way: the achievable total T is
+  * min over domains of count_d / frac_d (the scarcest domain pins the
+  * mix), quota_d = floor(frac_d * T). Domain counts are one aggregate
+  * (domains are few — metadata scale, collected to the driver).
+  */
+object Sampling {
+
+  private def quotasFor(df: DataFrame, domainCol: String,
+                        targets: Seq[(String, Double)]): Seq[(String, Long, Long)] = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "positive target fractions required")
+    val counts = df.groupBy(domainCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val t = targets.map { case (d, f) => counts.getOrElse(d, 0L).toDouble / f }.min
+    targets.map { case (d, f) =>
+      (d, math.floor(f * t).toLong, counts.getOrElse(d, 0L))
+    }
+  }
+
+  /** Deterministic salt-ordered rank within each domain. */
+  private def hashOrder(df: DataFrame, idCol: String, salt: String) =
+    md5(concat(col(idCol).cast("string"), lit(salt)))
+
+  /** Exact-quota mix: row r of domain d survives iff its md5(id‖salt)
+    * rank within d is ≤ quota_d. Deterministic and engine-portable
+    * (md5 hex ordering), so DuckDB replays it bit-for-bit.
+    */
+  def domainMix(df: DataFrame, idCol: String, domainCol: String,
+                targets: Seq[(String, Double)], salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = quotasFor(df, domainCol, targets)
+      .map { case (d, q, _) => (d, q) }
+      .toDF(domainCol, "__quota")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashOrder(df, idCol, salt), col(idCol))
+    df.join(broadcast(quotaDf), Seq(domainCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Map-only mix: keep a row iff bucket(md5(id‖salt)) < rate_d · 2^20,
+    * rate_d = quota_d / count_d. No per-domain sort — each task filters
+    * locally, so the plan is a scan + filter regardless of corpus size.
+    * Selection is a superset-free approximation: realized sizes deviate
+    * from quotas by O(√quota) (binomial), fine for mixing at scale.
+    */
+  def domainMixThreshold(df: DataFrame, idCol: String, domainCol: String,
+                         targets: Seq[(String, Double)], salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = 1L << 20
+    val rateDf = quotasFor(df, domainCol, targets)
+      .map { case (d, q, c) =>
+        (d, if (c == 0) 0L else math.round(q.toDouble / c * buckets))
+      }
+      .toDF(domainCol, "__cut")
+    val bucket = pmod(
+      conv(substring(hashOrder(df, idCol, salt), 1, 15), 16, 10).cast("long"),
+      lit(buckets))
+    df.join(broadcast(rateDf), Seq(domainCol))
+      .filter(bucket < col("__cut"))
+      .drop("__cut")
+  }
+}

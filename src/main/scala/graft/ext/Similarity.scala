@@ -308,4 +308,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Semantic corpus pruning (SemDeDup-shaped curation): assign every
+    * vector to its nearest centroid by cosine, rank cluster members by
+    * centrality (most-prototypical first), and flag the top
+    * `keepPerCluster` per cluster as kept. Downstream pipelines drop the
+    * un-kept tail — redundant points deep inside dense clusters.
+    *
+    * Plan: centroid table broadcast (k rows), one shuffle on the cluster
+    * id for the per-cluster rank — linear in corpus size. With the
+    * default centroids (the k lowest-id vectors, i.e. zero k-means
+    * iterations) every step is SQL-replayable for the oracle; pass
+    * `kmeansFit` output for trained centroids in production.
+    */
+  def semanticPrune(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int = 16, keepPerCluster: Int = 20,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val cent = centroids
+      .map(c => c.select(col(idCol).cast("long").as("id"),
+          transform(col(vecCol), x => x.cast("double")).as("e"))
+        .withColumn("nrm", norm(col("e"))))
+      .getOrElse(base.orderBy("id").limit(nCentroids))
+      .select(col("id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val assigned = base.crossJoin(broadcast(cent))
+      .withColumn("sim", round(dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("sim").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+    val w = Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("id").asc)
+    assigned
+      .withColumn("cluster_rank", row_number().over(w).cast("long"))
+      .select(col("id").as(idCol), col("cid").as("cluster_id"), col("sim"),
+        col("cluster_rank"), (col("cluster_rank") <= keepPerCluster).as("kept"))
+  }
 }

@@ -307,6 +307,38 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing word n-grams
+    * with an evaluation set (the standard train/test-overlap sweep run
+    * before LLM training; n=8..13 word grams are the usual operating
+    * points). Per doc: the number of its distinct n-grams that appear
+    * anywhere in the eval set, and a contamination fraction/flag.
+    *
+    * Plan shape: the eval n-gram dictionary is distinct-reduced and small
+    * relative to the corpus (benchmarks are bounded), so Catalyst/AQE
+    * broadcasts it under the join; the corpus side explodes its n-grams
+    * once and re-aggregates on the doc id — one wide shuffle on the doc
+    * id, never on the corpus n-gram space.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    threshold: Double = 0.1): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__tk"))
+      .select(col("id"), Dedup.shinglesFromTokens(col("__tk"), n).as("g"))
+    val evalGrams = grams(evalSet)
+      .select(explode(col("g")).as("gram")).distinct()
+      .withColumn("__hit", lit(1L))
+    grams(corpus)
+      .select(col("id"), size(col("g")).as("n_ngrams"), explode(col("g")).as("gram"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(first(col("n_ngrams")).cast("long").as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination_frac",
+        round(col("n_hits").cast("double") / col("n_ngrams"), 9))
+      .withColumn("contaminated", col("contamination_frac") >= threshold)
+  }
+
   /** Rolling-hash (Rabin-Karp-style) document fingerprint over token
     * windows — deterministic 64-bit content signature usable for shift-
     * resistant chunk dedup. Returns the min window hash (a "winnowing"

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Sampling, Similarity, TextOps}
+
+/** Corpus-curation queries: duplicate-cluster resolution (connected
+  * components over candidate pairs), benchmark decontamination, exact
+  * domain-mix sampling, C4-style cross-doc line dedup, and semantic
+  * cluster pruning. All oracle-checked in DuckDB (the CC oracle is a
+  * recursive CTE; the rest replay the same deterministic derivations).
+  */
+object MixQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** 8-token boilerplate line prepended to every 3rd doc for d20 — the
+    * repeated-across-corpus header that line dedup must strip everywhere
+    * but its first occurrence.
+    */
+  private val Header = "alpha beta gamma delta epsilon zeta eta theta"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_dup_clusters" -> ((spark, dir) => {
+      // candidate pairs chain: doc -> +100000 copy (%7 docs) -> +200000
+      // copy (%14 docs); resolution must group chains transitively and
+      // pick the min id as canonical
+      val docs = t(spark, dir, "documents").select("doc_id")
+      val m1 = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"))
+      val m2 = docs.filter(col("doc_id") % 14 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"))
+      val corpus = docs.unionByName(m1).unionByName(m2)
+      val pairs = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        .unionByName(docs.filter(col("doc_id") % 14 === 0)
+          .select((col("doc_id") + 100000).as("id_a"), (col("doc_id") + 200000).as("id_b")))
+      Dedup.resolveDuplicates(corpus, pairs, "doc_id")
+        .select("doc_id", "cluster_id", "is_canonical")
+        .orderBy("doc_id")
+    }),
+
+    "d18_decontaminate" -> ((spark, dir) => {
+      // eval set = every 10th doc; the corpus contains those docs verbatim
+      // plus near-dup copies of %7 docs, so %70 copies contaminate too
+      val corpus = TextQueries.corpusWithNearDups(spark, dir)
+      val evalSet = t(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      TextOps.decontaminate(corpus, evalSet, "doc_id", "text", n = 8, threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+
+    "d19_domain_mix" -> ((spark, dir) => {
+      Sampling.domainMix(t(spark, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          targets = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+          salt = "mix1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "d20_line_dedup" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(Header + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.lineDedup(docs, "doc_id", "text", lineTokens = 8)
+        .orderBy("doc_id")
+    }),
+
+    "e07_semantic_prune" -> ((spark, dir) => {
+      // zero-iteration centroids (16 lowest-id vectors) keep the whole
+      // assign -> rank -> keep pass SQL-replayable, like e04/e06
+      Similarity.semanticPrune(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids = 16, keepPerCluster = 20)
+        .orderBy("vec_id")
+    })
+  )
+
+  /** n-gram list SQL shared by the d18 oracle (mirrors
+    * Dedup.shinglesFromTokens with n=8).
+    */
+  private def gramsSql(tk: String): String =
+    s"""CASE WHEN len($tk) >= 8
+       |     THEN list_distinct(list_transform(range(1, len($tk) - 6),
+       |          i -> array_to_string($tk[i:i+7], ' ')))
+       |     ELSE [array_to_string($tk, ' ')] END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d17_dup_clusters" ->
+      // transitive closure by label propagation: every node reaches its
+      // component's min id; UNION (distinct) terminates the recursion
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id % 14 = 0),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id + 200000 FROM documents WHERE doc_id % 14 = 0),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM corpus
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+        |FROM cc ORDER BY doc_id""".stripMargin,
+
+    "d18_decontaminate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |cg AS (SELECT doc_id, ${gramsSql("tk")} AS g
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM corpus)),
+         |eg AS (SELECT DISTINCT unnest(${gramsSql("tk")}) AS gram
+         |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM documents WHERE doc_id % 10 = 0)),
+         |ex AS (SELECT doc_id, len(g) AS n_ngrams, unnest(g) AS gram FROM cg),
+         |agg AS (SELECT doc_id, CAST(any_value(n_ngrams) AS BIGINT) AS n_ngrams,
+         |  CAST(count(eg.gram) AS BIGINT) AS n_hits
+         |  FROM ex LEFT JOIN eg USING (gram) GROUP BY doc_id)
+         |SELECT doc_id, n_ngrams, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_ngrams, 9) AS contamination_frac,
+         |  round(CAST(n_hits AS DOUBLE) / n_ngrams, 9) >= 0.1 AS contaminated
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "d19_domain_mix" ->
+      // same quota math as Sampling.domainMix: T = min(count_d / frac_d),
+      // quota_d = floor(frac_d * T), rank by md5(id || salt)
+      """WITH targets(domain, frac) AS (VALUES
+        |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |  ('zh', CAST(0.15 AS DOUBLE))),
+        |counts AS (SELECT lang AS domain, CAST(count(*) AS DOUBLE) AS c
+        |  FROM documents GROUP BY 1),
+        |tm AS (SELECT min(c / frac) AS t FROM counts JOIN targets USING (domain)),
+        |quota AS (SELECT domain, floor(frac * (SELECT t FROM tm)) AS q FROM targets),
+        |ranked AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix1'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM ranked JOIN quota ON lang = quota.domain
+        |WHERE rn <= q ORDER BY doc_id""".stripMargin,
+
+    "d20_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'alpha beta gamma delta epsilon zeta eta theta ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |      len(string_split_regex(trim(text), '\s+')) AS n FROM corpus),
+        |lines AS (SELECT doc_id, CAST(i AS INTEGER) AS line_idx,
+        |    array_to_string(toks[i*8+1 : i*8+8], ' ') AS line
+        |  FROM (SELECT doc_id, toks, unnest(range(0, CAST(ceil(n / 8.0) AS BIGINT))) AS i FROM b)),
+        |flagged AS (SELECT doc_id, line_idx, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS keep
+        |  FROM lines)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_idx), '') AS text_dedup
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e07_semantic_prune" ->
+      // replica of Similarity.semanticPrune with default centroids: the
+      // 16 lowest-id vectors; assignment and rank both round to 6 like
+      // e04 (cross-engine float ties)
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT b.vec_id, c.cid, round(list_cosine_similarity(b.e, c.ce), 6) AS sim,
+        |    row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY round(list_cosine_similarity(b.e, c.ce), 6) DESC, c.cid) AS rn
+        |  FROM base b CROSS JOIN cent c),
+        |cells AS (SELECT vec_id, cid, sim FROM assign WHERE rn = 1),
+        |ranked AS (SELECT vec_id, cid AS cluster_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY cid ORDER BY sim DESC, vec_id) AS BIGINT) AS cluster_rank
+        |  FROM cells)
+        |SELECT vec_id, cluster_id, sim, cluster_rank, cluster_rank <= 20 AS kept
+        |FROM ranked ORDER BY vec_id""".stripMargin
+  )
+}

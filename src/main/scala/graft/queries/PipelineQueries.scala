@@ -42,6 +42,14 @@ object PipelineQueries {
         .orderBy("session_start", "user_id")
     }),
 
+    "s04_stream_dedup" -> ((spark, dir) => {
+      // REAL streaming dropDuplicates (watermark-bounded state): the
+      // surviving key set must equal batch DISTINCT — stream/batch parity
+      EventStream.runDedupStreaming(spark, dir,
+          s"graft_dedup_${dir.replaceAll("\\W", "_")}")
+        .orderBy("user_id", "event_type")
+    }),
+
     "m01_multimodal_decode" -> ((spark, dir) => {
       // REAL codec round-trip: encode genuine PNG bytes per doc with
       // javax.imageio (dims planned from md5(text) so the oracle can
@@ -168,6 +176,10 @@ object PipelineQueries {
         |SELECT session_start, session_end, user_id, n, sum_value
         |FROM agg WHERE session_end <= (SELECT max(ts) FROM events)
         |ORDER BY session_start, user_id""".stripMargin,
+
+    "s04_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "m01_multimodal_decode" ->
       // the PNG encoder plans dims from md5(text) bytes 0..2, so what the

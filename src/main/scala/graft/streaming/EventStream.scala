@@ -185,6 +185,44 @@ object EventStream {
     }
   }
 
+  /** Streaming first-occurrence dedup over the events directory: the
+    * engine's dropDuplicates state store keyed on (user_id, event_type),
+    * watermark-bounded so state never grows unboundedly (the 100 TB/day
+    * requirement). Only the KEY columns are returned: which physical row
+    * wins a key is batch-order-dependent, but the surviving key SET is
+    * exactly the distinct keys — the deterministic, oracle-checkable
+    * contract.
+    */
+  def runDedupStreaming(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val stream = spark.readStream.schema(eventsRawSchema).parquet(s"$dir/events*.parquet")
+      val deduped = toTimestamp(stream)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None    => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   /** Batch twin of the session stream: same sessions, filtered to those
     * the stream has finalized (`finalizedOnly`) — i.e. session end at or
     * before the terminal watermark (max event time, delay 0).

@@ -1,0 +1,191 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Round-4 corpus-curation operators: connected-component duplicate
+  * resolution, C4-style line dedup, benchmark decontamination, domain-mix
+  * sampling, and semantic cluster pruning.
+  */
+class MixOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- connected components ------------------------------------------
+
+  test("connectedComponents groups chains transitively, labels with min id") {
+    // two components: {1,2,3,4} (a chain) and {10,11}; 20 is isolated (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // a 64-node path needs ~log2(64) rounds with jumps, not 64
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIters = 10)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 64 && cc.forall(_._2 === 0L))
+  }
+
+  test("connectedComponents handles an empty pair set") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() === 0)
+  }
+
+  test("resolveDuplicates: singletons are their own canonical cluster") {
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.resolveDuplicates(docs, pairs, "doc_id")
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(r === Set((1L, 1L, true), (2L, 2L, true), (3L, 1L, false), (9L, 9L, true)))
+  }
+
+  test("resolveDuplicates composes with minhashPairs end to end") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+    val r = Dedup.resolveDuplicates(docs.select("doc_id"), pairs, "doc_id")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(r(1L) === 1L && r(2L) === 1L && r(3L) === 1L) // one near-dup cluster
+    assert(r(4L) === 4L)                                 // distinct doc untouched
+  }
+
+  // ---- line dedup ------------------------------------------------------
+
+  test("lineDedup keeps only the first occurrence of a repeated line") {
+    // 8-token boilerplate shared by docs 1 and 2; doc bodies unique
+    val header = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$header one two three four five six seven eight"),
+      (2L, s"$header nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "unrelated body with its own eight tokens here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "doc_id", "text", lineTokens = 8)
+      .select("doc_id", "n_lines", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, 2L, 2L, s"$header one two three four five six seven eight")))
+    // doc 2 loses the header but keeps its own body
+    assert(r(1) === ((2L, 2L, 1L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")))
+    assert(r(2)._2 === 1L && r(2)._3 === 1L)
+  }
+
+  test("lineDedup: duplicate line within one doc also dedups (first position wins)") {
+    val line = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val docs = Seq((5L, s"$line $line")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "doc_id", "text", lineTokens = 8)
+      .select("n_lines", "n_kept", "text_dedup").as[(Long, Long, String)].head()
+    assert(r === ((2L, 1L, line)))
+  }
+
+  // ---- decontamination -------------------------------------------------
+
+  test("decontaminate flags docs sharing 8-grams with the eval set") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta different tail here now"), // shares 8-grams
+      (2L, "totally clean document about nothing related to the benchmark at all what")
+    ).toDF("doc_id", "text")
+    val byId = TextOps.decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
+      .select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L)._1 >= 1L && byId(1L)._2)
+    assert(byId(2L) === ((0L, false)))
+  }
+
+  test("decontaminate counts distinct matching grams, zero-hit docs included") {
+    val evalSet = Seq((9L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    // corpus doc repeats the eval text twice -> grams are distinct-reduced,
+    // so the repeated window still counts once per distinct gram
+    val corpus = Seq((1L, "one two three four five six seven eight one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val r = TextOps.decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
+      .select("n_ngrams", "n_hits").as[(Long, Long)].head()
+    // 16 tokens -> 9 windows, 8 distinct (the eval gram + 7 wrap-spanning), 1 hit
+    assert(r._1 === 8L && r._2 === 1L)
+  }
+
+  // ---- domain mix --------------------------------------------------------
+
+  private lazy val mixDf = {
+    // 60 'a' rows, 30 'b', 10 'c'
+    val rows = (0L until 60L).map((_, "a")) ++ (100L until 130L).map((_, "b")) ++
+      (200L until 210L).map((_, "c"))
+    rows.toDF("id", "domain")
+  }
+
+  test("domainMix hits exact quotas pinned by the scarcest domain") {
+    // targets 50/30/20: c pins T = 10/0.2 = 50 -> quotas 25/15/10
+    val r = Sampling.domainMix(mixDf, "id", "domain",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt = "s1")
+    val counts = r.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("a" -> 25L, "b" -> 15L, "c" -> 10L))
+  }
+
+  test("domainMix is deterministic across runs and sensitive to salt") {
+    def ids(salt: String) = Sampling.domainMix(mixDf, "id", "domain",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt)
+      .select("id").as[Long].collect().toSet
+    assert(ids("s1") === ids("s1"))
+    assert(ids("s1") !== ids("other-salt"))
+  }
+
+  test("domainMixThreshold approximates quotas without a sort") {
+    val r = Sampling.domainMixThreshold(mixDf, "id", "domain",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt = "s1")
+    val counts = r.groupBy("domain").count().as[(String, Long)].collect().toMap
+    // binomial noise on quotas 25/15/10 — sanity bounds only
+    assert(counts.getOrElse("a", 0L) > 10L && counts.getOrElse("a", 0L) < 45L)
+    assert(counts.getOrElse("c", 0L) <= 10L) // cut rate = quota/count = 1.0 keeps all 10 at most
+    // determinism
+    val again = Sampling.domainMixThreshold(mixDf, "id", "domain",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), salt = "s1")
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(counts === again)
+  }
+
+  // ---- semantic prune ------------------------------------------------------
+
+  test("semanticPrune keeps the most central members per cluster") {
+    // 2 centroids (ids 0,1) along orthogonal axes; members lean toward one
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)), (4L, Array(0.7f, 0.3f)),
+      (5L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semanticPrune(vecs, "vec_id", "embedding",
+        nCentroids = 2, keepPerCluster = 2)
+      .select("vec_id", "cluster_id", "cluster_rank", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    // cluster 0: members 0,2,3,4 by cosine; ranks: 0 (sim 1.0), then 2, 3, 4
+    assert(r(0L)._2 === 0L && r(0L)._3 === 1L && r(0L)._4)
+    assert(r(2L)._2 === 0L && r(2L)._3 === 2L && r(2L)._4)
+    assert(r(3L)._2 === 0L && r(3L)._3 === 3L && !r(3L)._4)
+    assert(r(4L)._2 === 0L && !r(4L)._4)
+    // cluster 1: 1 and 5 both kept (only 2 members)
+    assert(r(1L)._2 === 1L && r(1L)._4)
+    assert(r(5L)._2 === 1L && r(5L)._4)
+  }
+
+  test("semanticPrune accepts trained centroids from kmeansFit") {
+    val vecs = (0L until 40L).map { i =>
+      val angle = (i % 4) * math.Pi / 2 + 0.05 * (i / 4)
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val r = Similarity.semanticPrune(vecs, "vec_id", "embedding",
+      keepPerCluster = 5, centroids = Some(cents))
+    assert(r.count() === 40)
+    val kept = r.filter(col("kept")).groupBy("cluster_id").count()
+      .as[(Long, Long)].collect()
+    assert(kept.forall(_._2 <= 5L))
+  }
+}
