@@ -24,6 +24,73 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
   }
 
+  /** Bloom filter over a corpus CONTENT-KEY column (md5 strings), built
+    * with Spark's codegen'd `BloomFilterAggregate` — per-partition
+    * partial sketches, binary-merged; ~1.2 MB per million keys at 1%
+    * fpp. Build once per corpus snapshot and reuse across every
+    * incoming batch (the sketch also supports `mergeInPlace` for
+    * incremental maintenance as the corpus grows). Probes hash the
+    * 32-char key with xxhash64, so batch content is only ever hashed
+    * once — everything downstream moves 32-byte keys.
+    */
+  def corpusKeyBloom(corpusKeys: DataFrame, keyCol: String,
+                     expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    corpusKeys
+      .agg(org.apache.spark.sql.graft.VectorExpressions.bloomAgg(
+        xxhash64(col(keyCol)), math.max(1L, expectedItems), fpp))
+      .head.getAs[Array[Byte]](0)
+
+  /** Incremental-ingest dedup: the rows of `batch` whose content key is
+    * not in `corpusKeys` — the nightly "which of these N million new
+    * documents are genuinely new" pass, with NO wide shuffle anywhere.
+    *
+    * `corpusKeys` is the compact key table (in this engine, the artifact
+    * registry's `hash` column — the reference resolves the same question
+    * one SELECT-by-hash at a time, `lamindb/models/artifact.py`
+    * `get_artifact_kwargs_from_data`). The plan:
+    *
+    *  1. One narrow pass over the batch probes the corpus bloom with
+    *     xxhash64(md5(content)); bloom-NEGATIVE keys are definitely new
+    *     and never join. The positive sliver (duplicate rate + fpp of
+    *     the batch) is distinct-reduced and broadcast.
+    *  2. A map-side semi-join over the key table keeps only the
+    *     candidate keys that truly exist — at most |candidates| rows.
+    *  3. Since dupKeys ⊆ batch keys, one anti-join against
+    *     broadcast(dupKeys) yields the exact answer in a single
+    *     full-width batch pass. (A direct anti-join against the key
+    *     table could NOT broadcast — left_anti builds on its right, the
+    *     corpus side — so it would shuffle every wide batch row.)
+    *
+    * Exact by construction: the bloom only routes; membership is decided
+    * on the md5 key equality.
+    */
+  def newDocsAgainstKeys(corpusKeys: DataFrame, keyCol: String,
+                         batch: DataFrame, contentCol: String,
+                         bloomBytes: Array[Byte]): DataFrame = {
+    val bk = md5(col(contentCol))
+    val might = org.apache.spark.sql.graft.VectorExpressions
+      .bloomMightContain(bloomBytes, xxhash64(bk))
+    val candidateKeys = batch.filter(might).select(bk.as("__bk")).distinct()
+    val dupKeys = corpusKeys.select(col(keyCol).as("__bk"))
+      .join(broadcast(candidateKeys), Seq("__bk"), "left_semi").distinct()
+    batch.join(broadcast(dupKeys), bk === col("__bk"), "left_anti")
+  }
+
+  /** Convenience tier over raw corpus content: derives the key table and
+    * bloom (one narrow corpus pass each), then routes through
+    * [[newDocsAgainstKeys]]. Steady-state pipelines should persist the
+    * key table and sketch instead of rebuilding per batch.
+    */
+  def newDocs(corpus: DataFrame, batch: DataFrame, idCol: String,
+              contentCol: String, fpp: Double = 0.01,
+              expectedItems: Option[Long] = None): DataFrame = {
+    val keys = corpus.select(md5(col(contentCol)).as("__ck"))
+    val n = math.max(1L, expectedItems.getOrElse(keys.count()))
+    val bytes = corpusKeyBloom(keys, "__ck", n, fpp)
+    if (bytes == null) return batch // empty corpus: the aggregate yields null
+    newDocsAgainstKeys(keys, "__ck", batch, contentCol, bytes)
+  }
+
   /** Word n-gram shingle strings from a MATERIALIZED tokens column (see
     * shingleHashesFromTokenHashes for why staging matters).
     */
@@ -416,27 +483,33 @@ object Dedup {
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var iter = 0
-    var done = edges.isEmpty
+    var done = false
     while (!done && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min("ncomp").as("nbr_min"))
+      // carry the pre-step label so the convergence probe is a plain
+      // filter over the round's result, not a join back to `labels`.
+      // stepped must be checkpointed BEFORE the pointer-jump self-join:
+      // its two sides shuffle on different keys, so without
+      // materialization the edge join + aggregation would execute twice.
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-      // pointer jump: follow the label one hop (comp is itself a node id).
-      // Propagate + jump run as ONE fused job (the self-join's repeated
-      // subtree reuses the stepped exchange), checkpointed once — 2 jobs
-      // per round (materialize + convergence probe) instead of 4, which
-      // halves the per-round latency that dominates shallow dup graphs.
-      val jumped = stepped
-        .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
-        .select(col("id"), col("old_comp"),
-          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = jumped.filter(col("comp") =!= col("old_comp")).limit(1).count()
-      labels = jumped.select(col("id"), col("comp"))
-      done = changed == 0
+      // converged = neighbor-min propagation reached its fixpoint (the
+      // jump only accelerates, it can't change the fixpoint) — so the
+      // probe runs on stepped and the FINAL round skips the jump join.
+      // Empty edges converge on round 0, no separate isEmpty probe.
+      done = stepped.filter(col("comp") =!= col("old_comp")).limit(1).count() == 0
+      if (!done) {
+        // pointer jump: follow the label one hop (comp is itself a node id)
+        labels = stepped
+          .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+      }
       iter += 1
     }
     edges.unpersist(blocking = false)

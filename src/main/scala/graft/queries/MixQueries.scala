@@ -68,6 +68,20 @@ object MixQueries {
         .orderBy("doc_id")
     }),
 
+    "d21_bloom_new_docs" -> ((spark, dir) => {
+      // incremental batch: %5==0 docs verbatim (already in the corpus)
+      // plus %5==1 docs with a fresh tail (genuinely new); the operator
+      // must return exactly the fresh ones, bloom-routed, md5-verified
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" fresh "), col("doc_id").cast("string")).as("text")))
+      Dedup.newDocs(docs, batch, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     "e07_semantic_prune" -> ((spark, dir) => {
       // zero-iteration centroids (16 lowest-id vectors) keep the whole
       // assign -> rank -> keep pass SQL-replayable, like e04/e06
@@ -87,6 +101,18 @@ object MixQueries {
        |     ELSE [array_to_string($tk, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d21_bloom_new_docs" ->
+      // the bloom is pure routing — the exact answer is a plain anti-join
+      // on md5(text), which is precisely what DuckDB replays here
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 5 = 1)
+        |SELECT doc_id, md5(text) AS content_md5 FROM batch
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "d17_dup_clusters" ->
       // transitive closure by label propagation: every node reaches its
       // component's min id; UNION (distinct) terminates the recursion

@@ -65,6 +65,35 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Bloom-filter build as a codegen'd aggregate over a LONG column —
+    * Spark's own `BloomFilterAggregate` (the machinery behind runtime
+    * join filter pushdown): per-partition partial blooms, binary merge
+    * in the agg buffer, one serialized sketch out. Much cheaper than the
+    * RDD-based `DataFrameStatFunctions.bloomFilter`, which row-iterates
+    * outside codegen and merges full-size blooms per partition.
+    */
+  def bloomAgg(value: Column, expectedItems: Long, fpp: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(value),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a serialized `util.sketch.BloomFilter` via
+    * Spark's own `BloomFilterMightContain` (the expression behind runtime
+    * row-level filter pushdown — codegen'd, no UDF). `value` must be a
+    * LONG column; pair it with a bloom built over the same 64-bit hashes
+    * (the `putLong` path, e.g. [[bloomAgg]] on an `xxhash64` column).
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(bloomBytes, BinaryType),
+        ExpressionUtils.expression(value)))
 }
 
 /** `SparkSessionExtensions` hook: registers `graft_dot` in the function

@@ -188,4 +188,36 @@ class MixOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(kept.forall(_._2 <= 5L))
   }
+  // ---- bloom-routed incremental dedup --------------------------------
+
+  test("newDocs returns exactly the batch rows absent from the corpus") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "content")
+    val batch = Seq((10L, "alpha"), (11L, "delta"), (12L, "beta"), (13L, "epsilon"))
+      .toDF("id", "content")
+    val r = Dedup.newDocs(corpus, batch, "id", "content")
+      .select("id").as[Long].collect().sorted
+    assert(r === Array(11L, 13L))
+  }
+
+  test("newDocs stays exact when the bloom is saturated with false positives") {
+    // fpp close to 1 routes nearly every row through the verify join;
+    // the md5 anti-join must still produce the exact answer
+    val corpus = (0L until 200L).map(i => (i, s"doc-$i")).toDF("id", "content")
+    val batch = (100L until 300L).map(i => (i + 1000, s"doc-$i")).toDF("id", "content")
+    val r = Dedup.newDocs(corpus, batch, "id", "content", fpp = 0.9)
+      .select("id").as[Long].collect().sorted
+    assert(r === (200L until 300L).map(_ + 1000).toArray)
+  }
+
+  test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
+    val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
+    val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
+    // all-new batch: result equals the full batch regardless of routing
+    val viaBloom = Dedup.newDocs(corpus, batch, "id", "content", fpp = 0.01)
+    assert(viaBloom.count() === 500)
+    // and with a supplied expectedItems (skips the corpus count job)
+    val sized = Dedup.newDocs(corpus, batch, "id", "content",
+      expectedItems = Some(500L))
+    assert(sized.count() === 500)
+  }
 }
