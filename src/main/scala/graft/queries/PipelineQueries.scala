@@ -42,6 +42,15 @@ object PipelineQueries {
         .orderBy("session_start", "user_id")
     }),
 
+    "s05_stream_interval_join" -> ((spark, dir) => {
+      // REAL stream-stream interval join (two file streams, watermarked
+      // both sides): purchases joined to same-user clicks in the prior
+      // 30 minutes; parity with the equivalent batch join is the check
+      EventStream.runAttributionStreaming(spark, dir,
+          s"graft_attr_${dir.replaceAll("\\W", "_")}")
+        .orderBy("user_id", "purchase_ts", "click_ts")
+    }),
+
     "s04_stream_dedup" -> ((spark, dir) => {
       // REAL streaming dropDuplicates (watermark-bounded state): the
       // surviving key set must equal batch DISTINCT — stream/batch parity
@@ -180,6 +189,14 @@ object PipelineQueries {
     "s04_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "s05_stream_interval_join" ->
+      """SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+        |  p.value AS purchase_value
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY p.user_id, purchase_ts, click_ts""".stripMargin,
 
     "m01_multimodal_decode" ->
       // the PNG encoder plans dims from md5(text) bytes 0..2, so what the

@@ -223,6 +223,65 @@ object EventStream {
     }
   }
 
+  /** Stream-stream interval join (click-attribution shape): purchases
+    * matched to the same user's clicks in the `lookback` window leading
+    * up to the purchase. The time-interval predicate is what makes the
+    * join state BOUNDED: with watermarks on both event-time columns the
+    * engine can expire clicks older than watermark − lookback and
+    * purchases past the watermark, so state is O(events in the interval
+    * window), not O(stream) — the Structured Streaming stream-stream
+    * join contract, and the piece a 100 TB/day pipeline needs. Runs
+    * identically as a batch plan (same logical join, static sources).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      withWatermark: Boolean,
+                      lookback: String = "30 minutes"): DataFrame = {
+    val c0 = clicks.select(col("user_id"), col("ts").as("click_ts"))
+    val p0 = purchases.select(col("user_id").as("p_user_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val c = if (withWatermark) c0.withWatermark("click_ts", "1 hour") else c0
+    val p = if (withWatermark) p0.withWatermark("purchase_ts", "1 hour") else p0
+    p.join(c, col("p_user_id") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"), col("purchase_value"))
+  }
+
+  /** Run the attribution join as a REAL stream-stream join: two file
+    * streams over the same events directory (filtered to each side's
+    * event type), inner-joined in append mode. Inner joins emit eagerly
+    * on match, so no trailing no-data batch is needed.
+    */
+  def runAttributionStreaming(spark: SparkSession, dir: String,
+                              queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      def side(eventType: String) = toTimestamp(
+        spark.readStream.schema(eventsRawSchema).parquet(s"$dir/events*.parquet"))
+        .filter(col("event_type") === eventType)
+      val joined = attributionJoin(side("click"), side("purchase"), withWatermark = true)
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None    => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   /** Batch twin of the session stream: same sessions, filtered to those
     * the stream has finalized (`finalizedOnly`) — i.e. session end at or
     * before the terminal watermark (max event time, delay 0).

@@ -52,4 +52,32 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(rows(1L) === "first") // the duplicate did not replace it
     } finally q.stop()
   }
+
+  test("attributionJoin matches clicks across microbatches within the interval") {
+    val session = spark
+    import session.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clickSrc = MemoryStream[(Long, java.sql.Timestamp)]
+    val buySrc = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = EventStream.attributionJoin(
+      clickSrc.toDF().toDF("user_id", "ts"),
+      buySrc.toDF().toDF("user_id", "ts", "value"),
+      withWatermark = true)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attr_test").start()
+    try {
+      // batch 1: clicks only — buffered in join state
+      clickSrc.addData((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+      q.processAllAvailable()
+      // batch 2: purchases arrive later; u1@10:20 matches both buffered
+      // clicks (within 30 min), u2@10:50 matches nothing (gap 45 min)
+      buySrc.addData((1L, ts(20), 9.5), (2L, ts(50), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("user_id", "click_ts", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(rows === Set((1L, ts(0), 9.5), (1L, ts(10), 9.5)))
+    } finally q.stop()
+  }
 }
