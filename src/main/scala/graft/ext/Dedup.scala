@@ -117,7 +117,13 @@ object Dedup {
       when(size(th) >= n,
         transform(sequence(lit(0), size(th) - n),
           i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
-        .otherwise(array(aggregate(th, lit(0L), (acc, h) => acc.bitwiseXOR(h)))))
+        // <n tokens: one whole-doc gram. The fold is a CHAINED hash
+        // (acc mixed with each token hash in order), so it is order-
+        // sensitive and repetition-sensitive — matching on it is
+        // equivalent to matching on the whole-doc string, which is what
+        // the portable/string path and the DuckDB oracles replay. (An
+        // XOR fold is NOT: 'a b' == 'b a' and repeated tokens cancel.)
+        .otherwise(array(aggregate(th, lit(0L), (acc, h) => xxhash64(acc, h)))))
 
   def tokenHashes(textCol: Column): Column =
     transform(split(trim(textCol), "\\s+"), t => xxhash64(t))

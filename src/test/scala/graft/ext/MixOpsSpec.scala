@@ -113,6 +113,44 @@ class MixOpsSpec extends AnyFunSuite {
     assert(r._1 === 8L && r._2 === 1L)
   }
 
+  test("decontaminate short-doc fallback gram is order- and repetition-sensitive") {
+    // all docs are under the 8-token gram width, so each contributes the
+    // single whole-doc fallback gram. An XOR-style fold would match
+    // 'alpha beta' with 'beta alpha' (commutes) and 'xray xray yankee'
+    // with 'yankee' (repeats cancel); the chained hash must not.
+    val evalSet = Seq(
+      (100L, "beta alpha"),
+      (101L, "yankee")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta"),        // permutation of eval 100 — NOT a hit
+      (2L, "beta alpha"),        // verbatim eval 100 — hit
+      (3L, "xray xray yankee"),  // xor-cancels to eval 101 — NOT a hit
+      (4L, "yankee")             // verbatim eval 101 — hit
+    ).toDF("doc_id", "text")
+    val byId = TextOps.decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(byId === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("short-doc fallback matching agrees with the string-gram portable path") {
+    // the hashed fallback must induce the same equivalence classes as the
+    // whole-doc string gram used by shinglesFromTokens / the DuckDB oracles
+    val docs = Seq("a b", "b a", "a a b", "a b", "c").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val hashed = docs
+      .select(col("id"), Dedup.tokenHashes(col("text")).as("th"))
+      .select(col("id"), element_at(Dedup.shingleHashesFromTokenHashes(col("th"), 8), 1).as("g"))
+      .as[(Long, Long)].collect().toMap
+    val strings = docs
+      .select(col("id"), element_at(
+        Dedup.shinglesFromTokens(split(trim(col("text")), "\\s+"), 8), 1).as("g"))
+      .as[(Long, String)].collect().toMap
+    for (i <- hashed.keys; j <- hashed.keys)
+      assert((hashed(i) == hashed(j)) === (strings(i) == strings(j)),
+        s"fallback equivalence diverges for docs $i vs $j")
+  }
+
   // ---- domain mix --------------------------------------------------------
 
   private lazy val mixDf = {
