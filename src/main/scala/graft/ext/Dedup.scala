@@ -34,11 +34,32 @@ object Dedup {
     * once — everything downstream moves 32-byte keys.
     */
   def corpusKeyBloom(corpusKeys: DataFrame, keyCol: String,
-                     expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
-    corpusKeys
-      .agg(org.apache.spark.sql.graft.VectorExpressions.bloomAgg(
-        xxhash64(col(keyCol)), math.max(1L, expectedItems), fpp))
-      .head.getAs[Array[Byte]](0)
+                     expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    // BloomFilterAggregate silently clamps its item/bit sizing to the
+    // runtime-join-filter caps (spark.sql.optimizer.runtime.bloomFilter.
+    // maxNumItems/maxNumBits, defaults 4M items / 64 Mbit). A clamped
+    // sketch saturates: fpp → 1, nearly every batch row becomes a
+    // candidate, and the downstream broadcasts blow up. Raise the caps to
+    // cover this build, then restore.
+    val conf = corpusKeys.sparkSession.conf
+    val n = math.max(1L, expectedItems)
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = conf.getOption(itemsKey)
+    val oldBits = conf.getOption(bitsKey)
+    try {
+      if (oldItems.forall(_.toLong < n)) conf.set(itemsKey, n)
+      if (oldBits.forall(_.toLong < bits)) conf.set(bitsKey, bits)
+      corpusKeys
+        .agg(org.apache.spark.sql.graft.VectorExpressions.bloomAgg(
+          xxhash64(col(keyCol)), n, fpp))
+        .head.getAs[Array[Byte]](0)
+    } finally {
+      oldItems.fold(conf.unset(itemsKey))(v => conf.set(itemsKey, v))
+      oldBits.fold(conf.unset(bitsKey))(v => conf.set(bitsKey, v))
+    }
+  }
 
   /** Incremental-ingest dedup: the rows of `batch` whose content key is
     * not in `corpusKeys` — the nightly "which of these N million new
@@ -66,14 +87,30 @@ object Dedup {
     */
   def newDocsAgainstKeys(corpusKeys: DataFrame, keyCol: String,
                          batch: DataFrame, contentCol: String,
-                         bloomBytes: Array[Byte]): DataFrame = {
+                         bloomBytes: Array[Byte],
+                         maxBroadcastKeys: Long = 4000000L): DataFrame = {
     val bk = md5(col(contentCol))
     val might = org.apache.spark.sql.graft.VectorExpressions
       .bloomMightContain(bloomBytes, xxhash64(bk))
+    // materialize + count the candidate sliver before committing to the
+    // broadcast plan: a saturated bloom (or a batch that is mostly dups)
+    // can make the sliver arbitrarily large, and broadcasting it would
+    // exceed driver/executor memory. The count reuses the persisted
+    // sliver, so the probe pass still runs once.
     val candidateKeys = batch.filter(might).select(bk.as("__bk")).distinct()
-    val dupKeys = corpusKeys.select(col(keyCol).as("__bk"))
-      .join(broadcast(candidateKeys), Seq("__bk"), "left_semi").distinct()
-    batch.join(broadcast(dupKeys), bk === col("__bk"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (candidateKeys.count() <= maxBroadcastKeys) {
+      val dupKeys = corpusKeys.select(col(keyCol).as("__bk"))
+        .join(broadcast(candidateKeys), Seq("__bk"), "left_semi").distinct()
+      // dupKeys ⊆ candidateKeys, so it fits the same broadcast budget
+      batch.join(broadcast(dupKeys), bk === col("__bk"), "left_anti")
+    } else {
+      // degraded-but-exact path: shuffled anti-join against the key table
+      // (the wide batch shuffles once — the cost the bloom normally avoids)
+      candidateKeys.unpersist()
+      batch.join(corpusKeys.select(col(keyCol).as("__bk")),
+        bk === col("__bk"), "left_anti")
+    }
   }
 
   /** Convenience tier over raw corpus content: derives the key table and
@@ -310,7 +347,12 @@ object Dedup {
     * the pigeonhole principle).
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persist: both sides of the band self-join read the signature frame,
+    // and without materialization each side re-runs the whole tokenize →
+    // 64-vote aggregation (the dominant stage) — same reasoning as the
+    // `withSig` persist in minhashPairs
     val withSim = simhashDf(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(65535)): _*))
@@ -344,6 +386,9 @@ object Dedup {
         (0 until bits).map(bit =>
           when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      // persisted for the same both-sides-of-the-self-join reason as the
+      // fast path above
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(32767)): _*))

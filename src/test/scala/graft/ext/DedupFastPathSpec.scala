@@ -52,4 +52,18 @@ class DedupFastPathSpec extends AnyFunSuite {
       .filter(col("doc_id") % 7 === 0).count()
     assert(planted >= (plantedTotal * 85) / 100, s"$planted of $plantedTotal planted pairs")
   }
+
+  test("simhash signature pipeline materializes the input once (persisted self-join)") {
+    // the band self-join reads the signature frame on both sides; without
+    // the persist each side re-runs tokenize -> 64-vote aggregation from
+    // the source, so every input row would be read twice. Count source
+    // reads with an accumulator threaded through the input RDD.
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, s"token$i alpha beta gamma delta epsilon tail${i % 40}"))
+    val acc = spark.sparkContext.longAccumulator("source-reads")
+    val src = spark.sparkContext.parallelize(rows, 4)
+      .map { r => acc.add(1); r }.toDF("doc_id", "text")
+    Dedup.simhashCandidates(src, "doc_id", "text").count()
+    assert(acc.value === 200L, s"expected one source pass, saw ${acc.value} row-reads")
+  }
 }

@@ -247,6 +247,43 @@ class MixOpsSpec extends AnyFunSuite {
     assert(r === (200L until 300L).map(_ + 1000).toArray)
   }
 
+  test("newDocsAgainstKeys falls back to the shuffled anti-join on a large sliver") {
+    // force the guard with a tiny broadcast budget: the mostly-dup batch
+    // produces a candidate sliver over the cap, and the fallback plan must
+    // still return the exact answer
+    val corpus = (0L until 100L).map(i => (i, s"doc-$i")).toDF("id", "content")
+    val keys = corpus.select(md5(col("content")).as("__ck"))
+    val bloom = Dedup.corpusKeyBloom(keys, "__ck", expectedItems = 100L)
+    val batch = (50L until 150L).map(i => (i + 1000, s"doc-$i")).toDF("id", "content")
+    val r = Dedup.newDocsAgainstKeys(keys, "__ck", batch, "content", bloom,
+        maxBroadcastKeys = 5L)
+      .select("id").as[Long].collect().sorted
+    assert(r === (100L until 150L).map(_ + 1000).toArray)
+  }
+
+  test("corpusKeyBloom sizes past the runtime-bloom conf caps without saturating") {
+    // shrink the caps so the default clamp WOULD saturate the sketch; the
+    // builder must raise them for the build and restore them after
+    val conf = spark.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    conf.set(itemsKey, 10L)
+    conf.set(bitsKey, 64L)
+    try {
+      val corpus = (0L until 2000L).map(i => (i, s"doc-$i")).toDF("id", "content")
+      val batch = (0L until 2000L).map(i => (i + 9000, s"new-$i")).toDF("id", "content")
+      val keys = corpus.select(md5(col("content")).as("__ck"))
+      val bloom = Dedup.corpusKeyBloom(keys, "__ck", expectedItems = 2000L)
+      // an all-new batch through a healthy 1% sketch routes only ~fpp of
+      // rows to the verify join; a 64-bit clamped sketch would route ~all
+      val routed = batch.filter(org.apache.spark.sql.graft.VectorExpressions
+        .bloomMightContain(bloom, xxhash64(md5(col("content"))))).count()
+      assert(routed < 200L, s"sketch saturated: $routed of 2000 routed")
+      // and the caps are restored for the rest of the session
+      assert(conf.get(itemsKey) === "10" && conf.get(bitsKey) === "64")
+    } finally { conf.unset(itemsKey); conf.unset(bitsKey) }
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
