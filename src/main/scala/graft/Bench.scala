@@ -45,41 +45,60 @@ object Bench {
     try graft.queries.AnnQueries.ingestedDataset(spark, sfDir)
     catch { case _: Throwable => () }
 
+    // b08/b09 steady-state fixtures (1M-key corpus table + bloom) are
+    // amortized across nightly batches in a real pipeline — build them in
+    // the warmup region so the timed entries measure per-batch cost only
+    initNewDocsKeys(spark)
+
     def time(body: => Any): Double = {
       val t0 = System.nanoTime()
       try body catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
+    // One-shot stopwatch numbers on a 32-thread shared box produce 3-8x
+    // phantom outliers (scheduler/GC interference); each entry runs 3x in
+    // the same warmed session and reports the median, with the min kept
+    // alongside as the interference-free floor.
+    def median3(body: => Any): (Double, Double) = {
+      val runs = Seq.fill(3)(time(body))
+      if (runs.exists(_ < 0)) (-1.0, -1.0)
+      else (runs.sorted.apply(1), runs.min)
+    }
+
+    // toRdd.count() evaluates the query's full output schema per row but
+    // never collects: a bare Dataset.count() lets Catalyst prune every
+    // unreferenced projection (hollowing out e.g. codec/decode entries),
+    // while collect() would bottleneck on driver materialization.
     val queryTimes = SparkEntry.queries.map { case (name, fn) =>
-      name -> time(fn(spark, sfDir).count())
+      name -> median3(fn(spark, sfDir).queryExecution.toRdd.count())
     }
 
     // catalog-op families (BASELINE.md): not oracle-queries, timed here
     val catalogTimes = Map(
-      "b01_ingest_1k_dedup" -> time(benchIngest(spark)),
-      "b02_bfs_10_levels" -> time(benchBfs(spark)),
-      "b03_schema_validate_lineitem" -> time(benchValidate(spark, sfDir)),
-      "b04_stream_sink" -> time(benchStreamSink(spark)),
+      "b01_ingest_1k_dedup" -> median3(benchIngest(spark)),
+      "b02_bfs_10_levels" -> median3(benchBfs(spark)),
+      "b03_schema_validate_lineitem" -> median3(benchValidate(spark, sfDir)),
+      "b04_stream_sink" -> median3(benchStreamSink(spark)),
       // the xxhash64 simhash fast path: correctness is pinned by a golden
       // snapshot + recall-contract spec (DedupFastPathSpec) — its 64-bit
       // signature isn't DuckDB-replayable, so it's benched, not oracled
-      "d06_simhash" -> time {
+      "d06_simhash" -> median3 {
         val corpus = graft.queries.TextQueries.corpusWithNearDups(spark, sfDir)
         graft.ext.Dedup.simhashCandidates(corpus, "doc_id", "text")
-          .filter(col("hamming") <= 6).count()
+          .filter(col("hamming") <= 6).queryExecution.toRdd.count()
       },
       // exact-vs-approx distinct/quantile pair on the largest table: the
       // approx tier (HLL++ + approx_percentile, constant per-group state)
       // is the 100 TB path; the exact pair is what q25-family oracles run
-      "b05_lineitem_stats_exact" -> time {
+      "b05_lineitem_stats_exact" -> median3 {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .groupBy("l_returnflag")
           .agg(countDistinct(col("l_orderkey")).as("n_orders"),
             expr("percentile(l_extendedprice, array(0.5, 0.9))").as("q"))
           .collect()
       },
-      "b06_lineitem_stats_approx" -> time {
+      "b06_lineitem_stats_approx" -> median3 {
         graft.ext.Sketches.lineitemStatsApprox(
           spark.read.parquet(s"$sfDir/lineitem.parquet")).collect()
       },
@@ -87,7 +106,7 @@ object Bench {
       // driver queries only see ~1k-edge pair sets): 190k chain edges,
       // 10k components of diameter 20 — converges in ~log2(20) rounds
       // thanks to the pointer jump
-      "b07_cc_190k_edges" -> time(benchCC(spark)),
+      "b07_cc_190k_edges" -> median3(benchCC(spark)),
       // incremental-ingest dedup pair, steady state: a prebuilt corpus
       // key table (the registry hash column) + reusable bloom. b08
       // bloom-routes so wide batch rows NEVER shuffle (2 map passes,
@@ -96,13 +115,14 @@ object Bench {
       // stopwatch here — the pair pins parity + the constant factor; the
       // b08 plan is the one that survives a networked 1000-executor
       // shuffle of multi-KB rows
-      "b08_new_docs_bloom" -> time(benchNewDocs(spark, useBloom = true)),
-      "b09_new_docs_anti" -> time(benchNewDocs(spark, useBloom = false)))
+      "b08_new_docs_bloom" -> median3(benchNewDocs(spark, useBloom = true)),
+      "b09_new_docs_anti" -> median3(benchNewDocs(spark, useBloom = false)))
 
     val all = queryTimes ++ catalogTimes
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = all.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
+    val mins = all.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
+    val total = all.values.map(_._1).filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -137,24 +157,33 @@ object Bench {
   private lazy val newDocsKeys = new java.util.concurrent.atomic.AtomicReference[
     (org.apache.spark.sql.DataFrame, Array[Byte])]()
 
-  private def benchNewDocs(spark: SparkSession, useBloom: Boolean): Unit = {
-    def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+  private def newDocsBatch(spark: SparkSession, lo: Long, hi: Long) =
+    spark.range(lo, hi)
       .select(col("id"), repeat(md5(col("id").cast("string")), 16).as("content"))
+
+  /** One-time fixture build (warmup region, NOT timed): materialize the
+    * 1M-key corpus table and its bloom sketch.
+    */
+  private def initNewDocsKeys(spark: SparkSession): Unit =
     if (newDocsKeys.get() == null) {
-      val keys = docs(0, 1000000).select(md5(col("content")).as("k"))
+      val keys = newDocsBatch(spark, 0, 1000000).select(md5(col("content")).as("k"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keys.count() // force the cache now, not inside the first timed run
       val bloom = graft.ext.Dedup.corpusKeyBloom(keys, "k", 1000000L)
       newDocsKeys.set((keys, bloom))
     }
+
+  private def benchNewDocs(spark: SparkSession, useBloom: Boolean): Unit = {
+    initNewDocsKeys(spark)
     val (keys, bloom) = newDocsKeys.get()
     // batch ids 950k..1.45M: the first 50k contents collide with the corpus
-    val batch = docs(950000, 1450000)
+    val batch = newDocsBatch(spark, 950000, 1450000)
     val n =
       if (useBloom)
         graft.ext.Dedup.newDocsAgainstKeys(keys, "k", batch, "content", bloom).count()
       else
         batch.join(keys, md5(col("content")) === col("k"), "left_anti").count()
-    require(n == 450000, s"expected 900000 new docs, got $n")
+    require(n == 450000, s"expected 450000 new docs, got $n")
   }
 
   /** 200k nodes in 10k chains of 20: component count and a spot label
