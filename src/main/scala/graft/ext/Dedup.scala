@@ -541,25 +541,34 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("ncomp").as("nbr_min"))
       // carry the pre-step label so the convergence probe is a plain
       // filter over the round's result, not a join back to `labels`.
-      // stepped must be checkpointed BEFORE the pointer-jump self-join:
+      // stepped must be materialized BEFORE the pointer-jump self-join:
       // its two sides shuffle on different keys, so without
       // materialization the edge join + aggregation would execute twice.
+      // LAZY checkpoint + full-scan probe: the checkpoint truncates the
+      // plan (no exponential growth) but the probe below is the job that
+      // materializes it — probe and materialization fused into ONE job
+      // per round instead of an eager-checkpoint job plus a probe job.
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // converged = neighbor-min propagation reached its fixpoint (the
       // jump only accelerates, it can't change the fixpoint) — so the
       // probe runs on stepped and the FINAL round skips the jump join.
-      // Empty edges converge on round 0, no separate isEmpty probe.
-      done = stepped.filter(col("comp") =!= col("old_comp")).limit(1).count() == 0
+      // Deliberately NO limit(1): an early-exit probe would materialize
+      // only some checkpoint partitions and push the rest into later
+      // consumers. Empty edges converge on round 0, no separate isEmpty.
+      done = stepped.filter(col("comp") =!= col("old_comp")).count() == 0
       if (!done) {
-        // pointer jump: follow the label one hop (comp is itself a node id)
+        // pointer jump: follow the label one hop (comp is itself a node
+        // id). Also a lazy checkpoint: both of next round's consumers
+        // read it during next round's probe job, computing the jump join
+        // over the ALREADY-cached stepped — no separate eager pass.
         labels = stepped
           .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
       iter += 1
     }
