@@ -175,32 +175,60 @@ object Quantization {
     */
   case class SqParams(mins: Array[Double], scales: Array[Double])
 
-  /** One pass over the corpus: per-dim min/max (d rows to the driver). */
+  /** One pass over the corpus: per-dim min/max (d rows to the driver).
+    * Null elements and null vectors carry no signal and are ignored; a
+    * dimension with NO non-null value (or one absent from every vector)
+    * gets (min 0, scale 0) — it encodes to 0 and reconstructs to 0.0.
+    */
   def sqFit(corpus: DataFrame, vecCol: String): SqParams = {
     val stats = corpus
       .select(posexplode_outer(toDoubleVec(vecCol)).as(Seq("dim", "x")))
+      .filter(col("x").isNotNull)
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-      .orderBy("dim").collect()
-    SqParams(
-      stats.map(_.getDouble(1)),
-      stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0))
+      .collect()
+    require(stats.nonEmpty, "sqFit: corpus has no non-null vector elements")
+    // size the parameter arrays by the widest VECTOR, and index by the dim
+    // POSITION: an all-null dim has no stats row, and array-order indexing
+    // would both shorten the fitted width and shift later dims left
+    val maxLen = corpus
+      .agg(max(coalesce(size(toDoubleVec(vecCol)), lit(0)))).head.getInt(0)
+    val d = math.max(stats.map(_.getInt(0)).max + 1, maxLen)
+    val mins = Array.fill(d)(0.0)
+    val scales = Array.fill(d)(0.0)
+    stats.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1)
+      scales(r.getInt(0)) = (r.getDouble(2) - r.getDouble(1)) / 255.0
+    }
+    SqParams(mins, scales)
   }
 
   /** Map-only encode to `array<int>` codes in 0..255 — a pure Column
     * expression (no kernel, no UDF), clamped so out-of-sample vectors
     * can't escape the byte range; a degenerate dimension (max == min)
-    * codes to 0.
+    * codes to 0. A vector shorter than the fitted dimension (or a null
+    * element / null vector) codes the missing dims to 0 explicitly —
+    * they reconstruct to that dim's min — instead of the silent null
+    * that non-ANSI element_at would otherwise thread through.
     */
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                p: SqParams): DataFrame = {
     val minsA = array(p.mins.map(lit): _*)
     val scalesA = array(p.scales.map(lit): _*)
     corpus.select(col(idCol).cast("long").as("id"),
-      transform(sequence(lit(1), lit(p.mins.length)), i =>
-        when(element_at(scalesA, i) === 0.0, lit(0)).otherwise(
+      transform(sequence(lit(1), lit(p.mins.length)), i => {
+        // guarded access: when() short-circuits, so a short or null vector
+        // never evaluates the out-of-bounds element_at (which would throw
+        // under ANSI mode and yield a silent null otherwise)
+        val xi = when(col(vecCol).isNotNull && i <= size(col(vecCol)),
+          element_at(col(vecCol), i).cast("double"))
+        // the null test must be explicit up front: least/greatest IGNORE
+        // null arguments (least(255, null) = 255), so a null xi threaded
+        // through the clamp would silently encode as a boundary code
+        when(element_at(scalesA, i) === 0.0 || xi.isNull, lit(0)).otherwise(
           greatest(lit(0), least(lit(255),
-            round((element_at(col(vecCol), i).cast("double") - element_at(minsA, i))
-              / element_at(scalesA, i), 0).cast("int"))))).as("codes"))
+            round((xi - element_at(minsA, i))
+              / element_at(scalesA, i), 0).cast("int"))))
+      }).as("codes"))
   }
 
   /** Asymmetric top-k over the codes: corpus vectors are reconstructed

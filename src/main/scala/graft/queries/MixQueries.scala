@@ -88,6 +88,19 @@ object MixQueries {
       Similarity.semanticPrune(t(spark, dir, "embeddings"), "vec_id", "embedding",
           nCentroids = 16, keepPerCluster = 20)
         .orderBy("vec_id")
+    }),
+
+    "e08_sq_topk" -> ((spark, dir) => {
+      // scalar (int8 affine) quantization: fit is one min/max aggregate,
+      // encode is a map-only Column expression, and the top-k scan reads
+      // ONLY the codes — all of it exact SQL math, replayed by the oracle;
+      // cosine rounds to 6 before ranking (e01 precedent)
+      val emb = t(spark, dir, "embeddings")
+      val p = graft.ext.Quantization.sqFit(emb, "embedding")
+      val encoded = graft.ext.Quantization.sqEncode(emb, "vec_id", "embedding", p)
+      graft.ext.Quantization.sqTopK(encoded, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", p, topK = 10, roundSim = Some(6))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -190,6 +203,30 @@ object MixQueries {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_idx), '') AS text_dedup
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e08_sq_topk" ->
+      // replica of sqFit/sqEncode/sqTopK: per-dim min + scale=(max-min)/255,
+      // code=clamped round((x-min)/scale), recon=min+code*scale, cosine
+      // rounded to 6 — identical doubles on both engines because the
+      // parameters and recon arithmetic are the same IEEE operations
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ex AS (SELECT vec_id, d.dim, e[d.dim] AS x FROM base, range(1, 65) d(dim)),
+        |stats AS (SELECT dim, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc
+        |  FROM ex GROUP BY dim),
+        |codes AS (SELECT vec_id, dim,
+        |    CASE WHEN sc = 0 THEN 0
+        |         ELSE greatest(0, least(255, CAST(round((x - mn) / sc, 0) AS INTEGER))) END AS code
+        |  FROM ex JOIN stats USING (dim)),
+        |recon AS (SELECT c.vec_id, list(s.mn + c.code * s.sc ORDER BY c.dim) AS re
+        |  FROM codes c JOIN stats s USING (dim) GROUP BY c.vec_id),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(r.re, q.qe), 6) AS cosine
+        |  FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "e07_semantic_prune" ->
       // replica of Similarity.semanticPrune with default centroids: the
