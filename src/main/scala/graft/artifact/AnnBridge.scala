@@ -129,6 +129,131 @@ object AnnBridge {
         .map(s => s.stripPrefix("layers.") -> store.openSlot(uid, s)).toMap)
   }
 
+  /** Slot holding the registration ledger (appended-slice content hashes)
+    * inside the bridge artifact — the persisted analog of tiledbsoma's
+    * `registration_mapping` resume state.
+    */
+  private val LedgerSlot = "registered_slices"
+
+  /** Deterministic content hash of a slice (obs + var + X + aux slots):
+    * per-slot commutative sum of per-row xxhash64 over all columns, slot
+    * sums md5-combined. Row order and partitioning can't change it, so a
+    * re-run of the same ingest batch hashes identically.
+    */
+  def sliceHash(ds: AnnDataset): String = {
+    val slotFrames = Seq("obs" -> ds.obs, "var" -> ds.vars, "X" -> ds.x) ++
+      ds.obsm.toSeq.sortBy(_._1).map { case (k, m) => s"obsm.$k" -> m } ++
+      ds.layers.toSeq.sortBy(_._1).map { case (k, l) => s"layers.$k" -> l }
+    val parts = slotFrames.map { case (name, df) =>
+      // to_json keeps field names, so a null/missing field can't alias a
+      // neighboring column's value the way a plain concat would
+      val cols = df.columns.sorted.map(c => col(c).cast("string").as(c))
+      // decimal sum: a long sum of 64-bit hashes overflows (ANSI error)
+      val s = df.select(xxhash64(to_json(struct(cols.toIndexedSeq: _*)))
+          .cast("decimal(38,0)").as("h"))
+        .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      s"$name:$s"
+    }
+    graft.core.Hashing.md5String(parts.mkString("|"))
+  }
+
+  /** Append-with-reindex — the growing-corpus ingest path, the engine's
+    * analog of `save_tiledbsoma_experiment(..., revises=artifact)`
+    * (`core/storage/_tiledbsoma.py:166-351`): append a new obs slice into
+    * an existing bridge artifact as a NEW VERSION of the same family.
+    *
+    *  - Obs axis always grows (soma registers every incoming obs row as a
+    *    fresh joinid): incoming obs are reindexed to sequential global ids
+    *    starting past the current axis — `max(obs_id)+1` in this bridge's
+    *    caller-supplied-id model, the dense-joinid equivalent of "offset
+    *    by current n_obs". X / obsm / layers follow through the mapping.
+    *  - Var axis registers BY NAME (`var_id_name` registration): an
+    *    incoming var whose name exists reuses the existing var_id; unseen
+    *    names get fresh ids past the current max, ordered by name.
+    *  - Idempotent resume (`registration_mapping`): the artifact carries a
+    *    ledger slot of appended-slice content hashes; re-appending an
+    *    already-registered slice returns the current artifact untouched,
+    *    so a crashed-and-rerun ingest job cannot double-append.
+    */
+  def appendObs(store: ArtifactStore, baseUid: String, slice: AnnDataset,
+                storageRoot: String, description: String = null): Map[String, Any] = {
+    import org.apache.spark.sql.expressions.Window
+    val art = store.getByUid(baseUid)
+    val key = art("key").toString
+    val base = open(store, baseUid)
+    val spark = slice.obs.sparkSession
+    import spark.implicits._
+
+    val sh = sliceHash(slice)
+    val ledger =
+      if (store.listSlots(baseUid).contains(LedgerSlot)) store.openSlot(baseUid, LedgerSlot)
+      else Seq.empty[String].toDF("slice_hash")
+    if (ledger.filter(col("slice_hash") === sh).head(1).nonEmpty)
+      return art // slice already registered: resume is a no-op
+
+    // ---- obs registration: sequential ids past the current axis ------
+    // the registration step is a bounded global sort over the INCOMING
+    // batch only (row_number over one window) — never over the store
+    val obsOffset = base.obs.agg(coalesce(max(col("obs_id")), lit(-1L)))
+      .head.getLong(0) + 1
+    val obsMap = slice.obs.select(col("obs_id").as("__src_obs"))
+      .distinct()
+      .withColumn("__dst_obs",
+        lit(obsOffset) + row_number().over(Window.orderBy("__src_obs")) - 1)
+
+    // ---- var registration by name --------------------------------------
+    val varOffset = base.vars.agg(coalesce(max(col("var_id")), lit(-1L)))
+      .head.getLong(0) + 1
+    val byName = slice.vars
+      .select(col("var_id").as("__src_var"), col("var_name"))
+      .join(base.vars.select(col("var_name"), col("var_id").as("__dst_var")),
+        Seq("var_name"), "left")
+    val freshVars = byName.filter(col("__dst_var").isNull)
+      .withColumn("__dst_var",
+        lit(varOffset) + row_number().over(Window.orderBy("var_name")) - 1)
+    val varMap = byName.filter(col("__dst_var").isNotNull)
+      .unionByName(freshVars)
+      .select(col("__src_var"), col("__dst_var"), col("var_name"))
+
+    def remapObs(df: DataFrame): DataFrame = df
+      .join(obsMap, df("obs_id") === obsMap("__src_obs"))
+      .drop("obs_id", "__src_obs").withColumnRenamed("__dst_obs", "obs_id")
+    def remapVar(df: DataFrame): DataFrame = df
+      .join(varMap.select("__src_var", "__dst_var"), df("var_id") === col("__src_var"))
+      .drop("var_id", "__src_var").withColumnRenamed("__dst_var", "var_id")
+
+    val mergedObs = base.obs.unionByName(remapObs(slice.obs))
+    val mergedVars = base.vars.unionByName(
+      freshVars.select(col("__dst_var").as("var_id"), col("var_name")))
+    val mergedX = base.x.unionByName(
+      remapVar(remapObs(slice.x)).select("obs_id", "var_id", "value"))
+    def mergeAux(b: Map[String, DataFrame], s: Map[String, DataFrame],
+                 remap: DataFrame => DataFrame): Map[String, DataFrame] =
+      (b.keySet ++ s.keySet).map { k =>
+        k -> ((b.get(k), s.get(k)) match {
+          case (Some(bd), Some(sd)) => bd.unionByName(remap(sd))
+          case (Some(bd), None)     => bd
+          case (None, Some(sd))     => remap(sd)
+          case _                    => sys.error("unreachable")
+        })
+      }.toMap
+    val mergedObsm = mergeAux(base.obsm, slice.obsm, remapObs)
+    val mergedLayers = mergeAux(base.layers, slice.layers,
+      df => remapVar(remapObs(df)).select("obs_id", "var_id", "value"))
+
+    val merged = AnnDataset(mergedObs, mergedVars, mergedX, mergedObsm, mergedLayers)
+    val slots =
+      Seq("obs" -> merged.obs, "var" -> merged.vars, "X" -> merged.x) ++
+        merged.obsm.toSeq.sortBy(_._1).map { case (k, m) => s"obsm.$k" -> m } ++
+        merged.layers.toSeq.sortBy(_._1).map { case (k, l) => s"layers.$k" -> l } ++
+        Seq(LedgerSlot -> ledger.unionByName(Seq(sh).toDF("slice_hash")))
+    // same key + new content hash → the family machinery mints the next
+    // version uid and flips is_latest heads (createArtifact revises path)
+    store.fromSlots(slots, key, storageRoot, suffix = ".anndata", otype = "AnnData",
+      nObservations = Some(merged.nObs), description = description)
+  }
+
   /** `AnnDataCurator` (`curators/core.py:1155`): slot-wise curation over
     * the REAL slots this bridge materializes. The reference validates
     * `obs` columns and the columns of `var.T` (i.e. the var NAMES, e.g.

@@ -347,6 +347,13 @@ final class ArtifactStore(val cat: Catalog) {
   def openByUid(uid: String): DataFrame =
     open(cat.table("artifact").filter(col("uid") === uid))
 
+  /** Catalog row of an artifact by uid (metadata, no content open). */
+  def getByUid(uid: String): Map[String, Any] = {
+    val rows = cat.table("artifact").filter(col("uid") === uid).head(1)
+    require(rows.nonEmpty, s"no artifact with uid $uid")
+    rowToMap(rows.head)
+  }
+
   /** Lineage side-effect: any open/load against an active run records the
     * artifacts as run inputs (`track_run_input`, `artifact.py:3783-3955`).
     */

@@ -60,6 +60,44 @@ object AnnQueries {
       val ds = ingestedDataset(spark, dir)
       val sliced = ds.subsetObs(col("source") === "src3").subsetVars(col("var_id") < 8)
       sliced.xWide().orderBy("obs_id")
+    }),
+
+    // append-with-reindex (the tiledbsoma growth path): ingest docs with
+    // doc_id%10<8 as the base store, append the %10>=8 slice — appended
+    // obs reindex to sequential ids past the current axis, X follows —
+    // then append the SAME slice again, which the registration ledger
+    // must turn into a no-op (same version, no double rows)
+    "a03_anndata_append" -> ((spark, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_append").toString
+      val cat = Catalog.deterministic(spark, root)
+      val store = new ArtifactStore(cat)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      def mkDs(base: Boolean): AnnDataset = {
+        val keep = (c: org.apache.spark.sql.Column) =>
+          if (base) c % 10 < 8 else c % 10 >= 8
+        val obs = docs.filter(keep(col("doc_id")))
+          .select(col("doc_id").as("obs_id"), col("lang"), col("source"), col("n_chars"))
+        val vars = spark.range(64).select(col("id").as("var_id"),
+          concat(lit("g"), lpad(col("id").cast("string"), 2, "0")).as("var_name"))
+        val x = emb.filter(keep(col("vec_id")))
+          .select(col("vec_id").as("obs_id"), posexplode(col("embedding")).as(Seq("var_id", "value")))
+          .select(col("obs_id"), col("var_id").cast("long").as("var_id"),
+            col("value").cast("double").as("value"))
+        AnnDataset(obs, vars, x)
+      }
+      val art1 = AnnBridge.ingest(store, mkDs(base = true), "sc/grow.anndata", root)
+      val slice = mkDs(base = false)
+      val art2 = AnnBridge.appendObs(store, art1("uid").toString, slice, root)
+      require(art2("uid") != art1("uid"), "append must create a new version")
+      val art3 = AnnBridge.appendObs(store, art2("uid").toString, slice, root)
+      require(art3("uid") == art2("uid"), "re-appending a registered slice must be a no-op")
+      require(cat.table("artifact").count() == 2, "exactly two versions in the family")
+      val ds = AnnBridge.open(store, art2("uid").toString)
+      ds.obs.join(ds.x.groupBy("obs_id").agg(count(lit(1)).as("n_x")), Seq("obs_id"), "left")
+        .withColumn("n_x", coalesce(col("n_x"), lit(0L)))
+        .select("obs_id", "lang", "source", "n_chars", "n_x")
+        .orderBy("obs_id")
     })
   )
 
@@ -87,6 +125,30 @@ object AnnQueries {
          |SELECT obs_id, $cols
          |FROM x JOIN sel ON x.obs_id = sel.doc_id
          |WHERE var_id < 8 GROUP BY obs_id ORDER BY obs_id""".stripMargin
-    }
+    },
+
+    "a03_anndata_append" ->
+      // replica of the append reindex: appended obs get sequential ids
+      // starting at max(base obs_id)+1 in incoming-id order; per-obs X
+      // entry counts follow the same mapping; the no-op second append
+      // contributes nothing (replayed here by simply not appending twice)
+      """WITH base_obs AS (
+        |  SELECT doc_id AS obs_id, lang, source, n_chars FROM documents WHERE doc_id % 10 < 8),
+        |off AS (SELECT max(obs_id) + 1 AS o FROM base_obs),
+        |app_obs AS (
+        |  SELECT (SELECT o FROM off) + row_number() OVER (ORDER BY doc_id) - 1 AS obs_id,
+        |         lang, source, n_chars, doc_id AS src_id
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |base_x AS (
+        |  SELECT vec_id AS obs_id, 64 AS n_x FROM embeddings WHERE vec_id % 10 < 8),
+        |app_x AS (
+        |  SELECT a.obs_id, 64 AS n_x FROM embeddings e JOIN app_obs a ON e.vec_id = a.src_id),
+        |obs AS (
+        |  SELECT obs_id, lang, source, n_chars FROM base_obs
+        |  UNION ALL SELECT obs_id, lang, source, n_chars FROM app_obs),
+        |xc AS (SELECT * FROM base_x UNION ALL SELECT * FROM app_x)
+        |SELECT obs.obs_id, lang, source, n_chars,
+        |       CAST(coalesce(xc.n_x, 0) AS BIGINT) AS n_x
+        |FROM obs LEFT JOIN xc USING (obs_id) ORDER BY obs.obs_id""".stripMargin
   )
 }
