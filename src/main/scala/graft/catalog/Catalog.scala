@@ -44,6 +44,14 @@ final class Catalog(
 
   /** Branch visibility context (reference: `branch_id` on SQLRecord). */
   var currentBranchId: Long = MainBranchId
+  /** Spaces this catalog's caller may read (reference: Space RLS,
+    * `models/sqlrecord.py:1702`); the "all" space is always granted.
+    */
+  var visibleSpaceIds: Seq[Long] = Seq(AllSpaceId)
+  /** Space new records are written into when set (reference: run-context /
+    * settings space, `models/sqlrecord.py:1193-1205`); None = "all" space.
+    */
+  var currentSpaceId: Option[Long] = None
   /** Active run for lineage auto-linking; set by Lineage.track. */
   var currentRunId: Option[Long] = None
   /** Audit identity: fills `created_by_id` on insert when set (the
@@ -108,6 +116,8 @@ final class Catalog(
       if (!m.contains("id")) m += "id" -> nextId(name)
       if (t.uidLen > 0 && !m.contains("uid")) m += "uid" -> newUidFor(t)
       if (t.hasBranch && !m.contains("branch_id")) m += "branch_id" -> currentBranchId
+      if (t.fieldNames.contains("space_id") && !m.contains("space_id"))
+        m += "space_id" -> currentSpaceId.getOrElse(AllSpaceId)
       if (t.fieldNames.contains("is_latest") && !m.contains("is_latest")) m += "is_latest" -> true
       if (t.fieldNames.contains("created_at") && !m.contains("created_at")) m += "created_at" -> clock()
       if (t.fieldNames.contains("created_by_id") && !m.contains("created_by_id"))
@@ -226,6 +236,10 @@ object Catalog {
   val MainBranchId = 1L
   val TrashBranchId = -1L
   val ArchiveBranchId = 0L
+  /** The built-in "all" space, readable by every collaborator
+    * (`models/sqlrecord.py:1702`, db_default 1 on every space FK).
+    */
+  val AllSpaceId = 1L
 
   /** Default visible branches: current + main (`query_set.py:71-90`). */
   def defaultBranchIds(current: Long): Seq[Long] =

@@ -66,6 +66,15 @@ object CoreQueries {
       .withColumn("branch_id", (col("doc_id") % 5 - 1).cast("long"))
       .withColumn("uid", md5(col("doc_id").cast("string")))
 
+  /** documents + a derived space_id (1..4; 1 = the "all" space) so space
+    * visibility (reference: Space RLS, `models/sqlrecord.py:1702`) is
+    * oracle-checkable from the base table alone.
+    */
+  private def docsWithSpace(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("space_id", (col("doc_id") % 4 + 1).cast("long"))
+      .withColumn("uid", md5(col("doc_id").cast("string")))
+
   // ------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -132,6 +141,26 @@ object CoreQueries {
         .filter("uid" -> "eccbc87e4b5ce2fe28308fd9f2a7baf3")
         .orderBy("doc_id").df
         .select("doc_id", "uid", "branch_id")
+    }),
+
+    "q28_space_injection" -> ((spark, dir) => {
+      // default read sees only the "all" space (id 1) plus granted spaces
+      // (here: space 3) — reference Space RLS, `models/sqlrecord.py:1702`
+      QuerySet.over(docsWithSpace(spark, dir), "documents", pk = "doc_id",
+          visibleSpaceIds = Seq(1L, 3L))
+        .filter("lang" -> "en")
+        .orderBy("doc_id").df
+        .select("doc_id", "lang", "space_id", "n_chars")
+    }),
+
+    "q29_space_bypass" -> ((spark, dir) => {
+      // an explicit space filter replaces the default injection, exactly
+      // like branch (q07/q08): space 2 is not in the default grant yet its
+      // rows return when addressed directly
+      QuerySet.over(docsWithSpace(spark, dir), "documents", pk = "doc_id")
+        .filter("space" -> 2L, "lang" -> "en")
+        .orderBy("doc_id").df
+        .select("doc_id", "lang", "space_id")
     }),
 
     "q09_search_rank" -> ((spark, dir) => {
@@ -402,6 +431,16 @@ object CoreQueries {
       "q08_branch_bypass_uid" ->
         """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS uid, CAST(doc_id % 5 - 1 AS BIGINT) AS branch_id
           |FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) = 'eccbc87e4b5ce2fe28308fd9f2a7baf3'
+          |ORDER BY doc_id""".stripMargin,
+
+      "q28_space_injection" ->
+        """SELECT doc_id, lang, CAST(doc_id % 4 + 1 AS BIGINT) AS space_id, n_chars
+          |FROM documents WHERE lang = 'en' AND (doc_id % 4 + 1) IN (1, 3)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q29_space_bypass" ->
+        """SELECT doc_id, lang, CAST(doc_id % 4 + 1 AS BIGINT) AS space_id
+          |FROM documents WHERE lang = 'en' AND (doc_id % 4 + 1) = 2
           |ORDER BY doc_id""".stripMargin,
 
       "q09_search_rank" ->

@@ -20,6 +20,10 @@ trait QueryEnv {
   def table(name: String): DataFrame
   def tableDef(name: String): TableDef
   def currentBranchId: Long
+  /** Spaces the caller may read; the "all" space (id 1) is every
+    * collaborator's default (reference: `Space`, `models/sqlrecord.py:1702`).
+    */
+  def visibleSpaceIds: Seq[Long] = Seq(Catalog.AllSpaceId)
 }
 
 final class QuerySet(
@@ -89,6 +93,26 @@ final class QuerySet(
     else Some(col("branch_id").isin(Catalog.defaultBranchIds(currentBranchId): _*))
   }
 
+  /** Space visibility injection — the QuerySet re-expression of the
+    * reference's Postgres row-level security over spaces
+    * (`models/sqlrecord.py:1702` Space; `tests/permissions/`): every row
+    * lives in a space (`space` FK, db_default 1 = the "all" space readable
+    * by every collaborator), and reads only see rows whose space the
+    * caller has been granted. Mirrors branch injection: direct id/uid/hash
+    * addressing or an explicit space/space_id filter bypasses the default.
+    * NULL space_id is the unset db_default, i.e. the "all" space.
+    */
+  private def spaceInjection: Option[Column] = {
+    if (!t.fieldNames.contains("space_id")) return None
+    val keys = allNodes.flatMap(_.keys).map(aliased)
+    val idUidHash = Set("id", "uid", "hash", "id__in", "uid__in", "hash__in")
+    val referencesIdentity = keys.exists(idUidHash.contains)
+    val referencesSpace = keys.exists(k =>
+      k == "space" || k == "space_id" || k.startsWith("space__") || k.startsWith("space_id__"))
+    if (referencesIdentity || referencesSpace) None
+    else Some(col("space_id").isNull || col("space_id").isin(env.visibleSpaceIds: _*))
+  }
+
   private def aliased(key: String): String = {
     val seg = key.split("__", 2)
     t.aliases.get(seg(0)) match {
@@ -124,6 +148,9 @@ final class QuerySet(
     val segs = segs0 match {
       case "branch" :: rest if forT.hasBranch && !forT.fieldNames.contains("branch") =>
         "branch_id" :: rest
+      case "space" :: rest
+          if forT.fieldNames.contains("space_id") && !forT.fieldNames.contains("space") =>
+        "space_id" :: rest
       case other => other
     }
     segs match {
@@ -258,6 +285,7 @@ final class QuerySet(
   def df: DataFrame = {
     var d = baseDf
     branchInjection.foreach(c => d = d.filter(c))
+    spaceInjection.foreach(c => d = d.filter(c))
     filters.foreach(n => d = applyNode(d, n, negate = false))
     excludes.foreach(n => d = applyNode(d, n, negate = true))
     if (order.nonEmpty)
@@ -497,6 +525,7 @@ object QuerySet {
       def table(name: String): DataFrame = cat.table(name)
       def tableDef(name: String): TableDef = cat.tableDef(name)
       def currentBranchId: Long = cat.currentBranchId
+      override def visibleSpaceIds: Seq[Long] = cat.visibleSpaceIds
     }
     new QuerySet(cat.tableDef(registry), cat.table(registry), envImpl, featureHook = featureHook)
   }
@@ -506,7 +535,9 @@ object QuerySet {
     * arbitrary DataFrames, not just catalog registries.
     */
   final class MapEnv(defs: Map[String, (TableDef, DataFrame)],
-                     val currentBranchId: Long = Catalog.MainBranchId) extends QueryEnv {
+                     val currentBranchId: Long = Catalog.MainBranchId,
+                     override val visibleSpaceIds: Seq[Long] = Seq(Catalog.AllSpaceId))
+      extends QueryEnv {
     def table(name: String): DataFrame =
       defs.getOrElse(name, throw new FieldError(s"no related table '$name'"))._2
     def tableDef(name: String): TableDef =
@@ -523,9 +554,10 @@ object QuerySet {
   def over(df: DataFrame, name: String = "anon", pk: String = "id",
            uidLen: Int = 0, versioned: Boolean = false,
            currentBranchId: Long = Catalog.MainBranchId,
-           aliases: Map[String, String] = Map.empty): QuerySet = {
+           aliases: Map[String, String] = Map.empty,
+           visibleSpaceIds: Seq[Long] = Seq(Catalog.AllSpaceId)): QuerySet = {
     val t = TableDef(name, df.schema, uidLen = uidLen, versioned = versioned,
       hasBranch = df.columns.contains("branch_id"), aliases = aliases, pk = pk)
-    new QuerySet(t, df, new MapEnv(Map(name -> (t, df)), currentBranchId))
+    new QuerySet(t, df, new MapEnv(Map(name -> (t, df)), currentBranchId, visibleSpaceIds))
   }
 }

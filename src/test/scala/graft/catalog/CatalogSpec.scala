@@ -25,6 +25,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat2.nextId("ulabel") === 2L) // id sequence resumes after max
   }
 
+  test("space lifecycle: insert defaults to the all space; visibility follows grants") {
+    val root = TestSpark.tmpDir("cat")
+    val cat = Catalog.deterministic(spark, root)
+    val u1 = cat.insert("ulabel", Map("name" -> "public"))
+    assert(u1("space_id") === Catalog.AllSpaceId)
+    cat.currentSpaceId = Some(7L) // write context: a restricted space
+    val u2 = cat.insert("ulabel", Map("name" -> "restricted"))
+    assert(u2("space_id") === 7L)
+    cat.currentSpaceId = None
+    // default read: only the all space
+    assert(QuerySet(cat, "ulabel").count() === 1)
+    // grant space 7 -> both visible
+    cat.visibleSpaceIds = Seq(Catalog.AllSpaceId, 7L)
+    assert(QuerySet(cat, "ulabel").count() === 2)
+    cat.visibleSpaceIds = Seq(Catalog.AllSpaceId)
+    // uid addressing bypasses visibility, mirroring branch semantics
+    assert(QuerySet(cat, "ulabel").filter("uid" -> u2("uid")).count() === 1)
+  }
+
   test("artifact ingest is idempotent on content hash") {
     val root = TestSpark.tmpDir("cat")
     val cat = Catalog.deterministic(spark, root)

@@ -155,4 +155,39 @@ class QuerySetSpec extends AnyFunSuite {
     val names = qs.orderBy("-name").limit(1).df.select("name").as[String].collect()
     assert(names === Array("T cell"))
   }
+
+  /** rows spread across spaces (1 = "all"; 2/3 restricted; null = unset
+    * db_default, i.e. the all space) — reference Space RLS semantics
+    * (`models/sqlrecord.py:1702`, `tests/permissions/`)
+    */
+  private lazy val spaced = Seq(
+    (1L, "aaaa0000", "T cell", 1L, Option(1L)),
+    (2L, "bbbb0000", "B cell", 1L, Option(2L)),
+    (3L, "cccc0000", "NK cell", 1L, Option(3L)),
+    (4L, "dddd0000", "monocyte", 1L, None: Option[Long]),
+    (5L, "eeee0000", "T helper cell", -1L, Option(1L)) // trashed
+  ).toDF("id", "uid", "name", "branch_id", "space_id")
+
+  private def sqs = QuerySet.over(spaced, "ulabel", uidLen = 8)
+
+  test("space injection: default sees only the all space (incl. unset)") {
+    assert(sqs.df.select("id").as[Long].collect().sorted === Array(1L, 4L))
+  }
+
+  test("space injection: granted spaces widen visibility") {
+    val granted = QuerySet.over(spaced, "ulabel", uidLen = 8,
+      visibleSpaceIds = Seq(1L, 2L))
+    assert(granted.df.select("id").as[Long].collect().sorted === Array(1L, 2L, 4L))
+  }
+
+  test("explicit space filter wins over injection; space aliases space_id") {
+    assert(sqs.filter("space_id" -> 3L).count() === 1)
+    assert(sqs.filter("space" -> 3L).count() === 1)
+    assert(sqs.filter("space__in" -> Seq(2L, 3L)).count() === 2)
+  }
+
+  test("space injection: id/uid bypass, like branch") {
+    assert(sqs.filter("uid" -> "cccc0000").count() === 1)
+    assert(sqs.filter("id" -> 2L).count() === 1)
+  }
 }
