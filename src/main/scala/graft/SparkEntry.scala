@@ -22,7 +22,8 @@ object SparkEntry {
       _root_.graft.queries.PipelineQueries.queries ++
       _root_.graft.queries.ScaleQueries.queries ++
       _root_.graft.queries.AnnQueries.queries ++
-      _root_.graft.queries.MixQueries.queries
+      _root_.graft.queries.MixQueries.queries ++
+      _root_.graft.queries.LifecycleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       _root_.graft.queries.PipelineQueries.oracle ++
       _root_.graft.queries.ScaleQueries.oracle ++
       _root_.graft.queries.AnnQueries.oracle ++
-      _root_.graft.queries.MixQueries.oracle
+      _root_.graft.queries.MixQueries.oracle ++
+      _root_.graft.queries.LifecycleQueries.oracle
 }

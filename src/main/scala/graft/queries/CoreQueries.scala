@@ -222,6 +222,20 @@ object CoreQueries {
         .orderBy("lang")
     }),
 
+    "q32_include_annotation" -> ((spark, dir) => {
+      // to_dataframe(include=[...]) annotation (`query_set.py:1191-1260`):
+      // an FK path lands as a single-valued column, an M2M path as a
+      // sorted per-row set (stringified for the compare, like q16)
+      val included = tpchEnv(spark, dir).querySet("customer")
+        .filter("c_mktsegment" -> "BUILDING")
+        .withIncluded(Seq("nation__n_name", "orders__o_orderkey"))
+      included
+        .withColumn("order_keys",
+          array_join(transform(col("orders__o_orderkey"), _.cast("string")), "|"))
+        .select(col("c_custkey"), col("nation__n_name").as("nation_name"), col("order_keys"))
+        .orderBy("c_custkey")
+    }),
+
     "q10_is_latest_window" -> ((spark, dir) => {
       Versions.markLatest(t(spark, dir, "orders"), col("o_custkey"), col("o_orderkey"))
         .select("o_custkey", "o_orderkey", "is_latest")
@@ -468,6 +482,18 @@ object CoreQueries {
           |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
           |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q32_include_annotation" ->
+        """WITH ord AS (
+          |  SELECT o_custkey,
+          |         array_to_string(list_sort(list(DISTINCT o_orderkey)), '|') AS order_keys
+          |  FROM orders GROUP BY o_custkey)
+          |SELECT c.c_custkey, n.n_name AS nation_name, o.order_keys
+          |FROM customer c
+          |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |LEFT JOIN ord o ON c.c_custkey = o.o_custkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |ORDER BY c.c_custkey""".stripMargin,
 
       "q10_is_latest_window" ->
         """SELECT o_custkey, o_orderkey,

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.{Catalog, Lifecycle}
+import graft.query.QuerySet
+
+/** Lifecycle driver queries: trash/restore visibility and the get()
+  * uid-prefix ladder, driven through the REAL operators (a deterministic
+  * in-query catalog / a versioned registry derived from `documents`), so
+  * the end state is replayable by the DuckDB oracle from the base table.
+  */
+object LifecycleQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** suffix of a `srcN` name as an int column */
+  private def suffix(c: org.apache.spark.sql.Column) =
+    substring(c, 4, 10).cast("int")
+
+  /** One ulabel per distinct document source; sources with an even suffix
+    * are trashed, then the %4==0 subset is restored — both through
+    * `Lifecycle.trash/restore` (head demotion + copy-on-write overwrite),
+    * not a hand-built filter. Cached per sf dir: the catalog mutates.
+    */
+  private val trashedCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def trashRestoreCatalog(spark: SparkSession, dir: String): Catalog =
+    trashedCat.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_lc").toString
+      val cat = Catalog.deterministic(spark, root)
+      val sources = docs(spark, dir).select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0)).toSeq
+      cat.insertAll("ulabel", sources.map(s => Map("name" -> s)))
+      def idsWhere(p: Int => Boolean): Seq[Long] =
+        sources.zipWithIndex.collect {
+          case (s, i) if p(s.drop(3).toInt) => (i + 1).toLong
+        }
+      Lifecycle.trash(cat, "ulabel", idsWhere(_ % 2 == 0))
+      Lifecycle.restore(cat, "ulabel", idsWhere(_ % 4 == 0))
+      cat
+    })
+
+  /** A versioned registry derived from documents: one family per source
+    * (stem = md5 prefix), one version per lang; the alphabetically-first
+    * family has every head demoted so get() exercises the fallback rung.
+    */
+  private def versionedFamilies(spark: SparkSession, dir: String): DataFrame = {
+    val byFam = Window.partitionBy("source").orderBy("lang")
+    val all = Window.orderBy("source", "lang")
+    docs(spark, dir).select("source", "lang").distinct()
+      .withColumn("rn", row_number().over(byFam))
+      .withColumn("mx", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("uid", concat(substring(md5(col("source")), 1, 16),
+        lpad(col("rn").cast("string"), 4, "0")))
+      .withColumn("id", row_number().over(all).cast("long"))
+      .withColumn("created_at", timestamp_seconds(lit(1700000000L) + col("rn")))
+      .withColumn("is_latest",
+        col("rn") === col("mx") &&
+          col("source") =!= min(col("source")).over(Window.partitionBy(lit(1))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q30_trash_restore" -> ((spark, dir) => {
+      val cat = trashRestoreCatalog(spark, dir)
+      QuerySet(cat, "ulabel").orderBy("name").df.select("name", "branch_id")
+    }),
+
+    "q31_get_ladder" -> ((spark, dir) => {
+      val fam = versionedFamilies(spark, dir)
+      val qs = QuerySet.over(fam, "transform", uidLen = 20, versioned = true)
+      val firstThree = fam.select("source").distinct().orderBy("source")
+        .limit(3).collect().map(_.getString(0)).toSeq
+      // resolve each family by an 8-char uid prefix: the is_latest rung for
+      // healthy families, the -created_at fallback for the demoted one
+      val rows = firstThree.map { s =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        qs.get(digest.take(8))
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, fam.schema)
+        .select("source", "uid", "is_latest").orderBy("source")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q30_trash_restore" ->
+      """WITH s AS (SELECT DISTINCT source AS name FROM documents)
+        |SELECT name, CAST(1 AS BIGINT) AS branch_id FROM s
+        |WHERE CAST(SUBSTRING(name, 4) AS INT) % 2 = 1
+        |   OR CAST(SUBSTRING(name, 4) AS INT) % 4 = 0
+        |ORDER BY name""".stripMargin,
+
+    "q31_get_ladder" ->
+      """WITH fam AS (SELECT DISTINCT source, lang FROM documents),
+        |v AS (SELECT source,
+        |        row_number() OVER (PARTITION BY source ORDER BY lang) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS mx FROM fam),
+        |r AS (SELECT source, dense_rank() OVER (ORDER BY source) AS sr
+        |      FROM (SELECT DISTINCT source FROM documents))
+        |SELECT v.source,
+        |       concat(substr(md5(v.source), 1, 16),
+        |              lpad(CAST(v.rn AS VARCHAR), 4, '0')) AS uid,
+        |       (v.rn = v.mx AND r.sr > 1) AS is_latest
+        |FROM v JOIN r ON v.source = r.source
+        |WHERE r.sr <= 3 AND v.rn = v.mx
+        |ORDER BY v.source""".stripMargin
+  )
+}
