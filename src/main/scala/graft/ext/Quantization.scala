@@ -212,23 +212,27 @@ object Quantization {
     */
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                p: SqParams): DataFrame = {
-    val minsA = array(p.mins.map(lit): _*)
-    val scalesA = array(p.scales.map(lit): _*)
+    // zip_with, not transform(sequence)+element_at: the input vector is a
+    // DIRECT child (evaluated once per row), so an upstream projection
+    // collapsed into it cannot be re-evaluated per lambda iteration, and
+    // the (min, scale) pairs ride along as one array literal instead of
+    // per-call CreateArray re-materializations. A vector shorter than the
+    // fitted dimension null-pads on the zip (codes 0); a longer one is
+    // sliced back to the fitted width; a null vector codes to all zeros.
+    val paramsA = typedlit(p.mins.zip(p.scales).toSeq)
+    val codes = zip_with(toDoubleVec(vecCol), paramsA, (xi, pr) => {
+      val mn = pr.getField("_1")
+      val sc = pr.getField("_2")
+      // the null test must be explicit up front: least/greatest IGNORE
+      // null arguments (least(255, null) = 255), so a null xi threaded
+      // through the clamp would silently encode as a boundary code
+      when(sc.isNull || sc === 0.0 || xi.isNull, lit(0)).otherwise(
+        greatest(lit(0), least(lit(255),
+          round((xi - mn) / sc, 0).cast("int"))))
+    })
     corpus.select(col(idCol).cast("long").as("id"),
-      transform(sequence(lit(1), lit(p.mins.length)), i => {
-        // guarded access: when() short-circuits, so a short or null vector
-        // never evaluates the out-of-bounds element_at (which would throw
-        // under ANSI mode and yield a silent null otherwise)
-        val xi = when(col(vecCol).isNotNull && i <= size(col(vecCol)),
-          element_at(col(vecCol), i).cast("double"))
-        // the null test must be explicit up front: least/greatest IGNORE
-        // null arguments (least(255, null) = 255), so a null xi threaded
-        // through the clamp would silently encode as a boundary code
-        when(element_at(scalesA, i) === 0.0 || xi.isNull, lit(0)).otherwise(
-          greatest(lit(0), least(lit(255),
-            round((xi - element_at(minsA, i))
-              / element_at(scalesA, i), 0).cast("int"))))
-      }).as("codes"))
+      slice(coalesce(codes, array_repeat(lit(0), p.mins.length)),
+        1, p.mins.length).as("codes"))
   }
 
   /** Asymmetric top-k over the codes: corpus vectors are reconstructed
@@ -240,18 +244,25 @@ object Quantization {
   def sqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, p: SqParams, topK: Int,
              roundSim: Option[Int] = None): DataFrame = {
-    val minsA = array(p.mins.map(lit): _*)
-    val scalesA = array(p.scales.map(lit): _*)
-    val recon = transform(sequence(lit(1), lit(p.mins.length)), i =>
-      element_at(minsA, i) + element_at(col("codes"), i).cast("double") * element_at(scalesA, i))
+    // zip_with keeps `codes` a direct child (one evaluation per row even
+    // when the encode projection collapses into this one — a lambda-bound
+    // element_at(codes, i) would re-run the collapsed encode per
+    // iteration) and the params ride as one array literal
+    val paramsA = typedlit(p.mins.zip(p.scales).toSeq)
+    val recon = zip_with(col("codes"), paramsA, (c, pr) =>
+      pr.getField("_1") + c.cast("double") * pr.getField("_2"))
+    // reconstruct + self-norm ONCE PER CORPUS ROW (and query-norm once per
+    // query) before the pair fan-out — per-pair norm recompute multiplies
+    // the reconstruction work by the query count
     val c = encoded.select(col("id").as("neighbor_id"), recon.as("re"))
+      .withColumn("re_norm", sqrt(Similarity.dot(col("re"), col("re"))))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       toDoubleVec(vecCol).as("qe"))
+      .withColumn("qe_norm", sqrt(Similarity.dot(col("qe"), col("qe"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        Similarity.dot(col("re"), col("qe")) /
-          (sqrt(Similarity.dot(col("re"), col("re"))) * sqrt(Similarity.dot(col("qe"), col("qe")))))
+        Similarity.dot(col("re"), col("qe")) / (col("re_norm") * col("qe_norm")))
     val rounded = roundSim match {
       case Some(d) => scored.withColumn("cosine", round(col("cosine"), d))
       case None    => scored
