@@ -22,6 +22,16 @@ object MixQueries {
   private val Header = "alpha beta gamma delta epsilon zeta eta theta"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e09_bm25_topk" -> ((spark, dir) => {
+      // lexical top-k: BM25 over whitespace tokens, Lucene-smoothed idf;
+      // score rounds to 6 before the cut (e01 precedent) so the rank is
+      // float-order stable across engines
+      graft.ext.Retrieval.bm25TopK(t(spark, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("shuffle", "merge", "window"), topK = 15,
+          roundScore = Some(6))
+        .orderBy("rank")
+    }),
+
     "d17_dup_clusters" -> ((spark, dir) => {
       // candidate pairs chain: doc -> +100000 copy (%7 docs) -> +200000
       // copy (%14 docs); resolution must group chains transitively and
@@ -114,6 +124,30 @@ object MixQueries {
        |     ELSE [array_to_string($tk, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "e09_bm25_topk" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS dl,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b)
+        |  WHERE term IN ('shuffle', 'merge', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT t.doc_id,
+        |         round(sum(ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |               * t.tf * 2.2
+        |               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))), 6) AS score
+        |  FROM tf t JOIN df d USING (term) CROSS JOIN stats st
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, score,
+        |       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 15 ORDER BY rank""".stripMargin,
+
     "d21_bloom_new_docs" ->
       // the bloom is pure routing — the exact answer is a plain anti-join
       // on md5(text), which is precisely what DuckDB replays here

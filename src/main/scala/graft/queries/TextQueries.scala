@@ -27,6 +27,15 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_sequence_pack" -> ((spark, dir) => {
+      // greedy next-fit packing into 2048-token bins across 8 shards;
+      // the oracle replays the same shard + cumsum + boundary rule
+      val docs = t(spark, dir, "documents")
+      graft.ext.Packing.packSequences(docs, "doc_id",
+          TextOps.tokenCount(col("text")), capacity = 2048, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     "d01_exact_dedup" -> ((spark, dir) => {
       Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
         .select("doc_id", "keeper_id", "is_dup")
@@ -234,6 +243,22 @@ object TextQueries {
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d22_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         CAST(doc_id % 8 AS INT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |           ORDER BY n_tokens DESC, doc_id ASC
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |       CAST(ceil(CAST(cum_tokens AS DOUBLE) / 2048) AS BIGINT) AS bin_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "d15_hash_split" ->
       // same md5 bucket math: first 8 hex digits of md5(id || 'v1') mod 100
       """SELECT doc_id, lang,
