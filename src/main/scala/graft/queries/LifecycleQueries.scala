@@ -62,7 +62,70 @@ object LifecycleQueries {
           col("source") =!= min(col("source")).over(Window.partitionBy(lit(1))))
   }
 
+  /** One artifact per distinct source registered under `src/<name>`, a
+    * tracked run that opens the even-suffix subset — the REAL sink,
+    * open, and run-input auto-link operators end to end. Cached per sf
+    * dir (artifact creation is hash-idempotent; the run is not).
+    */
+  private val runInputCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def runInputCatalog(spark: SparkSession, dir: String): Catalog =
+    runInputCat.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_ri").toString
+      val cat = Catalog.deterministic(spark, root)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val d = docs(spark, dir)
+      val sources = d.select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0)).toSeq
+      val byKey = sources.map { s =>
+        s -> store.fromDataFrame(
+          d.filter(col("source") === s).select("doc_id", "n_chars"), s"src/$s", root)
+      }.toMap
+      val lin = new graft.lineage.Lineage(cat)
+      lin.track("pipeline/open_even.scala", "val x = 1")
+      byKey.collect { case (s, art) if s.drop(3).toInt % 2 == 0 =>
+        store.openByUid(art("uid").toString)
+      }
+      lin.finish()
+      cat
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q33_artifact_roundtrip" -> ((spark, dir) => {
+      // sink -> open round-trip: write the en subset as a managed
+      // artifact (hash-idempotent across re-runs), reopen it as a lazy
+      // scan, aggregate — data equality pinned against the base table
+      val root = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      val cat = Catalog.deterministic(spark, root)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val en = docs(spark, dir).filter(col("lang") === "en")
+        .select("doc_id", "source", "n_chars")
+      val art = store.fromDataFrame(en, "corpus/en", root)
+      store.openByUid(art("uid").toString)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    "q34_to_dataframe_trunc" -> ((spark, dir) => {
+      // default to_dataframe subset semantics: limit 20, default -pk
+      // order, truncation probed on n+1 ids, order preserved positionally
+      val qs = QuerySet.over(docs(spark, dir), "documents", pk = "doc_id")
+        .filter("lang" -> "en")
+      val (df, truncated) = qs.toDataFrame(defaultOrder = Some("-doc_id"))
+      df.select(col("doc_id"), col("lang"), lit(truncated).as("is_truncated"))
+    }),
+
+    "q35_run_inputs" -> ((spark, dir) => {
+      // run-input auto-link: opening an artifact under a tracked run
+      // inserts a (run, artifact) link exactly once
+      val cat = runInputCatalog(spark, dir)
+      cat.table("run_inputs")
+        .join(cat.table("artifact").select(col("id").as("artifact_id"), col("key")), "artifact_id")
+        .select(col("key"), col("run_id"))
+        .orderBy("key")
+    }),
 
     "q30_trash_restore" -> ((spark, dir) => {
       val cat = trashRestoreCatalog(spark, dir)
@@ -88,6 +151,23 @@ object LifecycleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q33_artifact_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q34_to_dataframe_trunc" ->
+      """SELECT doc_id, lang, TRUE AS is_truncated
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id DESC LIMIT 20""".stripMargin,
+
+    "q35_run_inputs" ->
+      """SELECT 'src/' || name AS key, CAST(1 AS BIGINT) AS run_id
+        |FROM (SELECT DISTINCT source AS name FROM documents)
+        |WHERE CAST(SUBSTRING(name, 4) AS INT) % 2 = 0
+        |ORDER BY key""".stripMargin,
 
     "q30_trash_restore" ->
       """WITH s AS (SELECT DISTINCT source AS name FROM documents)
