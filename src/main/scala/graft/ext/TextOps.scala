@@ -26,9 +26,13 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^\\.!?,;:]", "")).cast("long")
 
-  /** Stopword count against a small inline list (broadcast-free). */
+  /** Stopword count against a small inline list (broadcast-free). The
+    * list is a single array LITERAL: a `CreateArray` here would re-build
+    * the array on every `array_contains` call — once per TOKEN inside
+    * the filter lambda.
+    */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
-    val stopArr = array(stopwords.map(lit): _*)
+    val stopArr = typedlit(stopwords)
     size(filter(tokens(text), t => array_contains(stopArr, t))).cast("long")
   }
 
@@ -82,7 +86,8 @@ object TextOps {
 
     val scoreStructs = profiles.map { case (lang, tgs) =>
       struct(
-        size(array_intersect(col("__tg"), array(tgs.map(lit): _*))).as("overlap"),
+        // profile as one array literal, not a per-row CreateArray re-build
+        size(array_intersect(col("__tg"), typedlit(tgs))).as("overlap"),
         lit(lang).as("lang"))
     }
     // argmax: max overlap, ties broken toward the lexicographically
