@@ -66,4 +66,26 @@ object Retrieval {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "score", "rank")
   }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists — the standard
+    * hybrid-search combiner (sparse BM25 + dense ANN): each list
+    * contributes `1/(k + rank)` for the ids it ranked, absent ids
+    * contribute 0, and the fused order is the score sum. Pure rank
+    * arithmetic — no score normalization across the two systems — which
+    * is why RRF is the robust default. Both inputs are top-k-sized, so
+    * the fuse is a candidate-local full-outer join, never corpus-wide.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, topK: Int,
+              k: Int = 60): DataFrame = {
+    val l = a.select(col(idCol).as("id"), col("rank").as("__rank_a"))
+    val r = b.select(col(idCol).as("id"), col("rank").as("__rank_b"))
+    val fused = l.join(r, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(k) + col("__rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("__rank_b")), lit(0.0)))
+    val top = fused.orderBy(col("rrf_score").desc, col("id").asc).limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("id").asc)).cast("long"))
+      .select(col("id").as(idCol), col("rrf_score"), col("rank"))
+  }
 }

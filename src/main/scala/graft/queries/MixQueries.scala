@@ -22,6 +22,21 @@ object MixQueries {
   private val Header = "alpha beta gamma delta epsilon zeta eta theta"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_hybrid_rrf" -> ((spark, dir) => {
+      // hybrid search: sparse BM25 candidates + dense brute-force ANN
+      // candidates (query = vector 3) fused by reciprocal-rank — pure
+      // rank arithmetic, both sides top-15, fused top-10
+      val docs = t(spark, dir, "documents")
+      val emb = t(spark, dir, "embeddings")
+      val sparse = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("shuffle", "merge", "window"), topK = 15, roundScore = Some(6))
+      val dense = graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 3), "vec_id", "embedding", k = 15)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ext.Retrieval.rrfFuse(sparse.select("doc_id", "rank"), dense, "doc_id", topK = 10)
+        .orderBy("rank")
+    }),
+
     "e09_bm25_topk" -> ((spark, dir) => {
       // lexical top-k: BM25 over whitespace tokens, Lucene-smoothed idf;
       // score rounds to 6 before the cut (e01 precedent) so the rank is
@@ -124,6 +139,45 @@ object MixQueries {
        |     ELSE [array_to_string($tk, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "e10_hybrid_rrf" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS dl,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b)
+        |  WHERE term IN ('shuffle', 'merge', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT t.doc_id,
+        |         round(sum(ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |               * t.tf * 2.2
+        |               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))), 6) AS score
+        |  FROM tf t JOIN dfq d USING (term) CROSS JOIN stats st
+        |  GROUP BY t.doc_id),
+        |bm AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM s QUALIFY rank <= 15),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ann0 AS (
+        |  SELECT c.vec_id AS doc_id, round(list_cosine_similarity(c.e, q.e), 6) AS sim
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id = 3),
+        |ann AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+        |  FROM ann0 QUALIFY rank <= 15),
+        |f AS (
+        |  SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+        |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm.rank), 0)
+        |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + ann.rank), 0) AS rrf_score
+        |  FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id)
+        |SELECT doc_id, rrf_score,
+        |       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+        |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
     "e09_bm25_topk" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -37,6 +37,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rank(4L) < rank(2L))
   }
 
+  test("rrfFuse: both-list ids outrank single-list ids; absent side adds 0") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, "doc_id", topK = 4).collect()
+    // 20 in both lists: 1/62 + 1/61 beats every single-list score
+    assert(fused.head.getLong(0) === 20L)
+    assert(fused.map(_.getLong(0)).toSet === Set(10L, 20L, 30L, 40L))
+    assert(math.abs(fused.head.getDouble(1) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    // ranks are 1..4 in fused-score order
+    assert(fused.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("topK cuts after rounding; matching is case-insensitive") {
     assert(Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("SHUFFLE"), topK = 2)
       .count() === 2)
