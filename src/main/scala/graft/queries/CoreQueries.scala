@@ -264,6 +264,26 @@ object CoreQueries {
         .orderBy("doc_id")
     }),
 
+    "q36_feature_isnull" -> ((spark, dir) => {
+      // isnull = anti-join against the feature's value rows: docs that
+      // never got a `title` value (the reference's exclusion semantics)
+      val docs = t(spark, dir, "documents")
+      sparseCatFeatureStore(spark, docs)
+        .filter(docs, "doc_id", F("title").isNull)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q37_feature_categorical" -> ((spark, dir) => {
+      // categorical feature: the value resolves through the label
+      // registry then the link table, not the JSON value rows
+      val docs = t(spark, dir, "documents")
+      sparseCatFeatureStore(spark, docs)
+        .filter(docs, "doc_id", F("topic") === "src3")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "q14_bfs_lineage" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
       val edges = docs.filter(col("doc_id") >= 1)
@@ -361,6 +381,35 @@ object CoreQueries {
       .unionByName(docs.select(col("doc_id").as("record_id"), lit(3L).as("feature_id"),
         concat(lit("\""), col("source"), lit("\"")).as("value_json")))
     new FeatureStore(features, values)
+  }
+
+  /** docFeatureStore + a SPARSE `title` feature (only doc_id % 3 == 0
+    * carries it) and a CATEGORICAL `topic` feature whose labels are the
+    * source names, linked through a label-link table — the full EAV
+    * surface (`_feature_manager.py:934-971`).
+    */
+  private def sparseCatFeatureStore(spark: SparkSession, docs: DataFrame): FeatureStore = {
+    import spark.implicits._
+    val features = Seq(
+      (1L, "lang", "str"), (2L, "n_chars", "num"), (3L, "source", "str"),
+      (4L, "title", "str"), (5L, "topic", "cat[ULabel]"))
+      .toDF("id", "name", "dtype")
+    val values = docs.select(col("doc_id").as("record_id"), lit(2L).as("feature_id"),
+        col("n_chars").cast("string").as("value_json"))
+      .unionByName(docs.select(col("doc_id").as("record_id"), lit(1L).as("feature_id"),
+        concat(lit("\""), col("lang"), lit("\"")).as("value_json")))
+      .unionByName(docs.select(col("doc_id").as("record_id"), lit(3L).as("feature_id"),
+        concat(lit("\""), col("source"), lit("\"")).as("value_json")))
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("record_id"), lit(4L).as("feature_id"),
+          concat(lit("\"t"), col("doc_id").cast("string"), lit("\"")).as("value_json")))
+    val labels = docs.select(col("source").as("name")).distinct()
+      .withColumn("id", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("name")).cast("long"))
+    val links = docs.select(col("doc_id").as("record_id"), col("source"))
+      .join(labels.select(col("id").as("label_id"), col("name").as("source")), "source")
+      .select(col("record_id"), lit(5L).as("feature_id"), col("label_id"))
+    new FeatureStore(features, values, Some(links), Some(labels))
   }
 
   // -------------------------------------------------------------- oracles
@@ -494,6 +543,14 @@ object CoreQueries {
           |LEFT JOIN ord o ON c.c_custkey = o.o_custkey
           |WHERE c.c_mktsegment = 'BUILDING'
           |ORDER BY c.c_custkey""".stripMargin,
+
+      "q36_feature_isnull" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+
+      "q37_feature_categorical" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE source = 'src3' ORDER BY doc_id""".stripMargin,
 
       "q10_is_latest_window" ->
         """SELECT o_custkey, o_orderkey,
