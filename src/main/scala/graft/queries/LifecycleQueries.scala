@@ -127,6 +127,27 @@ object LifecycleQueries {
         .orderBy("key")
     }),
 
+    "q38_collection_append" -> ((spark, dir) => {
+      // collection growth: create over the first two source shards, then
+      // append the third — a NEW collection version (old head demoted) —
+      // and open the grown collection as one provenance-tagged scan
+      val root = java.nio.file.Files.createTempDirectory("graft_coll").toString
+      val cat = Catalog.deterministic(spark, root)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val colls = new graft.artifact.Collections(cat, store)
+      val d = docs(spark, dir)
+      def shardArt(s: String) = store.fromDataFrame(
+        d.filter(col("source") === s).select("doc_id", "source", "n_chars"),
+        s"shard/$s", root)("id").asInstanceOf[Long]
+      val v1 = colls.create("corpus/shards", Seq(shardArt("src0"), shardArt("src1")))
+      val v2 = colls.append(v1("id").asInstanceOf[Long], Seq(shardArt("src2")))
+      require(v2("uid") != v1("uid"), "append must version the collection")
+      colls.open(v2("id").asInstanceOf[Long])
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     "q30_trash_restore" -> ((spark, dir) => {
       val cat = trashRestoreCatalog(spark, dir)
       QuerySet(cat, "ulabel").orderBy("name").df.select("name", "branch_id")
@@ -168,6 +189,12 @@ object LifecycleQueries {
         |FROM (SELECT DISTINCT source AS name FROM documents)
         |WHERE CAST(SUBSTRING(name, 4) AS INT) % 2 = 0
         |ORDER BY key""".stripMargin,
+
+    "q38_collection_append" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q30_trash_restore" ->
       """WITH s AS (SELECT DISTINCT source AS name FROM documents)
