@@ -90,7 +90,45 @@ object LifecycleQueries {
       cat
     })
 
+  /** Type-DAG catalog: one ulabel TYPE per source, parented by the
+    * halving rule (srcK under src(K/2)) — a binary-ish DAG whose subtree
+    * query the oracle replays with a recursive CTE.
+    */
+  private val typeCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def typeCatalog(spark: SparkSession, dir: String): Catalog =
+    typeCat.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_ty").toString
+      val cat = Catalog.deterministic(spark, root)
+      val sources = docs(spark, dir).select("source").distinct()
+        .collect().map(_.getString(0)).sortBy(_.drop(3).toInt).toSeq
+      sources.zipWithIndex.foreach { case (s, k) =>
+        val base = Map[String, Any]("name" -> s, "is_type" -> true)
+        cat.insert("ulabel",
+          if (k == 0) base else base + ("type_id" -> (k / 2 + 1).toLong))
+      }
+      cat
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q39_field_aliasing" -> ((spark, dir) => {
+      // alias map routes `language` to the physical `lang` column through
+      // the same rewrite that serves version/transform/status aliases
+      QuerySet.over(docs(spark, dir), "documents", pk = "doc_id",
+          aliases = Map("language" -> "lang"))
+        .filter("language__in" -> Seq("en", "fr"))
+        .orderBy("doc_id").df
+        .select("doc_id", "lang")
+    }),
+
+    "q40_type_subtree" -> ((spark, dir) => {
+      // all types transitively under src2 (id 3) in the halving DAG;
+      // traversal crosses only visible rows, start excluded
+      val cat = typeCatalog(spark, dir)
+      graft.query.TypeOps.instancesUnder(cat, "ulabel", 3L)
+        .select("name").orderBy("name")
+    }),
 
     "q33_artifact_roundtrip" -> ((spark, dir) => {
       // sink -> open round-trip: write the en subset as a managed
@@ -172,6 +210,21 @@ object LifecycleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q39_field_aliasing" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang IN ('en', 'fr') ORDER BY doc_id""".stripMargin,
+
+    "q40_type_subtree" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT source, CAST(SUBSTRING(source, 4) AS INT) AS k
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |sub AS (
+        |  SELECT source, k FROM k WHERE k >= 1 AND k // 2 = 2
+        |  UNION
+        |  SELECT c.source, c.k FROM k c JOIN sub p ON c.k // 2 = p.k
+        |  WHERE c.k >= 1)
+        |SELECT source AS name FROM sub ORDER BY name""".stripMargin,
 
     "q33_artifact_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
