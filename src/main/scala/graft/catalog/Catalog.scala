@@ -44,8 +44,11 @@ final class Catalog(
 
   /** Branch visibility context (reference: `branch_id` on SQLRecord). */
   var currentBranchId: Long = MainBranchId
-  /** Spaces this catalog's caller may read (reference: Space RLS,
-    * `models/sqlrecord.py:1702`); the "all" space is always granted.
+  /** Spaces this catalog's caller reads BY DEFAULT (reference: Space,
+    * `models/sqlrecord.py:1702`); the "all" space is always included.
+    * Drives the default-visibility injection in QuerySet — a scoping
+    * convenience, not the reference's non-bypassable Postgres RLS (an
+    * explicit space filter or id/uid/hash addressing reads outside it).
     */
   var visibleSpaceIds: Seq[Long] = Seq(AllSpaceId)
   /** Space new records are written into when set (reference: run-context /

@@ -53,6 +53,16 @@ object MuDataCurator {
       ResolvedSlot(df, transposed = slot.endsWith(".T"))
     }
     key.split(":").toList match {
+      // SpatialData's non-tabular element kinds (`SpatialDataCurator`
+      // addresses them in the reference, `curators/core.py:1338`): raster
+      // and geometry payloads have no tabular re-expression here, so the
+      // rejection is explicit instead of a misleading "modality not found"
+      case ("images" | "shapes" | "points" | "labels") :: _ =>
+        throw new IllegalArgumentException(
+          s"Slot '$key' addresses a non-tabular SpatialData element " +
+            "(images/shapes/points/labels) — out of engine scope; only " +
+            "tabular slots are supported ('tables:key:slot', 'attrs:key', " +
+            "'modality:slot')")
       case "tables" :: table :: slot :: Nil =>
         val tables = mdata.modalities.getOrElse(table,
           throw new IllegalArgumentException(s"Table '$table' not found in sdata.tables"))

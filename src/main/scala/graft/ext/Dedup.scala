@@ -100,9 +100,16 @@ object Dedup {
     val candidateKeys = batch.filter(might).select(bk.as("__bk")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (candidateKeys.count() <= maxBroadcastKeys) {
+      // materialize dupKeys NOW (it is ⊆ candidateKeys, so bounded by the
+      // same broadcast budget) so the sliver cache can be released before
+      // returning — a long-lived session running nightly batches must not
+      // accumulate per-batch sliver frames until eviction thrashes. The
+      // checkpointed dupKeys blocks are reclaimed by the ContextCleaner
+      // once the returned plan is dropped.
       val dupKeys = corpusKeys.select(col(keyCol).as("__bk"))
         .join(broadcast(candidateKeys), Seq("__bk"), "left_semi").distinct()
-      // dupKeys ⊆ candidateKeys, so it fits the same broadcast budget
+        .localCheckpoint(true)
+      candidateKeys.unpersist(blocking = false)
       batch.join(broadcast(dupKeys), bk === col("__bk"), "left_anti")
     } else {
       // degraded-but-exact path: shuffled anti-join against the key table
@@ -165,6 +172,20 @@ object Dedup {
   def tokenHashes(textCol: Column): Column =
     transform(split(trim(textCol), "\\s+"), t => xxhash64(t))
 
+  /** Closes out a signature-cached pipeline: eagerly materializes the
+    * (small) result via localCheckpoint — which is the job that consumes
+    * the cached signature frame — then releases that cache. The returned
+    * DataFrame is self-contained; its checkpoint blocks are reclaimed by
+    * the ContextCleaner when the caller drops it. This gives every LSH
+    * pipeline a deterministic cache lifetime instead of leaking a
+    * corpus-sized MEMORY_AND_DISK frame per invocation.
+    */
+  private def finishPairs(out: DataFrame, cached: DataFrame): DataFrame = {
+    val materialized = out.localCheckpoint(true)
+    cached.unpersist(blocking = false)
+    materialized
+  }
+
   /** Mersenne prime modulus for the MinHash permutation family. */
   val MinhashP = 2147483647L // 2^31 - 1
 
@@ -211,7 +232,12 @@ object Dedup {
                    shingleN: Int = 3): DataFrame = {
     // signatures feed three downstream plans (banding + both pair sides);
     // persist so shingling/hashing runs once — at scale this is the
-    // "materialize the signature table" stage of an LSH pipeline
+    // "materialize the signature table" stage of an LSH pipeline. The
+    // cache is OWNED here: the verified pair set (orders of magnitude
+    // smaller than the corpus-sized signature frame) is materialized
+    // eagerly via finishPairs and the signature cache released before
+    // returning, so repeated pipeline calls in one session never
+    // accumulate corpus-sized cached frames.
     val withSig = df
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .select(col("id"), shingleHashesFromTokenHashes(col("th"), shingleN).as("sh"))
@@ -228,12 +254,14 @@ object Dedup {
     // verify with true Jaccard over the shingle sets
     val sa = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val sb = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    finishPairs(
+      candidates.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard")),
+      withSig)
   }
 
   /** Portable MinHash-LSH variant: identical pipeline to `minhashPairs`
@@ -269,12 +297,14 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val sa = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val sb = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    finishPairs(
+      candidates.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard")),
+      withSig)
   }
 
   /** The DuckDB replica of `minhashPairsPortable` over a corpus CTE named
@@ -350,7 +380,7 @@ object Dedup {
     // persist: both sides of the band self-join read the signature frame,
     // and without materialization each side re-runs the whole tokenize →
     // 64-vote aggregation (the dominant stage) — same reasoning as the
-    // `withSig` persist in minhashPairs
+    // `withSig` persist in minhashPairs; released via finishPairs below
     val withSim = simhashDf(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("simhash"),
@@ -359,12 +389,14 @@ object Dedup {
         .as(Seq("band", "band_bits")))
     val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"), col("simhash").as("sim_a"))
     val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"), col("simhash").as("sim_b"))
-    a.join(b2, Seq("band", "band_bits"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        // hamming distance between the two simhashes
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+    finishPairs(
+      a.join(b2, Seq("band", "band_bits"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          // hamming distance between the two simhashes
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .distinct(),
+      withSim)
   }
 
   /** Portable SimHash candidates: same explode → per-bit vote → band
@@ -387,7 +419,7 @@ object Dedup {
           when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
       // persisted for the same both-sides-of-the-self-join reason as the
-      // fast path above
+      // fast path above; released via finishPairs below
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
@@ -395,11 +427,13 @@ object Dedup {
         .as(Seq("band", "band_bits")))
     val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"), col("simhash").as("sim_a"))
     val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"), col("simhash").as("sim_b"))
-    a.join(b2, Seq("band", "band_bits"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .distinct()
+    finishPairs(
+      a.join(b2, Seq("band", "band_bits"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .distinct(),
+      withSim)
   }
 
   /** DuckDB replica of `simhashCandidatesPortable` (+ hamming cutoff) over

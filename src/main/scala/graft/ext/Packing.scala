@@ -33,15 +33,19 @@ object Packing {
                     capacity: Int, nShards: Int): DataFrame = {
     require(capacity > 0 && nShards > 0, "capacity and nShards must be positive")
     val id = col(idCol)
-    val sharded = docs.select(id.as("doc_id"), tokensCol.cast("long").as("n_tokens"))
+    // clamp token counts to >= 1 (null/empty docs still occupy one slot):
+    // keeps cum_tokens strictly increasing and bin_id >= 1 even for
+    // degenerate inputs — a null count would otherwise propagate null
+    // cum_tokens/bin_id, and an all-zero shard would land in bin 0
+    val sharded = docs.select(id.as("doc_id"),
+        greatest(coalesce(tokensCol.cast("long"), lit(1L)), lit(1L)).as("n_tokens"))
       .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int"))
     val w = Window.partitionBy("shard")
       .orderBy(col("n_tokens").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sharded
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      // the bin whose capacity span contains the doc's cumulative end;
-      // ceil(0) can't occur because tokens >= 1 is enforced below
+      // the bin whose capacity span contains the doc's cumulative end
       .withColumn("bin_id", ceil(col("cum_tokens").cast("double") / capacity).cast("long"))
       .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin_id")
   }

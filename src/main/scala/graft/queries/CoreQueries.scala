@@ -66,9 +66,10 @@ object CoreQueries {
       .withColumn("branch_id", (col("doc_id") % 5 - 1).cast("long"))
       .withColumn("uid", md5(col("doc_id").cast("string")))
 
-  /** documents + a derived space_id (1..4; 1 = the "all" space) so space
-    * visibility (reference: Space RLS, `models/sqlrecord.py:1702`) is
-    * oracle-checkable from the base table alone.
+  /** documents + a derived space_id (1..4; 1 = the "all" space) so the
+    * space default-visibility scoping (reference: Space,
+    * `models/sqlrecord.py:1702`) is oracle-checkable from the base table
+    * alone.
     */
   private def docsWithSpace(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -144,8 +145,9 @@ object CoreQueries {
     }),
 
     "q28_space_injection" -> ((spark, dir) => {
-      // default read sees only the "all" space (id 1) plus granted spaces
-      // (here: space 3) — reference Space RLS, `models/sqlrecord.py:1702`
+      // default read scopes to the "all" space (id 1) plus granted
+      // spaces (here: space 3) — the default-visibility convenience over
+      // Space (`models/sqlrecord.py:1702`), mirroring branch injection
       QuerySet.over(docsWithSpace(spark, dir), "documents", pk = "doc_id",
           visibleSpaceIds = Seq(1L, 3L))
         .filter("lang" -> "en")
@@ -154,9 +156,11 @@ object CoreQueries {
     }),
 
     "q29_space_bypass" -> ((spark, dir) => {
-      // an explicit space filter replaces the default injection, exactly
-      // like branch (q07/q08): space 2 is not in the default grant yet its
-      // rows return when addressed directly
+      // an explicit space filter replaces the default scope, exactly like
+      // branch (q07/q08): space 2 is outside the default grant yet its
+      // rows return when addressed directly — deliberate convenience
+      // semantics, weaker than the reference's non-bypassable RLS (see
+      // QuerySet.spaceInjection doc)
       QuerySet.over(docsWithSpace(spark, dir), "documents", pk = "doc_id")
         .filter("space" -> 2L, "lang" -> "en")
         .orderBy("doc_id").df

@@ -16,6 +16,32 @@ object LifecycleQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** All catalog scratch dirs live under ONE per-process run root that a
+    * JVM shutdown hook deletes recursively — repeated bench/verify runs
+    * no longer accumulate `/tmp/graft_*` litter, and a crashed run leaves
+    * at most one root to sweep.
+    */
+  private[queries] object TempRoot {
+    private lazy val root: java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory("graft_run_")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+        }
+        rm(p.toFile)
+      }
+      p
+    }
+    def dir(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
+  /** Serializes the cached catalog builders: `TrieMap.getOrElseUpdate` may
+    * evaluate a racing builder twice, and these builders have side effects
+    * (temp dirs, catalog writes) — one lock, builders are one-shot.
+    */
+  private val buildLock = new Object
+
   /** suffix of a `srcN` name as an int column */
   private def suffix(c: org.apache.spark.sql.Column) =
     substring(c, 4, 10).cast("int")
@@ -28,8 +54,8 @@ object LifecycleQueries {
   private val trashedCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
 
   private def trashRestoreCatalog(spark: SparkSession, dir: String): Catalog =
-    trashedCat.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files.createTempDirectory("graft_lc").toString
+    buildLock.synchronized(trashedCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_lc")
       val cat = Catalog.deterministic(spark, root)
       val sources = docs(spark, dir).select("source").distinct()
         .orderBy("source").collect().map(_.getString(0)).toSeq
@@ -41,7 +67,7 @@ object LifecycleQueries {
       Lifecycle.trash(cat, "ulabel", idsWhere(_ % 2 == 0))
       Lifecycle.restore(cat, "ulabel", idsWhere(_ % 4 == 0))
       cat
-    })
+    }))
 
   /** A versioned registry derived from documents: one family per source
     * (stem = md5 prefix), one version per lang; the alphabetically-first
@@ -70,8 +96,8 @@ object LifecycleQueries {
   private val runInputCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
 
   private def runInputCatalog(spark: SparkSession, dir: String): Catalog =
-    runInputCat.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files.createTempDirectory("graft_ri").toString
+    buildLock.synchronized(runInputCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_ri")
       val cat = Catalog.deterministic(spark, root)
       val store = new graft.artifact.ArtifactStore(cat)
       val d = docs(spark, dir)
@@ -88,7 +114,7 @@ object LifecycleQueries {
       }
       lin.finish()
       cat
-    })
+    }))
 
   /** Type-DAG catalog: one ulabel TYPE per source, parented by the
     * halving rule (srcK under src(K/2)) — a binary-ish DAG whose subtree
@@ -97,8 +123,8 @@ object LifecycleQueries {
   private val typeCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
 
   private def typeCatalog(spark: SparkSession, dir: String): Catalog =
-    typeCat.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files.createTempDirectory("graft_ty").toString
+    buildLock.synchronized(typeCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_ty")
       val cat = Catalog.deterministic(spark, root)
       val sources = docs(spark, dir).select("source").distinct()
         .collect().map(_.getString(0)).sortBy(_.drop(3).toInt).toSeq
@@ -108,7 +134,7 @@ object LifecycleQueries {
           if (k == 0) base else base + ("type_id" -> (k / 2 + 1).toLong))
       }
       cat
-    })
+    }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -134,7 +160,7 @@ object LifecycleQueries {
       // sink -> open round-trip: write the en subset as a managed
       // artifact (hash-idempotent across re-runs), reopen it as a lazy
       // scan, aggregate — data equality pinned against the base table
-      val root = java.nio.file.Files.createTempDirectory("graft_rt").toString
+      val root = TempRoot.dir("graft_rt")
       val cat = Catalog.deterministic(spark, root)
       val store = new graft.artifact.ArtifactStore(cat)
       val en = docs(spark, dir).filter(col("lang") === "en")
@@ -169,7 +195,7 @@ object LifecycleQueries {
       // collection growth: create over the first two source shards, then
       // append the third — a NEW collection version (old head demoted) —
       // and open the grown collection as one provenance-tagged scan
-      val root = java.nio.file.Files.createTempDirectory("graft_coll").toString
+      val root = TempRoot.dir("graft_coll")
       val cat = Catalog.deterministic(spark, root)
       val store = new graft.artifact.ArtifactStore(cat)
       val colls = new graft.artifact.Collections(cat, store)
@@ -233,7 +259,8 @@ object LifecycleQueries {
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q34_to_dataframe_trunc" ->
-      """SELECT doc_id, lang, TRUE AS is_truncated
+      """SELECT doc_id, lang,
+        |  (SELECT count(*) FROM documents WHERE lang = 'en') > 20 AS is_truncated
         |FROM documents WHERE lang = 'en'
         |ORDER BY doc_id DESC LIMIT 20""".stripMargin,
 

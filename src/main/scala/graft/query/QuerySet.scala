@@ -93,14 +93,20 @@ final class QuerySet(
     else Some(col("branch_id").isin(Catalog.defaultBranchIds(currentBranchId): _*))
   }
 
-  /** Space visibility injection — the QuerySet re-expression of the
-    * reference's Postgres row-level security over spaces
-    * (`models/sqlrecord.py:1702` Space; `tests/permissions/`): every row
-    * lives in a space (`space` FK, db_default 1 = the "all" space readable
-    * by every collaborator), and reads only see rows whose space the
-    * caller has been granted. Mirrors branch injection: direct id/uid/hash
-    * addressing or an explicit space/space_id filter bypasses the default.
-    * NULL space_id is the unset db_default, i.e. the "all" space.
+  /** Space DEFAULT-VISIBILITY injection — a query-scoping convenience
+    * that mirrors branch injection, NOT an access-control re-expression.
+    * Every row lives in a space (`space` FK, db_default 1 = the "all"
+    * space; `models/sqlrecord.py:1702`), and an unscoped read defaults to
+    * the caller's granted spaces. Like branch, direct id/uid/hash
+    * addressing or an explicit space/space_id filter REPLACES the default
+    * scope — so this is weaker than the reference's Postgres row-level
+    * security (`tests/permissions/`), where ungranted-space rows stay
+    * invisible no matter how they are addressed and writes are rejected
+    * ("new row violates row-level security policy", sqlrecord.py). True
+    * enforcement needs a non-bypassable layer (storage ACLs / view
+    * grants) outside this engine; q29_space_bypass pins the convenience
+    * semantics deliberately. NULL space_id is the unset db_default, i.e.
+    * the "all" space.
     */
   private def spaceInjection: Option[Column] = {
     if (!t.fieldNames.contains("space_id")) return None
