@@ -264,6 +264,54 @@ object Dedup {
       withSig)
   }
 
+  /** MinHash-LSH candidate edges in STAR form — the skew-safe path for
+    * duplicate-cluster RESOLUTION. `minhashPairs` emits every bucket-local
+    * pair (a clique): correct for pair-level output, but a pathological
+    * cluster of d near-identical docs shares every band bucket and
+    * explodes into d²/2 candidates (50k dups → 1.25B pairs) regardless of
+    * AQE/salting, because the blowup is in the OUTPUT of the join, not in
+    * one task's input. Connected components only need a spanning
+    * structure, so for clustering each bucket instead links its members
+    * to the bucket representative (min id): at most |corpus| × bands
+    * edges, linear always. With `verifyThreshold` each (rep, member) edge
+    * is confirmed by true Jaccard against the representative — still
+    * linear (members verify against the rep only, never each other);
+    * transitive merges through a rep are exactly the semantics a
+    * dup-cluster pass wants. Feed the result to [[connectedComponents]] /
+    * [[resolveDuplicates]].
+    */
+  def minhashClusterEdges(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                          verifyThreshold: Option[Double] = None): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), shingleHashesFromTokenHashes(col("th"), shingleN).as("sh"))
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withSig.select(col("id"),
+      posexplode(sigBands(col("sig"), k, bands)).as(Seq("band", "band_hash")))
+    // bucket representative via hash aggregation (map-side combinable min,
+    // so even the hot bucket reduces before the shuffle), then one join to
+    // attach members — never a bucket self-join
+    val reps = banded.groupBy("band", "band_hash").agg(min(col("id")).as("id_a"))
+    val edges = banded.join(reps, Seq("band", "band_hash"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b")).distinct()
+    val out = verifyThreshold match {
+      case None => edges
+      case Some(t) =>
+        val sa = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        val sb = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        edges.join(sa, "id_a").join(sb, "id_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .filter(col("jaccard") >= t)
+          .select("id_a", "id_b")
+    }
+    finishPairs(out, withSig)
+  }
+
   /** Portable MinHash-LSH variant: identical pipeline to `minhashPairs`
     * but shingle hashes come from md5 (15 hex chars = 60 bits) instead of
     * xxhash64, and shingles stay strings — every step is reproducible in

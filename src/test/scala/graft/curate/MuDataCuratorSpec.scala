@@ -74,6 +74,16 @@ class MuDataCuratorSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("IndexSpec"))
   }
 
+  test("non-tabular SpatialData slots are rejected with an explicit out-of-scope error") {
+    val m = mdata()
+    Seq("images:hires", "shapes:cells:geometry", "points:transcripts", "labels:segmentation")
+      .foreach { key =>
+        val e = intercept[IllegalArgumentException](MuDataCurator.resolveSlot(m, key))
+        assert(e.getMessage.contains("non-tabular SpatialData element"), s"key=$key: ${e.getMessage}")
+        assert(e.getMessage.contains("out of engine scope"), s"key=$key")
+      }
+  }
+
   test("SpatialData grammar: tables:key:slot and attrs:key resolve") {
     val m = mdata()
     // tables:rna:var.T is the 3-part SpatialData form of rna:var.T

@@ -135,6 +135,16 @@ class ExtSpec extends AnyFunSuite {
       .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
     assert(pred(1L) === "en" && pred(3L) === "en")
     assert(pred(2L) === "es" && pred(4L) === "es")
+
+    // split API parity: trainProfiles + classify must reproduce the fused
+    // langId output exactly (the bench times classify against a model
+    // trained once in the warmup region)
+    val profiles = TextOps.trainProfiles(labeled, "text", "lang")
+    val split = TextOps.classify(labeled, "doc_id", "text", profiles)
+      .select("doc_id", "predicted_lang", "overlap").collect().toSet
+    val fused = TextOps.langId(labeled, labeled, "doc_id", "text", "lang")
+      .select("doc_id", "predicted_lang", "overlap").collect().toSet
+    assert(split === fused)
   }
 
   test("multimodal: payload -> fake decode -> resize plan is deterministic and typed") {
