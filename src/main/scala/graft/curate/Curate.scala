@@ -73,6 +73,68 @@ object Curate {
       .drop("__name", "__synonym")
   }
 
+  /** `inspectBuckets` with a PUBLIC-ONTOLOGY fallback — the reference's
+    * `inspect` partitions non-validated values against a public source
+    * and reports them as creatable-from-public
+    * (`can_curate.py:56-156`: "loading of records from the public
+    * source"; the `source` param of `_from_values.py:50-131`): a fresh
+    * instance knows none of the public dictionary yet, so first contact
+    * with e.g. an unseen gene symbol should say "in the public ontology,
+    * create it" rather than "unknown". Buckets, in precedence order:
+    * `validated` (instance field) > `synonym_match` (instance synonym)
+    * > `public_hit` (public field or synonym) > `nonvalidated`.
+    * One broadcast join per dictionary — the values column never
+    * shuffles, so the pass is map-only at any corpus size.
+    */
+  def inspectBucketsWithPublic(values: DataFrame, valueCol: String,
+                               registry: DataFrame, field: String,
+                               publicSource: DataFrame, publicField: String,
+                               synonymsCol: String = "synonyms"): DataFrame = {
+    val pub = dictKeys(publicSource, publicField, synonymsCol)
+      .select(col("__synonym").as("__pub")).distinct()
+    inspectBuckets(values, valueCol, registry, field, synonymsCol)
+      .join(broadcast(pub), col(valueCol) === col("__pub"), "left")
+      .withColumn("bucket",
+        when(col("bucket") =!= "nonvalidated", col("bucket"))
+          .when(col("__pub").isNotNull, "public_hit")
+          .otherwise("nonvalidated"))
+      .drop("__pub")
+  }
+
+  /** `from_values` with the public-source fallback: `existing` (instance
+    * rows matched by field or synonym), `fromPublic` (public-source rows
+    * for values unknown to the instance but present in the public
+    * dictionary — the rows the caller bulk-creates, exactly what the
+    * reference materializes from `source`), `creatable` (values unknown
+    * to both; caller decides, never silently created).
+    */
+  def fromValuesWithPublic(values: DataFrame, valueCol: String,
+                           registry: DataFrame, field: String,
+                           publicSource: DataFrame, publicField: String,
+                           synonymsCol: String = "synonyms"): FromValuesPublicResult = {
+    val base = fromValues(values, valueCol, registry, field, synonymsCol)
+    val pubDict = dictKeys(publicSource, publicField, synonymsCol)
+    val fromPublic = publicSource.join(
+      broadcast(base.creatable.join(broadcast(pubDict),
+          col(valueCol) === col("__synonym"))
+        .select(col("__name").as(publicField)).distinct()),
+      Seq(publicField), "left_semi")
+    val trulyUnknown = base.creatable.join(
+      broadcast(pubDict.select("__synonym").distinct()),
+      col(valueCol) === col("__synonym"), "left_anti")
+    FromValuesPublicResult(base.existing, fromPublic, trulyUnknown)
+  }
+
+  final case class FromValuesPublicResult(existing: DataFrame, fromPublic: DataFrame,
+                                          creatable: DataFrame)
+
+  /** (name, synonym) match keys of a registry-or-public dictionary:
+    * canonical names plus pipe-delimited synonyms when present.
+    */
+  private def dictKeys(source: DataFrame, field: String, synonymsCol: String): DataFrame =
+    if (source.columns.contains(synonymsCol)) synonymDict(source, field, synonymsCol)
+    else source.select(col(field).as("__name"), col(field).as("__synonym"), lit(0).as("__prio"))
+
   /** (synonym, name, priority) dictionary: canonical names map to
     * themselves with priority 0, pipe-delimited synonyms with priority 1
     * (`"a|b|c"` storage, `can_curate.py:219-349`).

@@ -61,6 +61,23 @@ object CurateQueries {
         .orderBy("bucket", "value")
     }),
 
+    "c06_inspect_public" -> ((spark, dir) => {
+      // fresh-instance scenario: the instance registry knows only regions
+      // 0-2; the public ontology (all regions + synonyms) catches the
+      // rest as creatable-from-public; atlantis stays truly unknown
+      val region = t(spark, dir, "region")
+      val instance = regionRegistry(spark, dir)
+        .join(region.filter(col("r_regionkey") < 3).select(col("r_name").as("name")),
+          Seq("name"), "left_semi")
+      val values = region.select(lower(col("r_name")).as("value"))
+        .unionByName(region.select(col("r_name").as("value")))
+        .unionByName(Seq("atlantis").toDF(spark)("value"))
+      Curate.inspectBucketsWithPublic(values, "value",
+          instance, "name", regionRegistry(spark, dir), "name")
+        .select("value", "bucket")
+        .orderBy("bucket", "value")
+    }),
+
     "c04_cat_violations" -> ((spark, dir) => {
       // schema allows only three segments: the other two must be reported
       // as non-validated values with counts (ValidationError listing)
@@ -139,6 +156,28 @@ object CurateQueries {
         |SELECT value,
         |  CASE WHEN value IN (SELECT name FROM reg) THEN 'validated'
         |       WHEN value IN (SELECT synonym FROM syn) THEN 'synonym_match'
+        |       ELSE 'nonvalidated' END AS bucket
+        |FROM vals ORDER BY bucket, value""".stripMargin,
+
+    "c06_inspect_public" ->
+      """WITH pub AS (
+        |  SELECT r_name AS name,
+        |         lower(r_name) || '|' || replace(r_name, ' ', '_') AS synonyms
+        |  FROM region),
+        |inst AS (SELECT * FROM pub WHERE name IN
+        |  (SELECT r_name FROM region WHERE r_regionkey < 3)),
+        |instsyn AS (SELECT unnest(string_split(synonyms, '|')) AS synonym FROM inst),
+        |pubkeys AS (
+        |  SELECT name AS k FROM pub
+        |  UNION ALL SELECT unnest(string_split(synonyms, '|')) FROM pub),
+        |vals AS (
+        |  SELECT lower(r_name) AS value FROM region
+        |  UNION ALL SELECT r_name FROM region
+        |  UNION ALL SELECT 'atlantis')
+        |SELECT value,
+        |  CASE WHEN value IN (SELECT name FROM inst) THEN 'validated'
+        |       WHEN value IN (SELECT synonym FROM instsyn) THEN 'synonym_match'
+        |       WHEN value IN (SELECT k FROM pubkeys) THEN 'public_hit'
         |       ELSE 'nonvalidated' END AS bucket
         |FROM vals ORDER BY bucket, value""".stripMargin,
 

@@ -59,6 +59,34 @@ class CurateSpec extends AnyFunSuite {
     assert(r.creatable.select("value").as[String].collect().toSeq === Seq("plasma cell"))
   }
 
+  test("public-source fallback: inspect partitions public-hit vs truly-unknown, from_values creates from public") {
+    // fresh instance knows only B cell; the public ontology knows all
+    // three cell types (+ synonyms); 'astrocyte' is unknown everywhere
+    val instance = cellTypes.filter($"name" === "B cell")
+    val vals = Seq("B cell", "B-cell", "T cell", "CD8+ T cell", "astrocyte").toDF("value")
+
+    val buckets = Curate.inspectBucketsWithPublic(vals, "value",
+        instance, "name", cellTypes, "name")
+      .select("value", "bucket").as[(String, String)].collect().toMap
+    assert(buckets("B cell") === "validated")
+    assert(buckets("B-cell") === "synonym_match") // instance synonym wins over public
+    assert(buckets("T cell") === "public_hit")
+    assert(buckets("CD8+ T cell") === "public_hit") // via public synonym
+    assert(buckets("astrocyte") === "nonvalidated")
+
+    val r = Curate.fromValuesWithPublic(vals, "value", instance, "name", cellTypes, "name")
+    assert(r.existing.select("name").as[String].collect().toSet === Set("B cell"))
+    // fromPublic returns the PUBLIC ROWS to create, canonicalized
+    assert(r.fromPublic.select("name").as[String].collect().toSet ===
+      Set("T cell", "CD8-positive alpha-beta T cell"))
+    assert(r.creatable.select("value").as[String].collect().toSet === Set("astrocyte"))
+
+    // without a public source the same values fall back to plain creatable
+    val plain = Curate.fromValues(vals, "value", instance, "name")
+    assert(plain.creatable.select("value").as[String].collect().toSet ===
+      Set("T cell", "CD8+ T cell", "astrocyte"))
+  }
+
   test("schema validation: happy path passes") {
     val df = Seq((1.0, 2.0, "DMSO"), (3.0, 4.0, "IFNG"))
       .toDF("CD8A", "CD4", "perturbation")
