@@ -212,6 +212,89 @@ object LifecycleQueries {
         .orderBy("source")
     }),
 
+    "q41_cache_stale" -> ((spark, dir) => {
+      // cache → corrupt → re-cache: the staleness check (content-summary
+      // size mismatch) must re-copy, and the re-read cached copy must
+      // equal the base subset. Drives the REAL ArtifactStore.cache twice.
+      val root = TempRoot.dir("graft_cache")
+      val cacheDir = TempRoot.dir("graft_cache_local")
+      val cat = Catalog.deterministic(spark, root)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val fr = docs(spark, dir).filter(col("lang") === "fr")
+        .select("doc_id", "source", "n_chars")
+      val art = store.fromDataFrame(fr, "corpus/fr", root)
+      val cached = store.cache(art, root, cacheDir)
+      // corrupt the local copy: drop one data file (nonzero length), so
+      // the summary no longer matches the source
+      val part = new java.io.File(cached).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.length() > 0).head
+      require(part.delete(), "corruption setup failed")
+      val recached = store.cache(art, root, cacheDir)
+      require(recached == cached, "cache path must be stable")
+      spark.read.parquet(recached)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    "q42_transfer_remap" -> ((spark, dir) => {
+      // cross-instance transfer with FK uid-remap: children (one ulabel
+      // per source, typed by a parent ulabel via type_id) transfer into a
+      // target catalog whose id space is SHIFTED by a decoy row — the
+      // remap must resolve parents by uid, never by carried-over id
+      val src = Catalog.deterministic(spark, TempRoot.dir("graft_tf_src"))
+      val tgt = Catalog.deterministic(spark, TempRoot.dir("graft_tf_tgt"))
+      val sources = docs(spark, dir).select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0)).toSeq
+      val parentIds = (0 until 3).map { k =>
+        k -> src.insert("ulabel", Map("name" -> s"type_$k", "is_type" -> true))("id")
+          .asInstanceOf[Long]
+      }.toMap
+      val childUids = sources.map { s =>
+        src.insert("ulabel", Map("name" -> s,
+          "type_id" -> parentIds(s.drop(3).toInt % 3)))("uid").toString
+      }
+      // shift the target id space; the uid is EXPLICIT because both
+      // catalogs are deterministic and would otherwise mint the decoy the
+      // same uid as the source's first parent, making it "already
+      // transferred" (uid is the cross-instance identity — the point of
+      // this query)
+      tgt.insert("ulabel", Map("name" -> "decoy", "uid" -> "zzdecoy0"))
+      val srcStore = new graft.artifact.ArtifactStore(src)
+      srcStore.transferTo(tgt, "ulabel", childUids)
+      val t = tgt.table("ulabel")
+      val children = t.filter(col("name").startsWith("src"))
+      val parents = t.select(col("id").as("type_id"), col("name").as("type_name"))
+      // the decoy forces target ids to differ from source ids for every
+      // transferred row: a carried-over id would join to the wrong parent
+      children.join(parents, "type_id")
+        .select("name", "type_name")
+        .orderBy("name")
+    }),
+
+    "q43_path_get" -> ((spark, dir) => {
+      // path-based get: one managed artifact per source; the physical
+      // `.lamindb/{uid}{suffix}` path of each even-suffix source must
+      // resolve back to its own catalog row
+      val root = TempRoot.dir("graft_pg")
+      val cat = Catalog.deterministic(spark, root)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val d = docs(spark, dir)
+      val sources = d.select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0)).toSeq
+      val arts = sources.map { s =>
+        s -> store.fromDataFrame(
+          d.filter(col("source") === s).select("doc_id", "n_chars"), s"src/$s", root)
+      }
+      val resolvedKeys = arts.collect { case (s, a) if s.drop(3).toInt % 2 == 0 =>
+        val byPath = store.getByPath(s"$root/.lamindb/${a("uid")}${a("suffix")}")
+        require(byPath("id") == a("id"), s"path get resolved the wrong artifact for $s")
+        (byPath("key").toString, byPath("n_observations").asInstanceOf[Long])
+      }
+      import spark.implicits._
+      resolvedKeys.toDF("key", "n_obs").orderBy("key")
+    }),
+
     "q30_trash_restore" -> ((spark, dir) => {
       val cat = trashRestoreCatalog(spark, dir)
       QuerySet(cat, "ulabel").orderBy("name").df.select("name", "branch_id")
@@ -275,6 +358,23 @@ object LifecycleQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE source IN ('src0', 'src1', 'src2')
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q41_cache_stale" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'fr'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q42_transfer_remap" ->
+      """SELECT DISTINCT source AS name,
+        |  'type_' || CAST(CAST(SUBSTRING(source, 4) AS INT) % 3 AS VARCHAR) AS type_name
+        |FROM documents ORDER BY name""".stripMargin,
+
+    "q43_path_get" ->
+      """SELECT 'src/' || source AS key, CAST(count(*) AS BIGINT) AS n_obs
+        |FROM documents
+        |WHERE CAST(SUBSTRING(source, 4) AS INT) % 2 = 0
+        |GROUP BY source ORDER BY key""".stripMargin,
 
     "q30_trash_restore" ->
       """WITH s AS (SELECT DISTINCT source AS name FROM documents)
