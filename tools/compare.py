@@ -23,9 +23,13 @@ def canon(rows, cols):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in ['region','nation','customer','supplier','part','orders','lineitem',
               'events','documents','embeddings']:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # GenScale tiers are Spark multi-file dirs
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     import glob, os
