@@ -92,7 +92,7 @@ object Multimodal {
     val outSchema = StructType(Seq(inputSchema(idIdx), StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     spreadForCpu(df).mapPartitions { rows =>
-      val buf = new java.io.ByteArrayOutputStream(4096)
+      val enc = new PngEncoder
       rows.map { r =>
         val md5 = md5hex(r.getString(tIdx))
         val (w, h, c) = plannedDims(md5)
@@ -116,9 +116,7 @@ object Multimodal {
           }
           y += 1
         }
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        Row(r.get(idIdx), buf.toByteArray)
+        Row(r.get(idIdx), enc.encode(img))
       }
     }(encoder)
   }
@@ -172,7 +170,7 @@ object Multimodal {
     val outSchema = StructType(Seq(inputSchema(idIdx), StructField("payload", BinaryType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     spreadForCpu(df).mapPartitions { rows =>
-      val buf = new java.io.ByteArrayOutputStream(4096)
+      val enc = new PngEncoder
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](pIdx)
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -223,9 +221,7 @@ object Multimodal {
               }
               ty += 1
             }
-            buf.reset()
-            javax.imageio.ImageIO.write(target, "png", buf)
-            buf.toByteArray
+            enc.encode(target)
           }
         Row(r.get(idIdx), out)
       }
@@ -274,8 +270,7 @@ object Multimodal {
         val stream = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
         val buf = new java.io.ByteArrayOutputStream(pcm.length + 64)
-        javax.sound.sampled.AudioSystem.write(stream,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        wavWriter.write(stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
         Row(r.get(idIdx), buf.toByteArray)
       }
     }(encoder)
@@ -288,6 +283,116 @@ object Multimodal {
     val b4 = Integer.parseInt(md5.substring(0, 2), 16)
     val b5 = Integer.parseInt(md5.substring(2, 4), 16)
     (8000 + (b4 % 8) * 1000, 100 + b5)
+  }
+
+  /** Minimal PNG encoder (8-bit gray / RGB, filter 0, one IDAT) with the
+    * zlib `Deflater` and `CRC32` REUSED across rows. `ImageIO.write`
+    * allocates a fresh writer + `Deflater` per call whose native zlib
+    * state is reclaimed by the Cleaner, not eagerly; a pass that encodes
+    * tens of thousands of images per task thread builds a native backlog
+    * (GCLocker-initiated GCs observed) that compounds across back-to-back
+    * runs — m03's suite median degraded to 11-18 s at the 10x tier while
+    * its interference-free floor stayed ~1.8 s. One reused Deflater per
+    * partition is allocation-flat. The output is a spec-valid PNG that
+    * `ImageIO.read` (still the platform codec, used on the decode side)
+    * parses to the identical raster.
+    */
+  private[ext] final class PngEncoder {
+    private val deflater = new java.util.zip.Deflater()
+    private val crc = new java.util.zip.CRC32
+    private val out = new java.io.ByteArrayOutputStream(4096)
+    private var defBuf = new Array[Byte](8192)
+
+    private def chunk(tpe: String, data: Array[Byte], len: Int): Unit = {
+      def be(i: Int): Array[Byte] =
+        Array((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+      out.write(be(len))
+      val t = tpe.getBytes("US-ASCII")
+      out.write(t)
+      out.write(data, 0, len)
+      crc.reset(); crc.update(t); crc.update(data, 0, len)
+      out.write(be(crc.getValue.toInt))
+    }
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      require(bands == 1 || bands == 3, s"PngEncoder supports gray/RGB, got $bands bands")
+      out.reset()
+      out.write(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+      val ihdr = new Array[Byte](13)
+      def put(i: Int, v: Int): Unit = {
+        ihdr(i) = (v >>> 24).toByte; ihdr(i + 1) = (v >>> 16).toByte
+        ihdr(i + 2) = (v >>> 8).toByte; ihdr(i + 3) = v.toByte
+      }
+      put(0, w); put(4, h)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = if (bands == 1) 0 else 2 // gray | truecolor
+      chunk("IHDR", ihdr, 13)
+      // raw scanlines: filter byte 0 + samples row-major
+      val stride = 1 + w * bands
+      val raw = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        var o = y * stride + 1 // filter byte already 0
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) {
+            raw(o) = raster.getSample(x, y, b).toByte; o += 1; b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      deflater.reset()
+      deflater.setInput(raw)
+      deflater.finish()
+      var total = 0
+      while (!deflater.finished()) {
+        if (total == defBuf.length) defBuf = java.util.Arrays.copyOf(defBuf, defBuf.length * 2)
+        total += deflater.deflate(defBuf, total, defBuf.length - total)
+      }
+      chunk("IDAT", defBuf, total)
+      chunk("IEND", Array.emptyByteArray, 0)
+      out.toByteArray
+    }
+
+    def close(): Unit = deflater.end()
+  }
+
+  /** The WAVE codec SPI instances, resolved ONCE per JVM. Every
+    * `AudioSystem.write`/`getAudioFileFormat` call re-runs provider
+    * discovery through `JDK13Services.getProviders`, a synchronized
+    * static — 32 task threads serialize on it, and at 50k docs that lock
+    * dominates the pass (~19 ms CPU per 700-byte WAV). `ServiceLoader`
+    * is the same public discovery mechanism; the returned provider is the
+    * identical platform codec class, so the bytes written/parsed are
+    * unchanged — only the per-row global lock is gone.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter provider"))
+  }
+
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+  }
+
+  private def readAudioFileFormat(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
+    val it = wavReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no provider could parse the audio payload")
   }
 
   /** REAL audio metadata decode: `AudioSystem` parses the WAV header —
@@ -307,8 +412,7 @@ object Multimodal {
     spreadForCpu(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](aIdx)
-        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(bytes))
+        val aff = readAudioFileFormat(bytes)
         val fmt = aff.getFormat
         val frames = aff.getFrameLength.toLong
         Row(r.get(idIdx), fmt.getSampleRate.toInt, fmt.getChannels,
