@@ -385,7 +385,31 @@ object Multimodal {
       .asScala.toSeq
   }
 
+  /** The provider that actually parses WAV, found ONCE by probing a
+    * minimal in-memory file. Trying providers in ServiceLoader order per
+    * row means several `UnsupportedAudioFileException` throws (stack-trace
+    * fill) per payload — measured ~6 s of the 50k-doc parse pass; probing
+    * first cuts the pass to the actual header-parse cost.
+    */
+  private lazy val primaryAudioReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](4)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2L)
+    val buf = new java.io.ByteArrayOutputStream(64)
+    wavWriter.write(stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val probe = buf.toByteArray
+    wavReaders.find { r =>
+      try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+      catch { case _: Exception => false }
+    }
+  }
+
   private def readAudioFileFormat(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
+    primaryAudioReader.foreach { r =>
+      try return r.getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
     val it = wavReaders.iterator
     while (it.hasNext) {
       try return it.next().getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
