@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * schema validation), printing ONE JSON line for the driver.
   */
 object Bench {
+  /** Committed 20000x256 native-HDF5 bench fixture (tools/gen_h5ad.py). */
+  private def h5adBenchFixture: String =
+    Seq("fixtures/h5ad/bench.h5ad", "/root/repo/fixtures/h5ad/bench.h5ad")
+      .find(p => new java.io.File(p).exists)
+      .getOrElse(sys.error("bench.h5ad fixture missing; run tools/gen_h5ad.py"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -145,7 +151,15 @@ object Bench {
       // path (all bucket-local pairs) would enumerate 1.25B candidate
       // pairs here; the star-edge path stays linear and the CC resolution
       // must still produce one component for the cluster
-      "b10_skewed_dups" -> median3(benchSkewedDups(spark, sfDir)))
+      "b10_skewed_dups" -> median3(benchSkewedDups(spark, sfDir)),
+      // native HDF5 throughput: 20000x256 f8 X (40 shuffle+deflate
+      // chunks, 40MB raw) parsed in the JVM and scanned executor-side —
+      // chunk inflation parallelizes across tasks, per-var sums
+      "b11_h5ad_native_scan" -> median3 {
+        graft.h5.AnnH5.denseCoo(spark, h5adBenchFixture, "X")
+          .groupBy("var_id").agg(sum(col("value")))
+          .queryExecution.toRdd.count()
+      })
 
     val all = queryTimes ++ catalogTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")

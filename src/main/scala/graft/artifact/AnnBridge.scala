@@ -95,6 +95,14 @@ object AnnBridge {
     * (obsm embeddings, layers) persist as additional slots. Content-hash
     * idempotent like every artifact constructor.
     */
+  /** `Artifact.from_anndata(path)` over a NATIVE `.h5ad` file: the
+    * container is parsed in the JVM (graft.h5 — no h5py, no bridge
+    * pre-conversion) and ingested through the standard slot path.
+    */
+  def ingestH5ad(store: ArtifactStore, spark: org.apache.spark.sql.SparkSession,
+                 h5adPath: String, key: String, storageRoot: String): Map[String, Any] =
+    ingest(store, graft.h5.AnnH5.open(spark, h5adPath), key, storageRoot)
+
   def ingest(store: ArtifactStore, ds: AnnDataset, key: String, storageRoot: String,
              description: String = null, validateShape: Boolean = false): Map[String, Any] = {
     if (validateShape) {

@@ -340,6 +340,13 @@ final class ArtifactStore(val cat: Catalog) {
       case ".csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
       case ".tsv"     => spark.read.option("header", "true").option("sep", "\t").option("inferSchema", "true").csv(paths: _*)
       case ".json" | ".ndjson" => spark.read.json(paths: _*)
+      case ".h5ad" =>
+        // native HDF5 parse (graft.h5): X of each member as distributed
+        // COO, unioned with member provenance — the multi-file analog of
+        // the reference's suffix-gated AnnData open
+        paths.map { p =>
+          graft.h5.AnnH5.open(spark, p).x.withColumn("_source_path", lit(p))
+        }.reduce(_ unionByName _)
       case other      => throw new IllegalArgumentException(s"unsupported suffix for open(): $other")
     }
   }

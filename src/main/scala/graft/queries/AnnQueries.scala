@@ -43,6 +43,15 @@ object AnnQueries {
       AnnBridge.open(store, art("uid").toString)
     })
 
+  /** Committed native-HDF5 fixtures (tools/gen_h5ad.py — closed-form
+    * content, so the oracles recompute from range() with no file
+    * dependency; a hash match proves the JVM-side HDF5 parse).
+    */
+  private def h5Fixture(name: String): String =
+    Seq(s"fixtures/h5ad/$name", s"/root/repo/fixtures/h5ad/$name")
+      .find(p => new java.io.File(p).exists)
+      .getOrElse(sys.error(s"h5ad fixture $name not found; run tools/gen_h5ad.py"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // backed obs-slicing: adata[adata.obs.lang == "en" & n_chars >= 500]
     // then a per-var aggregate over the slice (mean-expression shape)
@@ -98,6 +107,34 @@ object AnnQueries {
         .withColumn("n_x", coalesce(col("n_x"), lit(0L)))
         .select("obs_id", "lang", "source", "n_chars", "n_x")
         .orderBy("obs_id")
+    }),
+
+    // NATIVE h5ad open (no bridge): parse the HDF5 container in the JVM
+    // — vlen-string index, categorical codes/categories decode, f8
+    // column — and aggregate the obs frame
+    "a04_h5ad_obs" -> ((spark, _) => {
+      val ds = graft.h5.AnnH5.open(spark, h5Fixture("dense.h5ad"))
+      ds.obs.groupBy("cell_type")
+        .agg(count(lit(1)).as("n_obs"), sum(col("n_counts")).as("sum_counts"))
+        .orderBy("cell_type")
+    }),
+
+    // native dense X: executor-side chunk reads (shuffle+deflate inflate
+    // per task), var slice via the bridge ops, per-var sums
+    "a05_h5ad_x_colsum" -> ((spark, _) => {
+      val ds = graft.h5.AnnH5.open(spark, h5Fixture("dense.h5ad"))
+      ds.subsetVars(col("highly_variable") === 1).perVarStats
+        .select(col("var_name"), col("n_obs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("var_name")
+    }),
+
+    // native csr_matrix X: indptr broadcast, row-range element reads
+    "a06_h5ad_csr_rows" -> ((spark, _) => {
+      val ds = graft.h5.AnnH5.open(spark, h5Fixture("sparse.h5ad"))
+      ds.x.groupBy((col("obs_id") % 10).as("obs_bucket"))
+        .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("obs_bucket")
     })
   )
 
@@ -149,6 +186,28 @@ object AnnQueries {
         |xc AS (SELECT * FROM base_x UNION ALL SELECT * FROM app_x)
         |SELECT obs.obs_id, lang, source, n_chars,
         |       CAST(coalesce(xc.n_x, 0) AS BIGINT) AS n_x
-        |FROM obs LEFT JOIN xc USING (obs_id) ORDER BY obs.obs_id""".stripMargin
+        |FROM obs LEFT JOIN xc USING (obs_id) ORDER BY obs.obs_id""".stripMargin,
+
+    // the h5ad fixtures are closed-form (tools/gen_h5ad.py); the oracle
+    // recomputes the same content from range() — any HDF5 parse defect
+    // (chunk scatter, heap string, categorical code, csr row mapping)
+    // breaks the hash
+    "a04_h5ad_obs" ->
+      """SELECT 'type_' || (i % 5) AS cell_type,
+        |       count(*) AS n_obs,
+        |       CAST(sum((i*37 % 1000) + 0.5) AS DOUBLE) AS sum_counts
+        |FROM range(300) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a05_h5ad_x_colsum" ->
+      """SELECT 'gene_' || j AS var_name, count(*) AS n_obs,
+        |       CAST(sum(((i*31 + j*17) % 97) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(300) t(i), range(40) s(j)
+        |WHERE j % 3 = 0 GROUP BY j ORDER BY var_name""".stripMargin,
+
+    "a06_h5ad_csr_rows" ->
+      """SELECT i % 10 AS obs_bucket, count(*) AS nnz,
+        |       CAST(sum(((i*31 + j*17) % 97) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(300) t(i), range(40) s(j)
+        |WHERE (i*7 + j*13) % 5 = 0 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
