@@ -1,0 +1,382 @@
+package graft.h5
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.Deflater
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.artifact.AnnDataset
+
+/** Native `.h5ad` SINK — the reference's `adata.write_h5ad`
+  * (`anndata` write path used throughout `artifact.py:2374-2498`)
+  * re-expressed for the engine: an [[AnnDataset]] (obs / vars / COO X)
+  * is serialized as a real HDF5 file carrying the AnnData element
+  * encoding, readable by h5py/anndata and by [[AnnH5]].
+  *
+  * Layout choices mirror h5py `libver="earliest"`: v0 superblock,
+  * v1 object headers, old-style symbol-table groups, global-heap
+  * vlen UTF-8 strings, deflate-chunked X. X is written as
+  * `csr_matrix` (the COO form is sparse-natural) and STREAMED:
+  * `x.orderBy(obs_id, var_id).toLocalIterator` feeds fixed-size
+  * chunk buffers that are deflated and flushed as they fill, so
+  * driver memory is bounded by one chunk + the axis-sized indptr —
+  * the same single-writer contract as the reference's h5py write.
+  *
+  * Like the read side, all structures follow the public HDF5 File
+  * Format Specification; nothing here links a native HDF5 library.
+  */
+object AnnH5Writer {
+
+  private val Undef = -1L
+
+  // ------------------------------------------------------- low-level file
+
+  private final class Out(raf: RandomAccessFile) {
+    raf.setLength(0)
+    raf.seek(96) // superblock patched last
+    def pos: Long = raf.getFilePointer
+    def align8(): Unit = {
+      val pad = ((pos + 7) & ~7L) - pos
+      if (pad > 0) raf.write(new Array[Byte](pad.toInt))
+    }
+    def write(b: Array[Byte]): Long = { align8(); val p = pos; raf.write(b); p }
+    def writeAt(at: Long, b: Array[Byte]): Unit = {
+      val back = pos; raf.seek(at); raf.write(b); raf.seek(back)
+    }
+    def eof: Long = raf.length()
+  }
+
+  private def u16(v: Int): Array[Byte] =
+    ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+  private def u32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def u64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+  private def pad8(b: Array[Byte]): Array[Byte] =
+    if (b.length % 8 == 0) b else b ++ new Array[Byte]((-b.length) % 8 + 8 & 7)
+
+  // ------------------------------------------------------------ datatypes
+
+  private def dtFixed(size: Int): Array[Byte] =
+    Array[Byte](0x10, 0x08, 0, 0) ++ u32(size) ++ u16(0) ++ u16(size * 8)
+
+  private def dtFloat(size: Int): Array[Byte] = {
+    val (sign, exploc, expsz, mantsz, bias) =
+      if (size == 8) (63, 52, 11, 52, 1023) else (31, 23, 8, 23, 127)
+    Array[Byte](0x11, 0x20, sign.toByte, 0) ++ u32(size) ++
+      u16(0) ++ u16(size * 8) ++
+      Array[Byte](exploc.toByte, expsz.toByte, 0, mantsz.toByte) ++ u32(bias)
+  }
+
+  private val dtStr1: Array[Byte] = Array[Byte](0x13, 0x00, 0, 0) ++ u32(1)
+
+  private def dtVlenStr: Array[Byte] =
+    Array[Byte](0x19, 0x01, 0x01, 0) ++ u32(16) ++ dtStr1
+
+  private def dataspace(dims: Seq[Long]): Array[Byte] =
+    Array[Byte](1, dims.length.toByte, 0, 0) ++ u32(0) ++
+      dims.toArray.flatMap(u64)
+
+  private val dsScalar: Array[Byte] = dataspace(Nil)
+
+  // ----------------------------------------------------------- global heap
+
+  /** Accumulates vlen strings; collections flushed at 4096B like libhdf5. */
+  private final class GHeap(out: Out) {
+    private val pending = mutable.ArrayBuffer.empty[Array[Byte]]
+    private val resolved = mutable.ArrayBuffer.empty[(Long, Int, Int)] // addr, idx, len
+
+    def add(s: String): Int = { pending += s.getBytes(UTF_8); resolved.size + pending.size - 1 }
+
+    def flush(): Unit = {
+      var i = 0
+      while (i < pending.size) {
+        val objs = mutable.ArrayBuffer.empty[Byte]
+        val local = mutable.ArrayBuffer.empty[(Int, Int)] // (pendingIdx, len)
+        while (i < pending.size && {
+          val rec = 16 + ((pending(i).length + 7) & ~7)
+          local.isEmpty || 16 + objs.size + rec + 16 <= 4096
+        }) {
+          val it = pending(i)
+          objs ++= u16(local.size + 1); objs ++= u16(1); objs ++= u32(0)
+          objs ++= u64(it.length); objs ++= pad8(it)
+          local += ((i, it.length)); i += 1
+        }
+        val size = math.max(4096L, (16 + objs.size + 16 + 7) & ~7L)
+        val free = size - 16 - objs.size
+        val data = "GCOL".getBytes(UTF_8) ++ Array[Byte](1, 0, 0, 0) ++ u64(size) ++
+          objs.toArray ++ u16(0) ++ u16(0) ++ u32(0) ++ u64(free)
+        val full = data ++ new Array[Byte]((size - data.length).toInt)
+        val addr = out.write(full)
+        local.zipWithIndex.foreach { case ((_, len), k) =>
+          resolved += ((addr, k + 1, len))
+        }
+      }
+      pending.clear()
+    }
+
+    def ref(i: Int): Array[Byte] = {
+      val (addr, idx, len) = resolved(i)
+      u32(len) ++ u64(addr) ++ u32(idx)
+    }
+  }
+
+  // ----------------------------------------------------- messages/headers
+
+  private def message(typ: Int, body: Array[Byte]): Array[Byte] = {
+    val p = pad8(body)
+    u16(typ) ++ u16(p.length) ++ Array[Byte](0, 0, 0, 0) ++ p
+  }
+
+  private def objectHeader(out: Out, msgs: Seq[(Int, Array[Byte])]): Long = {
+    val framed = msgs.flatMap { case (t, b) => message(t, b) }.toArray
+    val hdr = Array[Byte](1, 0) ++ u16(msgs.size) ++ u32(1) ++ u32(framed.length) ++
+      Array[Byte](0, 0, 0, 0)
+    out.write(hdr ++ framed)
+  }
+
+  private def attrMsg(name: String, dt: Array[Byte], ds: Array[Byte],
+                      data: Array[Byte]): Array[Byte] = {
+    val nb = name.getBytes(UTF_8) :+ 0.toByte
+    Array[Byte](1, 0) ++ u16(nb.length) ++ u16(dt.length) ++ u16(ds.length) ++
+      pad8(nb) ++ pad8(dt) ++ pad8(ds) ++ data
+  }
+
+  /** Deferred attribute: gheap refs resolve only after flush(). */
+  private type Attr = () => Array[Byte]
+
+  private def strAttr(gh: GHeap, name: String, v: String): Attr = {
+    val i = gh.add(v)
+    () => attrMsg(name, dtVlenStr, dsScalar, gh.ref(i))
+  }
+  private def strArrayAttr(gh: GHeap, name: String, vs: Seq[String]): Attr = {
+    val is = vs.map(gh.add)
+    () => attrMsg(name, dtVlenStr, dataspace(Seq(vs.length.toLong)),
+      is.flatMap(i => gh.ref(i).toSeq).toArray)
+  }
+  private def i64ArrayAttr(name: String, vs: Seq[Long]): Attr =
+    () => attrMsg(name, dtFixed(8), dataspace(Seq(vs.length.toLong)),
+      vs.toArray.flatMap(u64))
+  private def encAttrs(gh: GHeap, t: String, v: String): Seq[Attr] =
+    Seq(strAttr(gh, "encoding-type", t), strAttr(gh, "encoding-version", v))
+
+  // -------------------------------------------------------------- datasets
+
+  private def contiguous(out: Out, gh: GHeap, dt: Array[Byte], dims: Seq[Long],
+                         raw: Array[Byte], attrs: Seq[Attr]): Long = {
+    val addr = out.write(raw)
+    gh.flush()
+    val layout = Array[Byte](3, 1) ++ u64(addr) ++ u64(raw.length.toLong)
+    objectHeader(out, Seq(
+      0x0001 -> dataspace(dims), 0x0003 -> dt, 0x0008 -> layout) ++
+      attrs.map(a => 0x000C -> a()))
+  }
+
+  private def vlenStrDataset(out: Out, gh: GHeap, vs: Seq[String],
+                             attrs: Seq[Attr]): Long = {
+    val is = vs.map(gh.add)
+    gh.flush()
+    val raw = is.flatMap(i => gh.ref(i).toSeq).toArray
+    contiguous(out, gh, dtVlenStr, Seq(vs.length.toLong), raw, attrs)
+  }
+
+  /** Incremental 1-D chunked+deflate dataset: feed elements, then seal. */
+  private final class ChunkedWriter(out: Out, esize: Int, chunkElems: Int,
+                                    level: Int = 4) {
+    private val buf = new Array[Byte](chunkElems * esize)
+    private var inBuf = 0
+    private var written = 0L
+    private val chunks = mutable.ArrayBuffer.empty[(Long, Int, Long)] // off, size, addr
+
+    def put(elem: Array[Byte]): Unit = {
+      System.arraycopy(elem, 0, buf, inBuf * esize, esize)
+      inBuf += 1
+      if (inBuf == chunkElems) flushChunk()
+    }
+
+    private def flushChunk(): Unit = if (inBuf > 0) {
+      // edge chunk padded to full chunk size (HDF5 stores whole chunks)
+      java.util.Arrays.fill(buf, inBuf * esize, buf.length, 0.toByte)
+      val d = new Deflater(level)
+      d.setInput(buf); d.finish()
+      val outB = new Array[Byte](buf.length + buf.length / 1000 + 128)
+      var n = 0
+      while (!d.finished()) n += d.deflate(outB, n, outB.length - n)
+      d.end()
+      val addr = out.write(java.util.Arrays.copyOf(outB, n))
+      chunks += ((written, n, addr))
+      written += inBuf
+      inBuf = 0
+    }
+
+    def n: Long = written + inBuf
+
+    /** Flush the tail, write the chunk B-tree + header; returns header addr. */
+    def seal(gh: GHeap, dt: Array[Byte], attrs: Seq[Attr]): Long = {
+      val total = n
+      flushChunk()
+      val node = {
+        val b = mutable.ArrayBuffer.empty[Byte]
+        b ++= "TREE".getBytes(UTF_8)
+        b ++= Array[Byte](1, 0); b ++= u16(chunks.size)
+        b ++= u64(Undef); b ++= u64(Undef)
+        chunks.foreach { case (off, size, addr) =>
+          b ++= u32(size); b ++= u32(0); b ++= u64(off); b ++= u64(0); b ++= u64(addr)
+        }
+        b ++= u32(0); b ++= u32(0)
+        b ++= u64((total + chunkElems - 1) / chunkElems * chunkElems); b ++= u64(0)
+        b.toArray
+      }
+      require(chunks.size <= 1024, s"chunked write needs multi-level b-tree (${chunks.size} chunks); raise chunkElems")
+      val bt = out.write(node)
+      gh.flush()
+      val layout = Array[Byte](3, 2, 2) ++ u64(bt) ++ u32(chunkElems) ++ u32(esize)
+      val filters = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0) ++
+        (u16(1) ++ u16(0) ++ u16(0) ++ u16(1) ++ u32(level) ++ u32(0)) // deflate
+      objectHeader(out, Seq(
+        0x0001 -> dataspace(Seq(total)), 0x0003 -> dt, 0x0008 -> layout,
+        0x000B -> filters) ++ attrs.map(a => 0x000C -> a()))
+    }
+  }
+
+  // ---------------------------------------------------------------- groups
+
+  private def group(out: Out, gh: GHeap, links: Seq[(String, Long)],
+                    attrs: Seq[Attr]): Long = {
+    val sorted = links.map(_._1).sorted // byte-order for ASCII names
+    val byName = links.toMap
+    require(links.size <= 8, s"single-SNOD writer: <=8 links (${links.size})")
+    val heapData = mutable.ArrayBuffer[Byte](0, 0, 0, 0, 0, 0, 0, 0)
+    val offs = sorted.map { nm =>
+      val off = heapData.size.toLong
+      heapData ++= pad8(nm.getBytes(UTF_8) :+ 0.toByte)
+      nm -> off
+    }.toMap
+    val dseg = out.write(heapData.toArray)
+    val heap = out.write("HEAP".getBytes(UTF_8) ++ Array[Byte](0, 0, 0, 0) ++
+      u64(heapData.size.toLong) ++ u64(Undef) ++ u64(dseg))
+    val snodBody = "SNOD".getBytes(UTF_8) ++ Array[Byte](1, 0) ++ u16(sorted.size) ++
+      sorted.toArray.flatMap { nm =>
+        u64(offs(nm)) ++ u64(byName(nm)) ++ u32(0) ++ u32(0) ++ new Array[Byte](16)
+      }
+    val snod = out.write(snodBody ++ new Array[Byte](8 + 8 * 40 - snodBody.length))
+    val btBody = "TREE".getBytes(UTF_8) ++ Array[Byte](0, 0) ++ u16(1) ++
+      u64(Undef) ++ u64(Undef) ++ u64(0) ++ u64(snod) ++ u64(offs(sorted.last))
+    val bt = out.write(btBody ++ new Array[Byte](24 + 9 * 8 + 8 * 8 - btBody.length))
+    gh.flush()
+    objectHeader(out, Seq(0x0011 -> (u64(bt) ++ u64(heap))) ++
+      attrs.map(a => 0x000C -> a()))
+  }
+
+  // ----------------------------------------------------------- dataframes
+
+  /** One obs/var frame as an anndata `dataframe` group. The id column
+    * (`obs_name`/`var_name`) becomes `_index`; axis-long ids are dropped
+    * (they are positional); remaining columns keep their order.
+    */
+  private def writeFrame(out: Out, gh: GHeap, df: DataFrame, rowId: String,
+                         idCol: String): Long = {
+    // the axis id surfaces as _index; if the frame has no name column,
+    // the positional row id itself becomes the index (stringified)
+    val base = if (df.columns.contains(idCol)) df
+               else df.withColumn(idCol, col(rowId).cast("string"))
+    val fields = base.schema.fields.filter(f => f.name != rowId)
+    val rows = base.orderBy(rowId).select(fields.map(f => col(f.name)).toSeq: _*).collect()
+    def strVals(i: Int) = rows.map(r => Option(r.get(i)).map(_.toString).getOrElse(""))
+    val children = fields.zipWithIndex.map { case (f, i) =>
+      val attrs = encAttrs(gh, if (f.dataType == StringType) "string-array" else "array", "0.2.0")
+      val name = if (f.name == idCol) "_index" else f.name
+      val addr = f.dataType match {
+        case StringType => vlenStrDataset(out, gh, strVals(i).toSeq, attrs)
+        case DoubleType => contiguous(out, gh, dtFloat(8), Seq(rows.length.toLong),
+          rows.flatMap(r => u64(java.lang.Double.doubleToLongBits(
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))), attrs)
+        case FloatType => contiguous(out, gh, dtFloat(4), Seq(rows.length.toLong),
+          rows.flatMap(r => u32(java.lang.Float.floatToIntBits(
+            if (r.isNullAt(i)) Float.NaN else r.getFloat(i)))), attrs)
+        case LongType | IntegerType | ShortType | ByteType =>
+          contiguous(out, gh, dtFixed(8), Seq(rows.length.toLong),
+            rows.flatMap { r =>
+              val v = if (r.isNullAt(i)) 0L else r.get(i) match {
+                case l: java.lang.Long => l.longValue()
+                case n: java.lang.Number => n.longValue()
+              }
+              u64(v).toSeq
+            }.toArray, attrs)
+        case BooleanType =>
+          contiguous(out, gh, dtFixed(1), Seq(rows.length.toLong),
+            rows.map(r => if (!r.isNullAt(i) && r.getBoolean(i)) 1.toByte else 0.toByte),
+            attrs)
+        case t => throw new UnsupportedOperationException(
+          s"h5ad frame column ${f.name}: unsupported type $t")
+      }
+      name -> addr
+    }
+    val order = children.map(_._1).filter(_ != "_index")
+    group(out, gh, children.toSeq,
+      encAttrs(gh, "dataframe", "0.2.0") ++
+        Seq(strAttr(gh, "_index", "_index"), strArrayAttr(gh, "column-order", order)))
+  }
+
+  // ------------------------------------------------------------------ API
+
+  /** Write `ds` to a local `.h5ad` path. Single-writer by design (the
+    * reference's h5py write is too); X streams through `toLocalIterator`
+    * in (obs_id, var_id) order — bounded driver memory.
+    */
+  def write(ds: AnnDataset, path: String, chunkElems: Int = 65536): Unit = {
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      val out = new Out(raf)
+      val gh = new GHeap(out)
+      val obs = writeFrame(out, gh, ds.obs, "obs_id", "obs_name")
+      val vars = writeFrame(out, gh, ds.vars, "var_id", "var_name")
+
+      val nObs = ds.obs.count()
+      val nVar = ds.vars.count()
+      val dataW = new ChunkedWriter(out, 8, chunkElems)
+      val indW = new ChunkedWriter(out, 4, chunkElems)
+      val indptr = new Array[Long](nObs.toInt + 1)
+      var row = 0L
+      var nnz = 0L
+      val it = ds.x.orderBy("obs_id", "var_id")
+        .select(col("obs_id").cast("long"), col("var_id").cast("long"),
+          col("value").cast("double"))
+        .toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val i = r.getLong(0); val j = r.getLong(1); val v = r.getDouble(2)
+        require(i >= row, s"X iterator out of order at obs $i")
+        while (row < i) { row += 1; indptr(row.toInt) = nnz }
+        dataW.put(u64(java.lang.Double.doubleToLongBits(v)))
+        indW.put(u32(j.toInt))
+        nnz += 1
+      }
+      while (row < nObs) { row += 1; indptr(row.toInt) = nnz }
+      val dataDs = dataW.seal(gh, dtFloat(8), encAttrs(gh, "array", "0.2.0"))
+      val indDs = indW.seal(gh, dtFixed(4), encAttrs(gh, "array", "0.2.0"))
+      val ptrDs = contiguous(out, gh, dtFixed(8), Seq(indptr.length.toLong),
+        indptr.flatMap(u64), encAttrs(gh, "array", "0.2.0"))
+      val x = group(out, gh,
+        Seq("data" -> dataDs, "indices" -> indDs, "indptr" -> ptrDs),
+        encAttrs(gh, "csr_matrix", "0.1.0") :+ i64ArrayAttr("shape", Seq(nObs, nVar)))
+
+      val root = group(out, gh, Seq("X" -> x, "obs" -> obs, "var" -> vars),
+        encAttrs(gh, "anndata", "0.1.0"))
+
+      // superblock v0, patched last (root address + EOF)
+      val sb = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n',
+        0, 0, 0, 0, 0, 8, 8, 0) ++
+        u16(4) ++ u16(16) ++ u32(0) ++
+        u64(0) ++ u64(Undef) ++ u64(out.eof) ++ u64(Undef) ++
+        u64(0) ++ u64(root) ++ u32(0) ++ u32(0) ++ new Array[Byte](16)
+      out.writeAt(0, sb)
+    } finally raf.close()
+  }
+}

@@ -135,8 +135,46 @@ object AnnQueries {
       ds.x.groupBy((col("obs_id") % 10).as("obs_bucket"))
         .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
         .orderBy("obs_bucket")
+    }),
+
+    // native h5ad SINK round-trip: build a closed-form AnnDataset,
+    // WRITE it as a real HDF5 file (streamed csr chunks), reopen it
+    // through the native reader (whose parse a04-a06 pin byte-exactly),
+    // aggregate — the oracle recomputes from range(), so a writer
+    // defect anywhere (chunk btree, indptr, heap, frame encode) breaks
+    // the hash
+    "a07_h5ad_sink_roundtrip" -> ((spark, _) => {
+      val path = writtenH5ad(spark)
+      val ds = graft.h5.AnnH5.open(spark, path)
+      ds.x.join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("batch")
     })
   )
+
+  /** Sink fixture: written once per (process); closed-form content
+    * mirrored by the a07 oracle. 240x32, mask (i*5+j*3)%7==0,
+    * value ((i*11+j*29)%53)*0.5, obs.batch = i%6.
+    */
+  private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def writtenH5ad(spark: SparkSession): String =
+    written.getOrElseUpdate("x", synchronized {
+      val p = java.nio.file.Files.createTempFile("graft_sink", ".h5ad")
+      java.nio.file.Files.delete(p)
+      val obs = spark.range(240).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"),
+        (col("id") % 6).cast("long").as("batch"))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(32).select(col("id").as("var_id")))
+        .filter((col("obs_id") * 5 + col("var_id") * 3) % 7 === 0)
+        .withColumn("value", (col("obs_id") * 11 + col("var_id") * 29) % 53 * 0.5)
+      graft.h5.AnnH5Writer.write(
+        graft.artifact.AnnDataset(obs, vars, x), p.toString)
+      p.toString
+    })
 
   val oracle: Map[String, String] = Map(
     "a01_anndata_obs_filter" ->
@@ -208,6 +246,12 @@ object AnnQueries {
       """SELECT i % 10 AS obs_bucket, count(*) AS nnz,
         |       CAST(sum(((i*31 + j*17) % 97) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(300) t(i), range(40) s(j)
-        |WHERE (i*7 + j*13) % 5 = 0 GROUP BY 1 ORDER BY 1""".stripMargin
+        |WHERE (i*7 + j*13) % 5 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a07_h5ad_sink_roundtrip" ->
+      """SELECT i % 6 AS batch, count(*) AS nnz,
+        |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(32) s(j)
+        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,102 @@
+package graft.h5
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.artifact.AnnDataset
+
+/** h5ad sink round-trip: the writer's output must parse through the
+  * reader whose byte-level correctness is pinned by the
+  * independently-generated Python fixtures (a04-a06 oracles). Content
+  * here is closed-form too, so every value is asserted arithmetically.
+  */
+class H5WriterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nObs = 120
+  private val nVar = 30
+
+  private def xval(i: Long, j: Long): Double = ((i * 13 + j * 7) % 41) * 0.5
+
+  private def buildDataset(): AnnDataset = {
+    val obs = spark.range(nObs).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      (col("id") % 4).cast("long").as("batch"),
+      (col("id") * 3 % 100 / 2.0).as("score"))
+    val vars = spark.range(nVar).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nVar).select(col("id").as("var_id")))
+      .filter((col("obs_id") * 3 + col("var_id") * 11) % 4 === 0)
+      .withColumn("value",
+        (col("obs_id") * 13 + col("var_id") * 7) % 41 * 0.5)
+    AnnDataset(obs, vars, x)
+  }
+
+  private def writeTemp(chunkElems: Int = 256): String = {
+    val p = java.nio.file.Files.createTempFile("graft_w", ".h5ad").toString
+    AnnH5Writer.write(buildDataset(), p, chunkElems)
+    p
+  }
+
+  test("written file parses: structure, frames, csr attrs") {
+    val p = writeTemp()
+    val f = H5File.open(p)
+    try {
+      assert(f.root.children.keySet == Set("X", "obs", "var"))
+      assert(f.attrString(f.root, "encoding-type").contains("anndata"))
+      val xg = f.group("X")
+      assert(f.attrString(xg, "encoding-type").contains("csr_matrix"))
+      assert(f.attrLongs(xg, "shape").contains(Seq(nObs.toLong, nVar.toLong)))
+      val obs = AnnH5.dataFrameGroup(spark, f, f.group("obs"), "obs_id", "obs_name")
+      assert(obs.columns.toSeq == Seq("obs_id", "obs_name", "batch", "score"))
+      val r7 = obs.filter(col("obs_id") === 7).collect().head
+      assert(r7.getString(1) == "c7" && r7.getLong(2) == 3L && r7.getDouble(3) == 10.5)
+    } finally f.close()
+  }
+
+  test("round-trip through AnnH5.open: X values exact, multi-chunk") {
+    val p = writeTemp(chunkElems = 64) // force many chunks incl. edge
+    val ds = AnnH5.open(spark, p)
+    val got = ds.x.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val expected = (for {
+      i <- 0L until nObs; j <- 0L until nVar
+      if (i * 3 + j * 11) % 4 == 0
+    } yield (i, j, xval(i, j))).sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("empty rows (no nnz) keep indptr consistent") {
+    val obs = spark.range(5).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(3).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    // only rows 1 and 3 have entries
+    val x = Seq((1L, 0L, 2.5), (1L, 2L, 3.0), (3L, 1L, 4.5))
+      .toDF("obs_id", "var_id", "value")
+    val p = java.nio.file.Files.createTempFile("graft_w0", ".h5ad").toString
+    AnnH5Writer.write(AnnDataset(obs, vars, x), p)
+    val ds = AnnH5.open(spark, p)
+    val got = ds.x.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.toSeq == Seq((1L, 0L, 2.5), (1L, 2L, 3.0), (3L, 1L, 4.5)))
+    assert(ds.obs.count() == 5)
+  }
+
+  test("frame without a name column: positional index synthesized") {
+    val obs = spark.range(4).select(col("id").as("obs_id"),
+      (col("id") * 2).cast("long").as("k"))
+    val vars = spark.range(2).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = Seq((0L, 0L, 1.0)).toDF("obs_id", "var_id", "value")
+    val p = java.nio.file.Files.createTempFile("graft_w1", ".h5ad").toString
+    AnnH5Writer.write(AnnDataset(obs, vars, x), p)
+    val f = H5File.open(p)
+    try {
+      val names = f.decodeStrings(H5Dtype.VlenStr(),
+        f.readRaw(f.dataset("obs/_index")))
+      assert(names.toSeq == Seq("0", "1", "2", "3"))
+    } finally f.close()
+  }
+}
