@@ -81,4 +81,49 @@ object Sampling {
       .filter(bucket < col("__cut"))
       .drop("__cut")
   }
+
+  /** DSIR-style data selection (importance resampling over hashed
+    * n-gram features — Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by
+    * how target-like its hashed unigram distribution is, and keep the
+    * top k.
+    *
+    * The per-bucket evidence is an INTEGER-scaled posterior,
+    * `score_b = (1e6 * (cnt_target_b + 1)) div (cnt_target_b +
+    * cnt_raw_b + 2)` (add-one smoothing), instead of the paper's
+    * log-likelihood ratio: integer division is bit-identical across
+    * engines, where `ln()` ulp drift and float-sum reorder would make
+    * the result machine-dependent. Monotonicity in p_target(b) — the
+    * property selection needs — is preserved; a document's score is
+    * the mean bucket evidence over its tokens.
+    *
+    * Plan at 100 TB: tokenize map-side; ONE bounded shuffle to count
+    * `buckets` rows (the feature table is vocabulary-hash-sized, not
+    * corpus-sized); the score table broadcasts; per-doc aggregation is
+    * one shuffle on doc id with map-side combine; top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def importanceTopK(docs: DataFrame, textCol: String, idCol: String,
+                     isTarget: org.apache.spark.sql.Column, k: Int,
+                     buckets: Int = 4096): DataFrame = {
+    val tok = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .withColumn("__b", pmod(
+        conv(substring(md5(col("__w")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val cnt = tok.groupBy("__b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+    val score = cnt.select(col("__b"),
+      expr("(1000000 * (__ct + 1)) div (__ct + __cr + 2)").as("__s"))
+    tok.join(broadcast(score), "__b")
+      .groupBy(idCol)
+      .agg(sum("__s").as("score_sum"), count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("score_sum") * 1.0 / col("n_tokens")).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 }

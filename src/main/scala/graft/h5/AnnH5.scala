@@ -250,21 +250,39 @@ object AnnH5 {
     * decoded per the dataframe encoding, X (dense `array` or
     * `csr_matrix`) as distributed COO. Downstream slicing/aggregation
     * (`subsetObs`, `perVarStats`, ingest) compose unchanged.
+    * `prefix` selects a nested anndata group (h5mu modalities).
     */
-  def open(spark: SparkSession, path: String): AnnDataset = {
+  def open(spark: SparkSession, path: String, prefix: String = ""): AnnDataset = {
+    val p = if (prefix.isEmpty) "" else prefix.stripSuffix("/") + "/"
     val f = H5File.open(path)
     val (obs, vars, isCsr) =
       try {
-        val obs = dataFrameGroup(spark, f, f.group("obs"), "obs_id", "obs_name")
-        val varsRaw = dataFrameGroup(spark, f, f.group("var"), "var_id", "var_name")
-        val isCsr = f("X") match {
+        val obs = dataFrameGroup(spark, f, f.group(p + "obs"), "obs_id", "obs_name")
+        val varsRaw = dataFrameGroup(spark, f, f.group(p + "var"), "var_id", "var_name")
+        val isCsr = f(p + "X") match {
           case g: H5Group => f.attrString(g, "encoding-type").contains("csr_matrix")
           case _ => false
         }
         (obs, varsRaw, isCsr)
       } finally f.close()
-    val x = if (isCsr) csrCoo(spark, path, "X") else denseCoo(spark, path, "X")
+    val x = if (isCsr) csrCoo(spark, path, p + "X") else denseCoo(spark, path, p + "X")
     AnnDataset(obs = obs, vars = vars, x = x)
+  }
+
+  /** Open a native `.h5mu` (MuData container, public mudata spec):
+    * every group under `mod/` is a full anndata encoding — returned as
+    * one [[AnnDataset]] per modality. The same H5 stack serves both
+    * containers; nothing is pre-converted.
+    */
+  def openMu(spark: SparkSession, path: String): Map[String, AnnDataset] = {
+    val f = H5File.open(path)
+    val mods =
+      try {
+        require(f.attrString(f.root, "encoding-type").forall(_ == "MuData"),
+          s"$path: not a MuData container")
+        f.group("mod").children.keys.toSeq.sorted
+      } finally f.close()
+    mods.map(m => m -> open(spark, path, s"mod/$m")).toMap
   }
 }
 

@@ -143,6 +143,16 @@ object AnnQueries {
     // aggregate — the oracle recomputes from range(), so a writer
     // defect anywhere (chunk btree, indptr, heap, frame encode) breaks
     // the hash
+    // native h5mu (MuData): modalities under mod/ are full anndata
+    // encodings — both parsed by the same H5 stack, per-modality X sums
+    "a08_h5mu_modalities" -> ((spark, _) => {
+      val mods = graft.h5.AnnH5.openMu(spark, h5Fixture("mu.h5mu"))
+      mods.toSeq.sortBy(_._1).map { case (name, ds) =>
+        ds.x.agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+          .select(lit(name).as("modality"), col("nnz"), col("sum_value"))
+      }.reduce(_ unionByName _).orderBy("modality")
+    }),
+
     "a07_h5ad_sink_roundtrip" -> ((spark, _) => {
       val path = writtenH5ad(spark)
       val ds = graft.h5.AnnH5.open(spark, path)
@@ -252,6 +262,16 @@ object AnnQueries {
       """SELECT i % 6 AS batch, count(*) AS nnz,
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
-        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin
+        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a08_h5mu_modalities" ->
+      """SELECT 'adt' AS modality, count(*) AS nnz,
+        |       CAST(sum(((i*19 + j*23) % 89) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(300) t(i), range(10) s(j)
+        |UNION ALL
+        |SELECT 'rna', count(*),
+        |       CAST(sum(((i*31 + j*17) % 97) * 0.5) AS DOUBLE)
+        |FROM range(300) t(i), range(40) s(j)
+        |ORDER BY modality""".stripMargin
   )
 }

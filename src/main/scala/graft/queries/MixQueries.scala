@@ -85,6 +85,14 @@ object MixQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style data selection: English docs are the target corpus;
+    // every document scores by the mean integer-scaled posterior of its
+    // hashed unigram buckets; keep the 50 most target-like
+    "d23_dsir_topk" -> ((spark, dir) => {
+      Sampling.importanceTopK(t(spark, dir, "documents"),
+        "text", "doc_id", isTarget = col("lang") === "en", k = 50)
+    }),
+
     "d20_line_dedup" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 3 === 0, concat(lit(Header + " "), col("text")))
@@ -271,6 +279,29 @@ object MixQueries {
         |  FROM documents)
         |SELECT doc_id, lang FROM ranked JOIN quota ON lang = quota.domain
         |WHERE rn <= q ORDER BY doc_id""".stripMargin,
+
+    "d23_dsir_topk" ->
+      // exact replay of importanceTopK: md5-hashed unigram buckets,
+      // add-one-smoothed integer posterior, mean per doc, top-50 with
+      // doc_id tiebreak
+      """WITH tok AS (
+        |  SELECT doc_id, tgt,
+        |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT doc_id, lang = 'en' AS tgt,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |cnt AS (
+        |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+        |  FROM tok GROUP BY b),
+        |sc AS (SELECT b, (1000000 * (ct + 1)) // (ct + cr + 2) AS s FROM cnt),
+        |per AS (
+        |  SELECT doc_id, sum(s) AS score_sum, count(*) AS n_tokens
+        |  FROM tok JOIN sc USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       CAST(score_sum AS DOUBLE) / n_tokens AS score
+        |FROM per ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     "d20_line_dedup" ->
       """WITH corpus AS (

@@ -284,6 +284,26 @@ class MixOpsSpec extends AnyFunSuite {
     } finally { conf.unset(itemsKey); conf.unset(bitsKey) }
   }
 
+  test("importanceTopK ranks target-vocabulary docs above off-target ones") {
+    // two disjoint vocabularies; target docs use vocab A. A raw doc
+    // written in vocab A must outscore every vocab-B doc.
+    val docs = ((0L until 20L).map(i => (i, s"alpha beta gamma delta w$i", true)) ++
+      Seq((100L, "alpha beta gamma delta", false)) ++
+      (101L until 120L).map(i => (i, s"omega psi chi phi v$i", false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val top = Sampling.importanceTopK(docs.filter(col("doc_id") =!= 999),
+      "text", "doc_id", isTarget = col("is_tgt"), k = 5)
+    val topIds = top.collect().map(_.getLong(0)).toSet
+    assert(topIds.contains(100L), s"vocab-A raw doc must rank in top-5, got $topIds")
+    assert(top.columns.toSeq == Seq("doc_id", "n_tokens", "score"))
+    // deterministic across runs
+    val again = Sampling.importanceTopK(docs, "text", "doc_id",
+      isTarget = col("is_tgt"), k = 5).collect().map(_.getLong(0)).toSeq
+    val first = Sampling.importanceTopK(docs, "text", "doc_id",
+      isTarget = col("is_tgt"), k = 5).collect().map(_.getLong(0)).toSeq
+    assert(again == first)
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")

@@ -178,6 +178,20 @@ class H5Spec extends AnyFunSuite {
     assert(reopened.vars.count() == nVar)
   }
 
+  test("openMu: h5mu modalities parse as independent AnnDatasets") {
+    val mods = AnnH5.openMu(spark, "fixtures/h5ad/mu.h5mu")
+    assert(mods.keySet == Set("rna", "adt"))
+    assert(mods("rna").vars.count() == 40 && mods("adt").vars.count() == 10)
+    assert(mods("rna").obs.count() == nObs)
+    // adt X formula differs from rna — spot-check both
+    val adt = mods("adt").x.filter(col("obs_id") === 3 && col("var_id") === 2)
+      .collect().head.getDouble(2)
+    assert(adt == ((3 * 19 + 2 * 23) % 89) * 0.5)
+    val rna = mods("rna").x.filter(col("obs_id") === 3 && col("var_id") === 2)
+      .collect().head.getDouble(2)
+    assert(rna == xval(3, 2))
+  }
+
   test("open() on csr: subsetObs pushes through to the distributed X") {
     val ds = AnnH5.open(spark, sparse)
     val sub = ds.subsetObs(col("cell_type") === "type_0")

@@ -413,6 +413,32 @@ def write_csr(path, n_obs, n_var):
     finish(fb, root, path)
 
 
+def write_h5mu(path, n_obs):
+    """MuData container (public mudata spec): per-modality anndata groups
+    under mod/, global obs/var at root. rna X uses xval; adt X uses
+    ((i*19 + j*23) % 89) * 0.5 (both closed-form for the oracle)."""
+    fb = FileBuf()
+    gh = GHeapPool(fb)
+
+    def modality(n_var, val):
+        mobs = obs_group(fb, gh, n_obs)
+        mvar = var_group(fb, gh, n_var)
+        x = chunked_dataset(fb, gh, dt_float(8), (n_obs, n_var), (64, 16), 8,
+                            lambda c: struct.pack('<d', val(c[0], c[1])),
+                            enc_attrs(gh, 'array', '0.2.0'))
+        return group(fb, gh, {'X': x, 'obs': mobs, 'var': mvar},
+                     enc_attrs(gh, 'anndata', '0.1.0'))
+
+    rna = modality(40, xval)
+    adt = modality(10, lambda i, j: ((i * 19 + j * 23) % 89) * 0.5)
+    mod = group(fb, gh, {'rna': rna, 'adt': adt}, [])
+    obs = obs_group(fb, gh, n_obs)
+    var = var_group(fb, gh, 8)
+    root = group(fb, gh, {'mod': mod, 'obs': obs, 'var': var},
+                 enc_attrs(gh, 'MuData', '0.1.0'))
+    finish(fb, root, path)
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else 'fixtures/h5ad'
     os.makedirs(out, exist_ok=True)
@@ -420,6 +446,7 @@ def main():
     write_csr(os.path.join(out, 'sparse.h5ad'), 300, 40)
     # bench-scale tier: 20k x 256 dense, 40 chunks (512, 256)
     write_dense(os.path.join(out, 'bench.h5ad'), 20000, 256, (512, 256))
+    write_h5mu(os.path.join(out, 'mu.h5mu'), 300)
 
 
 if __name__ == '__main__':
