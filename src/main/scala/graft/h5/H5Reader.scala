@@ -163,6 +163,12 @@ final class H5File(val in: H5Input, val path: String) extends AutoCloseable {
   // --------------------------------------------------------- object header
 
   def readMessages(addr: Long): Seq[H5Message] = {
+    val sig = in.readFully(addr, 4)
+    if (sig.sameElements("OHDR".getBytes(UTF_8))) readMessagesV2(addr)
+    else readMessagesV1(addr)
+  }
+
+  private def readMessagesV1(addr: Long): Seq[H5Message] = {
     val head = buf(addr, 16)
     val version = head.get() & 0xFF
     require(version == 1, s"$path@$addr: object header v$version (v1 expected)")
@@ -187,6 +193,61 @@ final class H5File(val in: H5Input, val path: String) extends AutoCloseable {
           val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
           blocks = blocks :+ ((cb.getLong(), cb.getLong().toInt))
         } else msgs += H5Message(typ, body)
+      }
+    }
+    msgs.toSeq
+  }
+
+  /** Version-2 object header ("OHDR" — h5py libver="latest"). Trailing
+    * lookup3 checksums are skipped, not verified.
+    */
+  private def readMessagesV2(addr: Long): Seq[H5Message] = {
+    val head = buf(addr, 12)
+    head.getInt() // signature
+    val ver = head.get() & 0xFF
+    require(ver == 2, s"$path@$addr: OHDR version $ver")
+    val flags = head.get() & 0xFF
+    var pos = addr + 6
+    if ((flags & 0x20) != 0) pos += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) pos += 4  // max-compact / min-dense
+    val szBytes = 1 << (flags & 0x03)
+    val chunk0Size = {
+      val b = buf(pos, szBytes)
+      szBytes match {
+        case 1 => (b.get() & 0xFFL)
+        case 2 => (b.getShort() & 0xFFFFL)
+        case 4 => (b.getInt() & 0xFFFFFFFFL)
+        case _ => b.getLong()
+      }
+    }
+    pos += szBytes
+    val creationOrder = (flags & 0x04) != 0
+    val msgs = mutable.ArrayBuffer.empty[H5Message]
+    // blocks of (pos, size): chunk0 (size excludes its trailing checksum
+    // per spec; if a writer includes it, the gap-guard below drops the
+    // residue) then OCHK continuations (whole-block length incl sig+sum)
+    var blocks = List((pos, chunk0Size))
+    while (blocks.nonEmpty) {
+      val (p, size) = blocks.head
+      blocks = blocks.tail
+      val b = buf(p, size.toInt)
+      while (b.remaining() >= 4 + (if (creationOrder) 2 else 0)) {
+        val typ = b.get() & 0xFF
+        val len = b.getShort() & 0xFFFF
+        b.get() // message flags
+        if (creationOrder) b.getShort()
+        if (len > b.remaining()) {
+          b.position(b.limit()) // gap at block end
+        } else {
+          val body = new Array[Byte](len)
+          b.get(body)
+          if (typ == 0x10) {
+            val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            val cAddr = cb.getLong(); val cLen = cb.getLong()
+            // continuation block: "OCHK" + messages + checksum
+            blocks = blocks :+ ((cAddr + 4, cLen - 8))
+          } else msgs += H5Message(typ, body)
+        }
       }
     }
     msgs.toSeq
@@ -352,15 +413,43 @@ final class H5File(val in: H5Input, val path: String) extends AutoCloseable {
     out.toMap
   }
 
+  // ----------------------------------------------- new-style group links
+
+  /** Link message (0x0006) — hard links only; soft/external are skipped. */
+  private def parseLink(body: Array[Byte]): Option[(String, Long)] = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = b.get() & 0xFF
+    require(ver == 1, s"link message v$ver")
+    val flags = b.get() & 0xFF
+    val linkType = if ((flags & 0x08) != 0) b.get() & 0xFF else 0
+    if ((flags & 0x04) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // charset
+    val nameLen = (1 << (flags & 0x03)) match {
+      case 1 => b.get() & 0xFF
+      case 2 => b.getShort() & 0xFFFF
+      case 4 => b.getInt()
+      case _ => b.getLong().toInt
+    }
+    val nb = new Array[Byte](nameLen); b.get(nb)
+    if (linkType == 0) Some(new String(nb, UTF_8) -> b.getLong()) else None
+  }
+
   // ------------------------------------------------------------ node model
 
   def node(addr: Long, name: String): H5Node = {
     val msgs = readMessages(addr)
     val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttr(m.body)).toMap
+    val linkMsgs = msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body))
     msgs.find(_.typ == 0x0011) match {
       case Some(st) =>
         val b = ByteBuffer.wrap(st.body).order(ByteOrder.LITTLE_ENDIAN)
         H5Group(name, groupLinks(b.getLong(), b.getLong()), attrs)
+      case None if linkMsgs.nonEmpty || msgs.exists(_.typ == 0x0002) =>
+        // new-style group: compact links in the header (dense fractal-heap
+        // link storage is out of scope — such groups carry no 0x0006)
+        require(linkMsgs.nonEmpty,
+          s"$name: dense (fractal-heap) link storage unsupported")
+        H5Group(name, linkMsgs.toMap, attrs)
       case None =>
         val dims = msgs.find(_.typ == 0x0001)
           .map(m => parseDataspace(m.body)).getOrElse(Array.empty[Long])

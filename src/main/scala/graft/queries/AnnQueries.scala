@@ -143,6 +143,16 @@ object AnnQueries {
     // aggregate — the oracle recomputes from range(), so a writer
     // defect anywhere (chunk btree, indptr, heap, frame encode) breaks
     // the hash
+    // same logical content as a04 but in the h5py libver="latest"
+    // container layout (superblock v3, OHDR v2 object headers, compact
+    // link-message groups) — pins the reader's second format tier
+    "a09_h5ad_latest_layout" -> ((spark, _) => {
+      val ds = graft.h5.AnnH5.open(spark, h5Fixture("latest.h5ad"))
+      ds.obs.groupBy("cell_type")
+        .agg(count(lit(1)).as("n_obs"), sum(col("n_counts")).as("sum_counts"))
+        .orderBy("cell_type")
+    }),
+
     // native h5mu (MuData): modalities under mod/ are full anndata
     // encodings — both parsed by the same H5 stack, per-modality X sums
     "a08_h5mu_modalities" -> ((spark, _) => {
@@ -263,6 +273,12 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a09_h5ad_latest_layout" ->
+      """SELECT 'type_' || (i % 5) AS cell_type,
+        |       count(*) AS n_obs,
+        |       CAST(sum((i*37 % 1000) + 0.5) AS DOUBLE) AS sum_counts
+        |FROM range(300) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a08_h5mu_modalities" ->
       """SELECT 'adt' AS modality, count(*) AS nnz,

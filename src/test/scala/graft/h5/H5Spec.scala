@@ -178,6 +178,21 @@ class H5Spec extends AnyFunSuite {
     assert(reopened.vars.count() == nVar)
   }
 
+  test("libver=latest layout parses identically (OHDR v2, link messages)") {
+    val f = H5File.open("fixtures/h5ad/latest.h5ad")
+    try {
+      assert(f.root.children.keySet == Set("X", "obs", "var"))
+      assert(f.attrString(f.root, "encoding-type").contains("anndata"))
+      val ds = f.dataset("X")
+      val v = f.decodeDoubles(ds.dtype, f.readRaw(ds))
+      for ((i, j) <- Seq((0, 0), (64, 16), (299, 39), (150, 20)))
+        assert(v(i * nVar + j) == xval(i, j), s"X[$i,$j]")
+      val names = f.decodeStrings(H5Dtype.VlenStr(),
+        f.readRaw(f.dataset("obs/_index")))
+      assert(names(299) == "cell_299")
+    } finally f.close()
+  }
+
   test("openMu: h5mu modalities parse as independent AnnDatasets") {
     val mods = AnnH5.openMu(spark, "fixtures/h5ad/mu.h5mu")
     assert(mods.keySet == Set("rna", "adt"))

@@ -149,7 +149,54 @@ def vlen_payload(gh, strings):
     return materialize
 
 
+# --------------------------------------------------- lookup3 (v2 sums)
+
+def _rot(x, k):
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def lookup3(data, initval=0):
+    """Bob Jenkins hashlittle — the HDF5 metadata checksum."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & 0xFFFFFFFF
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i:i + 4], 'little')) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[i + 4:i + 8], 'little')) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[i + 8:i + 12], 'little')) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        i += 12
+        length -= 12
+    if length > 0:
+        tail = data[i:] + b'\x00' * (12 - length)
+        a = (a + int.from_bytes(tail[0:4], 'little')) & 0xFFFFFFFF
+        b = (b + int.from_bytes(tail[4:8], 'little')) & 0xFFFFFFFF
+        c = (c + int.from_bytes(tail[8:12], 'little')) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 14)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 11)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 25)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 16)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 4)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 14)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+assert lookup3(b'') == 0xDEADBEEF
+assert lookup3(b'Four score and seven years ago') == 0x17770551
+
+
 # ----------------------------------------------------------- obj headers
+
+# When True, object headers are v2 ("OHDR") and groups use compact link
+# messages — the h5py libver="latest" layout (superblock v3).
+LATEST = False
+
 
 def message(mtype, body):
     body = pad8(body)
@@ -157,6 +204,12 @@ def message(mtype, body):
 
 
 def object_header(fb, messages):
+    if LATEST:
+        framed = b''.join(struct.pack('<BHB', t, len(b), 0) + b
+                          for t, b in messages)
+        core = (b'OHDR' + struct.pack('<BB', 2, 2)
+                + struct.pack('<I', len(framed)) + framed)
+        return fb.emit(core + struct.pack('<I', lookup3(core)))
     framed = b''.join(message(t, b) for t, b in messages)
     hdr = struct.pack('<BBHII4x', 1, 0, len(messages), 1, len(framed))
     return fb.emit(hdr + framed)
@@ -276,7 +329,16 @@ def vlen_str_dataset(fb, gh, strings, attrs):
 # ---------------------------------------------------------------- groups
 
 def group(fb, gh, links, attrs=()):
-    """Old-style group: local heap + SNOD + v1 B-tree + symbol table msg."""
+    """Old-style group: local heap + SNOD + v1 B-tree + symbol table msg.
+    With LATEST: compact link messages + link info (new-style group)."""
+    if LATEST:
+        msgs = [(0x0002, struct.pack('<BBQQ', 0, 0, UNDEF, UNDEF))]
+        for nm in sorted(links):
+            nb = nm.encode('utf-8')
+            msgs.append((0x0006, struct.pack('<BBB', 1, 0, len(nb)) + nb
+                         + struct.pack('<Q', links[nm])))
+        msgs += attr_msgs(gh, attrs)
+        return object_header(fb, msgs)
     names = sorted(links)
     assert len(names) <= 8, 'single-SNOD writer: <= 8 links per group'
     heap_data = bytearray(b'\0' * 8)  # offset 0: the empty name
@@ -302,11 +364,16 @@ def group(fb, gh, links, attrs=()):
 
 
 def finish(fb, root_addr, path):
-    sb = b'\x89HDF\r\n\x1a\n'
-    sb += struct.pack('<BBBBBBBB', 0, 0, 0, 0, 0, 8, 8, 0)
-    sb += struct.pack('<HHI', 4, 16, 0)
-    sb += struct.pack('<QQQQ', 0, UNDEF, len(fb.buf), UNDEF)
-    sb += struct.pack('<QQII16x', 0, root_addr, 0, 0)  # root symbol table entry
+    if LATEST:  # superblock v3 + lookup3 checksum
+        core = (b'\x89HDF\r\n\x1a\n' + struct.pack('<BBBB', 3, 8, 8, 0)
+                + struct.pack('<QQQQ', 0, UNDEF, len(fb.buf), root_addr))
+        sb = core + struct.pack('<I', lookup3(core))
+    else:
+        sb = b'\x89HDF\r\n\x1a\n'
+        sb += struct.pack('<BBBBBBBB', 0, 0, 0, 0, 0, 8, 8, 0)
+        sb += struct.pack('<HHI', 4, 16, 0)
+        sb += struct.pack('<QQQQ', 0, UNDEF, len(fb.buf), UNDEF)
+        sb += struct.pack('<QQII16x', 0, root_addr, 0, 0)  # root symbol table entry
     fb.put(0, sb)
     with open(path, 'wb') as f:
         f.write(fb.buf)
@@ -440,6 +507,7 @@ def write_h5mu(path, n_obs):
 
 
 def main():
+    global LATEST
     out = sys.argv[1] if len(sys.argv) > 1 else 'fixtures/h5ad'
     os.makedirs(out, exist_ok=True)
     write_dense(os.path.join(out, 'dense.h5ad'), 300, 40, (64, 16))
@@ -447,6 +515,11 @@ def main():
     # bench-scale tier: 20k x 256 dense, 40 chunks (512, 256)
     write_dense(os.path.join(out, 'bench.h5ad'), 20000, 256, (512, 256))
     write_h5mu(os.path.join(out, 'mu.h5mu'), 300)
+    # same logical content as dense.h5ad in the h5py libver="latest"
+    # layout: superblock v3, OHDR v2 headers, compact link-message groups
+    LATEST = True
+    write_dense(os.path.join(out, 'latest.h5ad'), 300, 40, (64, 16))
+    LATEST = False
 
 
 if __name__ == '__main__':
