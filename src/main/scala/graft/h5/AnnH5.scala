@@ -246,27 +246,44 @@ object AnnH5 {
 
   // ------------------------------------------------------------- open API
 
+  /** Dense `array` or `csr_matrix` node at `nodePath` → distributed COO. */
+  private def cooAt(spark: SparkSession, path: String, nodePath: String): DataFrame = {
+    val f = H5File.open(path)
+    val isCsr =
+      try f(nodePath) match {
+        case g: H5Group => f.attrString(g, "encoding-type").contains("csr_matrix")
+        case _ => false
+      } finally f.close()
+    if (isCsr) csrCoo(spark, path, nodePath) else denseCoo(spark, path, nodePath)
+  }
+
   /** Open a native `.h5ad` as the engine's [[AnnDataset]] — obs/var
-    * decoded per the dataframe encoding, X (dense `array` or
-    * `csr_matrix`) as distributed COO. Downstream slicing/aggregation
+    * decoded per the dataframe encoding; X, every `layers/` slot and
+    * every `obsm/` matrix as distributed COO (obsm columns are
+    * `dim_id`, not variables). Downstream slicing/aggregation
     * (`subsetObs`, `perVarStats`, ingest) compose unchanged.
     * `prefix` selects a nested anndata group (h5mu modalities).
     */
   def open(spark: SparkSession, path: String, prefix: String = ""): AnnDataset = {
     val p = if (prefix.isEmpty) "" else prefix.stripSuffix("/") + "/"
     val f = H5File.open(path)
-    val (obs, vars, isCsr) =
+    val (obs, vars, obsmNames, layerNames) =
       try {
         val obs = dataFrameGroup(spark, f, f.group(p + "obs"), "obs_id", "obs_name")
         val varsRaw = dataFrameGroup(spark, f, f.group(p + "var"), "var_id", "var_name")
-        val isCsr = f(p + "X") match {
-          case g: H5Group => f.attrString(g, "encoding-type").contains("csr_matrix")
-          case _ => false
-        }
-        (obs, varsRaw, isCsr)
+        val container = if (p.isEmpty) f.root else f.group(prefix)
+        def slotNames(slot: String): Seq[String] =
+          if (container.children.contains(slot))
+            f.group(p + slot).children.keys.toSeq.sorted
+          else Nil
+        (obs, varsRaw, slotNames("obsm"), slotNames("layers"))
       } finally f.close()
-    val x = if (isCsr) csrCoo(spark, path, p + "X") else denseCoo(spark, path, p + "X")
-    AnnDataset(obs = obs, vars = vars, x = x)
+    AnnDataset(
+      obs = obs, vars = vars,
+      x = cooAt(spark, path, p + "X"),
+      obsm = obsmNames.map(n => n ->
+        cooAt(spark, path, s"${p}obsm/$n").withColumnRenamed("var_id", "dim_id")).toMap,
+      layers = layerNames.map(n => n -> cooAt(spark, path, s"${p}layers/$n")).toMap)
   }
 
   /** Open a native `.h5mu` (MuData container, public mudata spec):

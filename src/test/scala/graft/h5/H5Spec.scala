@@ -29,7 +29,7 @@ class H5Spec extends AnyFunSuite {
   test("file structure: root groups, dims, dtypes, encoding attrs") {
     val f = H5File.open(dense)
     try {
-      assert(f.root.children.keySet == Set("X", "obs", "var"))
+      assert(f.root.children.keySet == Set("X", "obs", "var", "obsm", "layers"))
       assert(f.attrString(f.root, "encoding-type").contains("anndata"))
       val x = f.dataset("X")
       assert(x.dims.toSeq == Seq(nObs.toLong, nVar.toLong))
@@ -176,6 +176,24 @@ class H5Spec extends AnyFunSuite {
     assert(reopened.x.count() == nnz)
     assert(reopened.obs.count() == nObs)
     assert(reopened.vars.count() == nVar)
+  }
+
+  test("obsm/layers slots surface as COO; subsetObs follows them") {
+    val ds = AnnH5.open(spark, dense)
+    assert(ds.obsm.keySet == Set("X_pca") && ds.layers.keySet == Set("scaled"))
+    val pca = ds.obsm("X_pca")
+    assert(pca.columns.toSeq == Seq("obs_id", "dim_id", "value"))
+    assert(pca.count() == nObs.toLong * 4)
+    val v = pca.filter(col("obs_id") === 7 && col("dim_id") === 2)
+      .collect().head.getDouble(2)
+    assert(v == ((7 * 43 + 2 * 3) % 31) * 0.5)
+    val sc = ds.layers("scaled").filter(col("obs_id") === 5 && col("var_id") === 3)
+      .collect().head.getDouble(2)
+    assert(sc == xval(5, 3) + 0.5)
+    // slicing follows aux slots through semi-joins
+    val sub = ds.subsetObs(col("cell_type") === "type_1")
+    assert(sub.obsm("X_pca").count() == (nObs / 5).toLong * 4)
+    assert(sub.layers("scaled").count() == (nObs / 5).toLong * nVar)
   }
 
   test("libver=latest layout parses identically (OHDR v2, link messages)") {

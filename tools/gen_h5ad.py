@@ -438,7 +438,9 @@ def xval(i, j):
     return ((i * 31 + j * 17) % 97) * 0.5
 
 
-def write_dense(path, n_obs, n_var, chunk):
+# obsm/X_pca[i,k] = ((i*43 + k*3) % 31) * 0.5  (4 dims)
+# layers/scaled[i,j] = X[i,j] + 0.5
+def write_dense(path, n_obs, n_var, chunk, aux=False):
     fb = FileBuf()
     gh = GHeapPool(fb)
     obs = obs_group(fb, gh, n_obs)
@@ -446,8 +448,20 @@ def write_dense(path, n_obs, n_var, chunk):
     x = chunked_dataset(fb, gh, dt_float(8), (n_obs, n_var), chunk, 8,
                         lambda c: struct.pack('<d', xval(c[0], c[1])),
                         enc_attrs(gh, 'array', '0.2.0'))
-    root = group(fb, gh, {'X': x, 'obs': obs, 'var': var},
-                 enc_attrs(gh, 'anndata', '0.1.0'))
+    links = {'X': x, 'obs': obs, 'var': var}
+    if aux:
+        pca = chunked_dataset(fb, gh, dt_float(8), (n_obs, 4), (128, 4), 8,
+                              lambda c: struct.pack(
+                                  '<d', ((c[0] * 43 + c[1] * 3) % 31) * 0.5),
+                              enc_attrs(gh, 'array', '0.2.0'))
+        links['obsm'] = group(fb, gh, {'X_pca': pca}, enc_attrs(gh, 'dict', '0.1.0'))
+        scaled = chunked_dataset(fb, gh, dt_float(8), (n_obs, n_var), chunk, 8,
+                                 lambda c: struct.pack(
+                                     '<d', xval(c[0], c[1]) + 0.5),
+                                 enc_attrs(gh, 'array', '0.2.0'))
+        links['layers'] = group(fb, gh, {'scaled': scaled},
+                                enc_attrs(gh, 'dict', '0.1.0'))
+    root = group(fb, gh, links, enc_attrs(gh, 'anndata', '0.1.0'))
     finish(fb, root, path)
 
 
@@ -510,7 +524,7 @@ def main():
     global LATEST
     out = sys.argv[1] if len(sys.argv) > 1 else 'fixtures/h5ad'
     os.makedirs(out, exist_ok=True)
-    write_dense(os.path.join(out, 'dense.h5ad'), 300, 40, (64, 16))
+    write_dense(os.path.join(out, 'dense.h5ad'), 300, 40, (64, 16), aux=True)
     write_csr(os.path.join(out, 'sparse.h5ad'), 300, 40)
     # bench-scale tier: 20k x 256 dense, 40 chunks (512, 256)
     write_dense(os.path.join(out, 'bench.h5ad'), 20000, 256, (512, 256))
