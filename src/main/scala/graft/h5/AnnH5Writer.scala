@@ -326,9 +326,44 @@ object AnnH5Writer {
 
   // ------------------------------------------------------------------ API
 
-  /** Write `ds` to a local `.h5ad` path. Single-writer by design (the
-    * reference's h5py write is too); X streams through `toLocalIterator`
-    * in (obs_id, var_id) order — bounded driver memory.
+  /** One COO frame → csr_matrix group, streamed via `toLocalIterator`
+    * in (row, col) order — bounded driver memory (one chunk buffer plus
+    * the axis-sized indptr).
+    */
+  private def writeCsr(out: Out, gh: GHeap, coo: DataFrame, rowCol: String,
+                       colCol: String, nRows: Long, nCols: Long,
+                       chunkElems: Int): Long = {
+    val dataW = new ChunkedWriter(out, 8, chunkElems)
+    val indW = new ChunkedWriter(out, 4, chunkElems)
+    val indptr = new Array[Long](nRows.toInt + 1)
+    var row = 0L
+    var nnz = 0L
+    val it = coo.orderBy(rowCol, colCol)
+      .select(col(rowCol).cast("long"), col(colCol).cast("long"),
+        col("value").cast("double"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val i = r.getLong(0); val j = r.getLong(1); val v = r.getDouble(2)
+      require(i >= row, s"COO iterator out of order at row $i")
+      while (row < i) { row += 1; indptr(row.toInt) = nnz }
+      dataW.put(u64(java.lang.Double.doubleToLongBits(v)))
+      indW.put(u32(j.toInt))
+      nnz += 1
+    }
+    while (row < nRows) { row += 1; indptr(row.toInt) = nnz }
+    val dataDs = dataW.seal(gh, dtFloat(8), encAttrs(gh, "array", "0.2.0"))
+    val indDs = indW.seal(gh, dtFixed(4), encAttrs(gh, "array", "0.2.0"))
+    val ptrDs = contiguous(out, gh, dtFixed(8), Seq(indptr.length.toLong),
+      indptr.flatMap(u64), encAttrs(gh, "array", "0.2.0"))
+    group(out, gh,
+      Seq("data" -> dataDs, "indices" -> indDs, "indptr" -> ptrDs),
+      encAttrs(gh, "csr_matrix", "0.1.0") :+ i64ArrayAttr("shape", Seq(nRows, nCols)))
+  }
+
+  /** Write `ds` to a local `.h5ad` path, including every `obsm` matrix
+    * (`dim_id` columns) and `layers` slot as csr groups. Single-writer
+    * by design (the reference's h5py write is too).
     */
   def write(ds: AnnDataset, path: String, chunkElems: Int = 65536): Unit = {
     val raf = new RandomAccessFile(path, "rw")
@@ -340,35 +375,26 @@ object AnnH5Writer {
 
       val nObs = ds.obs.count()
       val nVar = ds.vars.count()
-      val dataW = new ChunkedWriter(out, 8, chunkElems)
-      val indW = new ChunkedWriter(out, 4, chunkElems)
-      val indptr = new Array[Long](nObs.toInt + 1)
-      var row = 0L
-      var nnz = 0L
-      val it = ds.x.orderBy("obs_id", "var_id")
-        .select(col("obs_id").cast("long"), col("var_id").cast("long"),
-          col("value").cast("double"))
-        .toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        val i = r.getLong(0); val j = r.getLong(1); val v = r.getDouble(2)
-        require(i >= row, s"X iterator out of order at obs $i")
-        while (row < i) { row += 1; indptr(row.toInt) = nnz }
-        dataW.put(u64(java.lang.Double.doubleToLongBits(v)))
-        indW.put(u32(j.toInt))
-        nnz += 1
-      }
-      while (row < nObs) { row += 1; indptr(row.toInt) = nnz }
-      val dataDs = dataW.seal(gh, dtFloat(8), encAttrs(gh, "array", "0.2.0"))
-      val indDs = indW.seal(gh, dtFixed(4), encAttrs(gh, "array", "0.2.0"))
-      val ptrDs = contiguous(out, gh, dtFixed(8), Seq(indptr.length.toLong),
-        indptr.flatMap(u64), encAttrs(gh, "array", "0.2.0"))
-      val x = group(out, gh,
-        Seq("data" -> dataDs, "indices" -> indDs, "indptr" -> ptrDs),
-        encAttrs(gh, "csr_matrix", "0.1.0") :+ i64ArrayAttr("shape", Seq(nObs, nVar)))
+      val x = writeCsr(out, gh, ds.x, "obs_id", "var_id", nObs, nVar, chunkElems)
 
-      val root = group(out, gh, Seq("X" -> x, "obs" -> obs, "var" -> vars),
-        encAttrs(gh, "anndata", "0.1.0"))
+      var links = Seq("X" -> x, "obs" -> obs, "var" -> vars)
+      if (ds.obsm.nonEmpty) {
+        val slots = ds.obsm.toSeq.sortBy(_._1).map { case (name, m) =>
+          val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
+          val dims = m.agg(coalesce(max(col(dimCol)), lit(-1L)))
+            .collect().head.getLong(0) + 1
+          name -> writeCsr(out, gh, m, "obs_id", dimCol, nObs, dims, chunkElems)
+        }
+        links :+= "obsm" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
+      }
+      if (ds.layers.nonEmpty) {
+        val slots = ds.layers.toSeq.sortBy(_._1).map { case (name, l) =>
+          name -> writeCsr(out, gh, l, "obs_id", "var_id", nObs, nVar, chunkElems)
+        }
+        links :+= "layers" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
+      }
+
+      val root = group(out, gh, links, encAttrs(gh, "anndata", "0.1.0"))
 
       // superblock v0, patched last (root address + EOF)
       val sb = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n',

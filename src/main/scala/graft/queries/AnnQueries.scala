@@ -153,6 +153,18 @@ object AnnQueries {
         .orderBy("cell_type")
     }),
 
+    // DataSource V2 surface: spark.read.format("h5ad") — the pushed
+    // obs_id bounds prune the chunk grid to the two middle row stripes
+    // before any byte is read; Spark re-applies the filter on top
+    "a10_h5ad_dsv2_scan" -> ((spark, _) => {
+      spark.read.format("graft.h5.datasource.H5adSource")
+        .load(h5Fixture("dense.h5ad"))
+        .filter(col("obs_id") >= 100 && col("obs_id") < 200)
+        .groupBy((col("var_id") % 8).as("var_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy("var_bucket")
+    }),
+
     // native h5mu (MuData): modalities under mod/ are full anndata
     // encodings — both parsed by the same H5 stack, per-modality X sums
     "a08_h5mu_modalities" -> ((spark, _) => {
@@ -279,6 +291,12 @@ object AnnQueries {
         |       count(*) AS n_obs,
         |       CAST(sum((i*37 % 1000) + 0.5) AS DOUBLE) AS sum_counts
         |FROM range(300) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a10_h5ad_dsv2_scan" ->
+      """SELECT j % 8 AS var_bucket, count(*) AS n,
+        |       CAST(sum(((i*31 + j*17) % 97) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(100, 200) t(i), range(40) s(j)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a08_h5mu_modalities" ->
       """SELECT 'adt' AS modality, count(*) AS nnz,

@@ -68,6 +68,27 @@ class H5WriterSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("obsm and layers round-trip through write + open") {
+    val base = buildDataset()
+    val pca = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(3).select(col("id").as("dim_id")))
+      .withColumn("value", (col("obs_id") * 5 + col("dim_id") * 9) % 17 * 0.5)
+    val scaled = base.x.withColumn("value", col("value") + 1.0)
+    val ds = base.copy(obsm = Map("X_pca" -> pca), layers = Map("scaled" -> scaled))
+    val p = java.nio.file.Files.createTempFile("graft_waux", ".h5ad").toString
+    AnnH5Writer.write(ds, p, chunkElems = 128)
+    val back = AnnH5.open(spark, p)
+    assert(back.obsm.keySet == Set("X_pca") && back.layers.keySet == Set("scaled"))
+    assert(back.obsm("X_pca").count() == nObs.toLong * 3)
+    val v = back.obsm("X_pca")
+      .filter(col("obs_id") === 11 && col("dim_id") === 2).collect().head.getDouble(2)
+    assert(v == (11 * 5 + 2 * 9) % 17 * 0.5)
+    val l = back.layers("scaled")
+      .filter(col("obs_id") === 0 && col("var_id") === 0).collect().head.getDouble(2)
+    assert(l == xval(0, 0) + 1.0)
+    assert(back.layers("scaled").count() == base.x.count())
+  }
+
   test("empty rows (no nnz) keep indptr consistent") {
     val obs = spark.range(5).select(col("id").as("obs_id"),
       concat(lit("c"), col("id")).as("obs_name"))

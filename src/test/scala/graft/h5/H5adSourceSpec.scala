@@ -1,0 +1,67 @@
+package graft.h5
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** DataSource V2 surface: spark.read.format("h5ad") over the fixtures. */
+class H5adSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dense = "fixtures/h5ad/dense.h5ad"
+  private val sparse = "fixtures/h5ad/sparse.h5ad"
+  private def xval(i: Long, j: Long): Double = ((i * 31 + j * 17) % 97) * 0.5
+
+  test("dense X parity with AnnH5.denseCoo") {
+    val dsv2 = spark.read.format("h5ad").load(dense)
+    assert(dsv2.columns.toSeq == Seq("obs_id", "var_id", "value"))
+    assert(dsv2.count() == 300L * 40)
+    val viaRdd = AnnH5.denseCoo(spark, dense, "X")
+      .agg(sum("value")).collect().head.getDouble(0)
+    val viaDsv2 = dsv2.agg(sum("value")).collect().head.getDouble(0)
+    assert(viaDsv2 == viaRdd)
+  }
+
+  test("slot option exposes layers; values match the closed form") {
+    val scaled = spark.read.format("h5ad")
+      .option("slot", "layers/scaled").load(dense)
+    val r = scaled.filter(col("obs_id") === 10 && col("var_id") === 7)
+      .collect().head.getDouble(2)
+    assert(r == xval(10, 7) + 0.5)
+  }
+
+  test("pushed obs_id/var_id bounds prune chunks before any read") {
+    val full = spark.read.format("h5ad").load(dense)
+    assert(full.rdd.getNumPartitions == 15) // 5x3 chunk grid (64x16 chunks)
+    val rowSlice = full.filter(col("obs_id") < 64)
+    assert(rowSlice.rdd.getNumPartitions == 3, "one chunk row stripe")
+    val cell = full.filter(col("obs_id") === 70 && col("var_id") === 20)
+    assert(cell.rdd.getNumPartitions == 1, "point lookup = one chunk")
+    // filters still re-applied by Spark on top of pruning
+    assert(rowSlice.count() == 64L * 40)
+    val got = cell.collect()
+    assert(got.length == 1 && got.head.getDouble(2) == xval(70, 20))
+  }
+
+  test("csr slot: row-range partitions, parity with AnnH5.csrCoo") {
+    val dsv2 = spark.read.format("h5ad").load(sparse)
+    val expected = AnnH5.csrCoo(spark, sparse, "X")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val got = dsv2.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.toSeq == expected.toSeq)
+    // csr partitions prune on obs_id row ranges
+    val full = dsv2.rdd.getNumPartitions
+    val sliced = spark.read.format("h5ad").load(sparse)
+      .filter(col("obs_id") < 10).rdd.getNumPartitions
+    assert(sliced < full)
+  }
+
+  test("column pruning: projected schema reaches the reader") {
+    val onlyValue = spark.read.format("h5ad").load(dense).select("value")
+    assert(onlyValue.columns.toSeq == Seq("value"))
+    val s = onlyValue.agg(sum("value")).collect().head.getDouble(0)
+    val expect = (for (i <- 0 until 300; j <- 0 until 40) yield xval(i, j)).sum
+    assert(s == expect)
+  }
+}
