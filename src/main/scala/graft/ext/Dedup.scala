@@ -714,4 +714,52 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Exact substring-span dedup — maximal shared token spans across
+    * document pairs (the suffix-array dedup of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): every `gramLen`-token window is
+    * hashed; documents sharing a window become candidate pairs; runs of
+    * consecutive matching windows on the same alignment diagonal
+    * (`pos_a - pos_b`) merge into maximal spans via gaps-and-islands.
+    * A span row `(doc_a, doc_b, start_a, start_b, len_tokens)` means
+    * `gramLen + k` consecutive tokens are identical between the docs.
+    *
+    * Scale shape: gram hashing is map-side; the only wide operation is
+    * the gram-hash self-join, and `maxGramDf` caps each join group —
+    * stop-phrase grams above the cap are dropped exactly like the
+    * suffix-array method's frequent-substring cutoff (and like d17's
+    * star-edge skew treatment). One more shuffle groups the diagonal
+    * islands per pair. At 100 TB the cap bounds every group, so no
+    * bucket explodes; raise `gramLen` like a minhash band width as the
+    * corpus grows.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     gramLen: Int = 13, maxGramDf: Int = 50): DataFrame = {
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc"),
+        split(trim(col(textCol)), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= gramLen)
+    val grams = toks.select(col("doc"),
+      posexplode(transform(
+        sequence(lit(0), size(col("tk")) - gramLen),
+        i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
+        .as(Seq("pos", "gh")))
+    val rare = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxGramDf)
+      .select("gh")
+    val g = grams.join(rare, "gh")
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.pos").cast("long").as("pos_a"), col("b.pos").cast("long").as("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (max("pos_a") - min("pos_a") + gramLen).as("len_tokens"))
+      .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+  }
 }

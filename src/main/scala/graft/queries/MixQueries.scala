@@ -93,6 +93,13 @@ object MixQueries {
         "text", "doc_id", isTarget = col("lang") === "en", k = 50)
     }),
 
+    // exact substring-span dedup (suffix-array method, relational form):
+    // maximal runs of >=13 identical consecutive tokens across doc pairs
+    "d24_substring_spans" -> ((spark, dir) => {
+      Dedup.substringSpans(t(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
     "d20_line_dedup" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 3 === 0, concat(lit(Header + " "), col("text")))
@@ -302,6 +309,33 @@ object MixQueries {
         |SELECT doc_id, n_tokens,
         |       CAST(score_sum AS DOUBLE) / n_tokens AS score
         |FROM per ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "d24_substring_spans" ->
+      // replays substringSpans: 13-gram md5 windows, gram-df cap 50,
+      // diagonal gaps-and-islands merge
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(l[i+1:i+13], ' ')) AS gh
+        |  FROM toks, unnest(range(len(l) - 12)) AS t(i)
+        |  WHERE len(l) >= 13),
+        |rare AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) <= 50),
+        |g AS (SELECT grams.* FROM grams JOIN rare USING (gh)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.pos AS pos_a, b.pos AS pos_b
+        |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+        |         pos_a - row_number() OVER (
+        |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+        |  FROM pairs)
+        |SELECT doc_a, doc_b,
+        |       CAST(min(pos_a) AS BIGINT) AS start_a,
+        |       CAST(min(pos_b) AS BIGINT) AS start_b,
+        |       CAST(max(pos_a) - min(pos_a) + 13 AS BIGINT) AS len_tokens
+        |FROM isl GROUP BY doc_a, doc_b, diag, island
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
 
     "d20_line_dedup" ->
       """WITH corpus AS (

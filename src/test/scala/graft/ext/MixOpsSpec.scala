@@ -304,6 +304,28 @@ class MixOpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("substringSpans finds maximal shared token runs on the diagonal") {
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ") // 20 shared tokens
+    val docs = Seq(
+      (1L, s"aa bb $shared cc dd"),          // shared at pos 2
+      (2L, s"$shared xx yy zz"),             // shared at pos 0
+      (3L, "totally different tokens only three")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", gramLen = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one maximal span between docs 1 and 2: 20 tokens, starts 2 / 0
+    assert(spans.toSeq == Seq((1L, 2L, 2L, 0L, 20L)))
+  }
+
+  test("substringSpans drops stop-phrase grams above the df cap") {
+    val phrase = (1 to 13).map(i => s"p$i").mkString(" ")
+    val docs = (0L until 10L).map(i => (i, s"$phrase tail$i")).toDF("doc_id", "text")
+    // df of the shared gram = 10 > cap 5: no pairs survive
+    assert(Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = 5).count() == 0)
+    // with the cap lifted, all 45 pairs emerge
+    assert(Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = 50).count() == 45)
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
