@@ -192,8 +192,9 @@ object AnnQueries {
   private val written = scala.collection.concurrent.TrieMap.empty[String, String]
   private def writtenH5ad(spark: SparkSession): String =
     written.getOrElseUpdate("x", synchronized {
-      val p = java.nio.file.Files.createTempFile("graft_sink", ".h5ad")
-      java.nio.file.Files.delete(p)
+      // under the shutdown-cleaned run root like the lifecycle fixtures
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "rt.h5ad")
       val obs = spark.range(240).select(col("id").as("obs_id"),
         concat(lit("c"), col("id")).as("obs_name"),
         (col("id") % 6).cast("long").as("batch"))
