@@ -59,10 +59,13 @@ final class H5adTable(path: String, slot: String) extends Table with SupportsRea
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new H5adScanBuilder(path, slot)
+    new H5adScanBuilder(path, slot,
+      options.getInt("bundleThreshold", 256),
+      options.getLong("bundleBytes", 32L << 20))
 }
 
-final class H5adScanBuilder(path: String, slot: String)
+final class H5adScanBuilder(path: String, slot: String,
+                            bundleThreshold: Int, bundleBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -82,7 +85,8 @@ final class H5adScanBuilder(path: String, slot: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new H5adScan(path, slot, required, H5adScanBuilder.bounds(pushed))
+    new H5adScan(path, slot, required, H5adScanBuilder.bounds(pushed),
+      bundleThreshold, bundleBytes)
 }
 
 object H5adScanBuilder {
@@ -117,8 +121,12 @@ object H5adScanBuilder {
 
 // --------------------------------------------------------------- partitions
 
+/** One stored chunk: (addr, storedSize, rOff, cOff). */
+private final case class ChunkRef4(addr: Long, storedSize: Int,
+                                   rOff: Long, cOff: Long) extends Serializable
+
 private final case class DenseChunkPartition(
-    path: String, addr: Long, storedSize: Int, rOff: Long, cOff: Long,
+    path: String, chunks: Array[ChunkRef4],
     chunkRows: Int, chunkCols: Int, nRows: Long, nCols: Long,
     dtype: H5Dtype, filters: Seq[H5Filter]) extends InputPartition
 
@@ -126,7 +134,9 @@ private final case class CsrRangePartition(
     path: String, groupPath: String, r0: Long, r1: Long) extends InputPartition
 
 final class H5adScan(path: String, slot: String, required: StructType,
-                     colBounds: Map[String, (Long, Long)]) extends Scan with Batch {
+                     colBounds: Map[String, (Long, Long)],
+                     bundleThreshold: Int = 256,
+                     bundleBytes: Long = 32L << 20) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -152,16 +162,36 @@ final class H5adScan(path: String, slot: String, required: StructType,
         case ds: H5DatasetMeta =>
           ds.layout match {
             case H5Layout.Chunked(_, chunkDims) =>
-              f.chunkRefs(ds).iterator
+              val pruned = f.chunkRefs(ds)
                 .filter { c =>
                   val r0 = c.offsets(0); val c0 = c.offsets(1)
                   (r0 + chunkDims(0)) > obsLo && r0 <= obsHi &&
                     (c0 + chunkDims(1)) > varLo && c0 <= varHi
                 }
-                .map(c => DenseChunkPartition(path, c.addr, c.storedSize,
-                  c.offsets(0), c.offsets(1), chunkDims(0), chunkDims(1),
-                  ds.dims(0), ds.dims(1), ds.dtype, ds.filters): InputPartition)
-                .toArray
+                .map(c => ChunkRef4(c.addr, c.storedSize, c.offsets(0), c.offsets(1)))
+              // small files: one partition per chunk (pruning stays
+              // 1:1-observable). Big files: bundle chunks to ~32MB of
+              // stored bytes per task so a million-chunk X plans
+              // thousands of partitions, not millions.
+              val bundles: Seq[Array[ChunkRef4]] =
+                if (pruned.length <= bundleThreshold) pruned.map(Array(_))
+                else {
+                  val target = bundleBytes
+                  val out = Seq.newBuilder[Array[ChunkRef4]]
+                  val cur = mutable.ArrayBuffer.empty[ChunkRef4]
+                  var bytes = 0L
+                  pruned.foreach { c =>
+                    if (cur.nonEmpty && bytes + c.storedSize > target) {
+                      out += cur.toArray; cur.clear(); bytes = 0L
+                    }
+                    cur += c; bytes += c.storedSize
+                  }
+                  if (cur.nonEmpty) out += cur.toArray
+                  out.result()
+                }
+              bundles.map(b => DenseChunkPartition(path, b,
+                chunkDims(0), chunkDims(1), ds.dims(0), ds.dims(1),
+                ds.dtype, ds.filters): InputPartition).toArray
             case _ =>
               throw new UnsupportedOperationException(
                 s"$slot: only chunked dense or csr slots are exposed via DSv2")
@@ -198,22 +228,35 @@ private object Project {
 private final class DenseChunkReader(p: DenseChunkPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private val inp = H5Input.open(p.path)
-  private val dec = {
-    val esize = p.dtype.size
-    H5File.decodeChunk(inp.readFully(p.addr, p.storedSize), p.filters, esize,
-      p.chunkRows * p.chunkCols * esize)
-  }
-  private val buf = java.nio.ByteBuffer.wrap(dec)
-    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-  private val rows = math.min(p.chunkRows.toLong, p.nRows - p.rOff).toInt
-  private val cols = math.min(p.chunkCols.toLong, p.nCols - p.cOff).toInt
+  private var ci = -1
+  private var buf: java.nio.ByteBuffer = _
+  private var rows, cols = 0
+  private var cur: ChunkRef4 = _
   private var r = 0
   private var c = -1
+
+  private def loadNextChunk(): Boolean = {
+    ci += 1
+    if (ci >= p.chunks.length) return false
+    cur = p.chunks(ci)
+    val esize = p.dtype.size
+    val dec = H5File.decodeChunk(inp.readFully(cur.addr, cur.storedSize),
+      p.filters, esize, p.chunkRows * p.chunkCols * esize)
+    buf = java.nio.ByteBuffer.wrap(dec).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rows = math.min(p.chunkRows.toLong, p.nRows - cur.rOff).toInt
+    cols = math.min(p.chunkCols.toLong, p.nCols - cur.cOff).toInt
+    r = 0; c = -1
+    true
+  }
 
   override def next(): Boolean = {
     c += 1
     if (c >= cols) { c = 0; r += 1 }
-    r < rows
+    while (r >= rows) {
+      if (!loadNextChunk()) return false
+      c = 0
+    }
+    true
   }
 
   override def get(): InternalRow = {
@@ -225,7 +268,7 @@ private final class DenseChunkReader(p: DenseChunkPartition, required: StructTyp
       case H5Dtype.FixedPt(8, _) => buf.getLong().toDouble
       case d => throw new UnsupportedOperationException(s"X element type $d")
     }
-    Project.row(required, p.rOff + r, p.cOff + c, v)
+    Project.row(required, cur.rOff + r, cur.cOff + c, v)
   }
 
   override def close(): Unit = inp.close()

@@ -57,6 +57,22 @@ class H5adSourceSpec extends AnyFunSuite {
     assert(sliced < full)
   }
 
+  test("chunk bundling: big chunk counts collapse into byte-bounded tasks") {
+    // bench fixture: 40 chunks. With the threshold lowered under 40 and a
+    // tiny byte target, bundling kicks in — fewer partitions, same data.
+    val bundled = spark.read.format("h5ad")
+      .option("bundleThreshold", 8).option("bundleBytes", 256 * 1024)
+      .load("fixtures/h5ad/bench.h5ad")
+    val plain = spark.read.format("h5ad").load("fixtures/h5ad/bench.h5ad")
+    assert(plain.rdd.getNumPartitions == 40)
+    val np = bundled.rdd.getNumPartitions
+    assert(np < 40 && np > 1, s"expected bundled partitions, got $np")
+    assert(bundled.count() == 20000L * 256)
+    val s1 = bundled.agg(sum("value")).collect().head.getDouble(0)
+    val s2 = plain.agg(sum("value")).collect().head.getDouble(0)
+    assert(s1 == s2)
+  }
+
   test("column pruning: projected schema reaches the reader") {
     val onlyValue = spark.read.format("h5ad").load(dense).select("value")
     assert(onlyValue.columns.toSeq == Seq("value"))
