@@ -103,6 +103,54 @@ object Sampling {
     * one shuffle on doc id with map-side combine; top-k is a
     * TakeOrdered, never a global sort.
     */
+  /** Curriculum construction: a deterministic training ORDER in which
+    * every window of the emitted sequence carries the full quality mix
+    * (the uniform-mixing baseline of data-ordering studies). Documents
+    * are tiered by explicit score thresholds (map-only — thresholds
+    * come from a stats pass like q25's exact quantiles), ordered within
+    * a tier by `md5(id‖salt)` with an id tie-break, and round-robin
+    * interleaved: `pos = (rank-1)·nTiers + tier`. Sorting the output by
+    * `pos` IS the curriculum.
+    *
+    * Scale note: the within-tier rank is a per-tier window (few
+    * partition keys — same shape as `domainMix`, fine to ~10^8 rows per
+    * tier); `curriculumKeyMapOnly` is the no-shuffle twin for beyond
+    * that, exactly like `domainMixThreshold` twins `domainMix`.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
+                      thresholds: Seq[Double], salt: String): DataFrame = {
+    val nTiers = thresholds.size + 1
+    val tier = thresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col(scoreCol) >= t, 1).otherwise(0)
+    }.cast("long")
+    val w = Window.partitionBy("tier").orderBy(col("__h"), col(idCol))
+    docs.withColumn("tier", tier)
+      .withColumn("__h", hashOrder(docs, idCol, salt))
+      .withColumn("pos",
+        (row_number().over(w) - 1).cast("long") * nTiers + col("tier"))
+      .select(col(idCol), col("tier"), col("pos"))
+  }
+
+  /** Map-only curriculum KEY: `key = bucket(md5(id‖salt))·nTiers + tier`
+    * — no shuffle, no rank; sorting (or range-partitioning) by `key`
+    * yields an approximately uniform tier mix in every window, with the
+    * exact round-robin property traded for zero coordination. The 100 TB
+    * twin of [[curriculumOrder]].
+    */
+  def curriculumKeyMapOnly(docs: DataFrame, idCol: String, scoreCol: String,
+                           thresholds: Seq[Double], salt: String): DataFrame = {
+    val nTiers = thresholds.size + 1
+    val tier = thresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col(scoreCol) >= t, 1).otherwise(0)
+    }.cast("long")
+    val bucket = pmod(
+      conv(substring(hashOrder(docs, idCol, salt), 1, 15), 16, 10).cast("long"),
+      lit(1L << 20))
+    docs.withColumn("tier", tier)
+      .withColumn("curriculum_key", bucket * nTiers + col("tier"))
+      .select(col(idCol), col("tier"), col("curriculum_key"))
+  }
+
   def importanceTopK(docs: DataFrame, textCol: String, idCol: String,
                      isTarget: org.apache.spark.sql.Column, k: Int,
                      buckets: Int = 4096): DataFrame = {

@@ -93,6 +93,15 @@ object MixQueries {
         "text", "doc_id", isTarget = col("lang") === "en", k = 50)
     }),
 
+    // curriculum ordering: quality-tier round-robin interleave — the
+    // emitted pos-order carries the full quality mix in every window
+    "d25_curriculum_order" -> ((spark, dir) => {
+      Sampling.curriculumOrder(
+        t(spark, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", thresholds = Seq(500, 1000, 2000), salt = "cur1")
+        .orderBy("pos")
+    }),
+
     // exact substring-span dedup (suffix-array method, relational form):
     // maximal runs of >=13 identical consecutive tokens across doc pairs
     "d24_substring_spans" -> ((spark, dir) => {
@@ -309,6 +318,21 @@ object MixQueries {
         |SELECT doc_id, n_tokens,
         |       CAST(score_sum AS DOUBLE) / n_tokens AS score
         |FROM per ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "d25_curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars >= 500 AS INT) + CAST(n_chars >= 1000 AS INT)
+        |      + CAST(n_chars >= 2000 AS INT) AS tier
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, tier,
+        |    row_number() OVER (PARTITION BY tier
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cur1'), doc_id) AS rn
+        |  FROM t)
+        |SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+        |       CAST((rn - 1) * 4 + tier AS BIGINT) AS pos
+        |FROM r ORDER BY pos""".stripMargin,
 
     "d24_substring_spans" ->
       // replays substringSpans: 13-gram md5 windows, gram-df cap 50,

@@ -304,6 +304,29 @@ class MixOpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("curriculumOrder interleaves tiers round-robin, deterministically") {
+    // 4 docs per tier (scores 0/600/1500/3000), thresholds 500/1000/2000
+    val docs = (0L until 16L).map(i => (i, (i % 4) match {
+      case 0 => 100; case 1 => 600; case 2 => 1500; case _ => 3000
+    })).toDF("doc_id", "score")
+    val r = Sampling.curriculumOrder(docs, "doc_id", "score",
+      thresholds = Seq(500, 1000, 2000), salt = "s").orderBy("pos").collect()
+    assert(r.length == 16)
+    // with equal tier sizes, pos is dense 0..15 and tiers cycle 0,1,2,3
+    assert(r.map(_.getLong(2)).toSeq == (0L until 16L))
+    assert(r.map(_.getLong(1)).toSeq == Seq.tabulate(16)(i => (i % 4).toLong))
+    // deterministic across runs
+    val again = Sampling.curriculumOrder(docs, "doc_id", "score",
+      thresholds = Seq(500, 1000, 2000), salt = "s").orderBy("pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == r.map(_.getLong(0)).toSeq)
+    // map-only twin: same tiers, no shuffle in the plan
+    val key = Sampling.curriculumKeyMapOnly(docs, "doc_id", "score",
+      thresholds = Seq(500, 1000, 2000), salt = "s")
+    assert(key.select("tier").distinct().count() == 4)
+    assert(!key.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("substringSpans finds maximal shared token runs on the diagonal") {
     val shared = (1 to 20).map(i => s"w$i").mkString(" ") // 20 shared tokens
     val docs = Seq(
