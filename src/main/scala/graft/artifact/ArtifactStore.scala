@@ -347,6 +347,11 @@ final class ArtifactStore(val cat: Catalog) {
         paths.map { p =>
           graft.h5.AnnH5.open(spark, p).x.withColumn("_source_path", lit(p))
         }.reduce(_ unionByName _)
+      case ".fcs" =>
+        // native FCS parse: per-member event matrix, unioned
+        paths.map { p =>
+          FcsReader.read(spark, p).withColumn("_source_path", lit(p))
+        }.reduce(_ unionByName _)
       case other      => throw new IllegalArgumentException(s"unsupported suffix for open(): $other")
     }
   }

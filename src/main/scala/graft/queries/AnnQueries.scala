@@ -165,6 +165,19 @@ object AnnQueries {
         .orderBy("var_bucket")
     }),
 
+    // native FCS (flow cytometry) loader: header/TEXT parse + distributed
+    // fixed-width event-range reads; per-channel stats vs the closed form
+    "a11_fcs_channels" -> ((spark, _) => {
+      val fcs = Seq("fixtures/fcs/events.fcs", "/root/repo/fixtures/fcs/events.fcs")
+        .find(p => new java.io.File(p).exists)
+        .getOrElse(sys.error("fcs fixture missing; run tools/gen_fcs.py"))
+      val df = graft.artifact.FcsReader.read(spark, fcs)
+      Seq("FSC", "SSC", "FL1", "FL2").map { ch =>
+        df.agg(count(lit(1)).as("n_events"), sum(col(ch)).as("sum_value"))
+          .select(lit(ch).as("channel"), col("n_events"), col("sum_value"))
+      }.reduce(_ unionByName _).orderBy("channel")
+    }),
+
     // native h5mu (MuData): modalities under mod/ are full anndata
     // encodings — both parsed by the same H5 stack, per-modality X sums
     "a08_h5mu_modalities" -> ((spark, _) => {
@@ -292,6 +305,16 @@ object AnnQueries {
         |       count(*) AS n_obs,
         |       CAST(sum((i*37 % 1000) + 0.5) AS DOUBLE) AS sum_counts
         |FROM range(300) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a11_fcs_channels" ->
+      // value[e][p] = ((e*7 + p*13) % 101) * 0.25 over 500 events,
+      // channel order FSC/SSC/FL1/FL2 = p 0..3
+      """WITH ch(channel, p) AS (VALUES
+        |  ('FSC', 0), ('SSC', 1), ('FL1', 2), ('FL2', 3))
+        |SELECT channel, count(*) AS n_events,
+        |       CAST(sum(((e*7 + p*13) % 101) * 0.25) AS DOUBLE) AS sum_value
+        |FROM ch, range(500) t(e)
+        |GROUP BY channel ORDER BY channel""".stripMargin,
 
     "a10_h5ad_dsv2_scan" ->
       """SELECT j % 8 AS var_bucket, count(*) AS n,
