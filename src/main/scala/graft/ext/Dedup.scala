@@ -420,40 +420,98 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: docs agreeing on any 16-bit quarter of
-    * the 64-bit simhash (standard band trick for hamming distance ≤ 3 per
-    * the pigeonhole principle).
+  /** Cardinality-adaptive simhash band plan: (bands, bandWidth).
+    *
+    * Sizing rule (exact integer arithmetic so the generated DuckDB oracle
+    * reproduces it bit-for-bit): the band key space must hold the corpus
+    * with slack — pick the SMALLEST width `bw` in [minWidth, maxWidth]
+    * with `2^bw >= loadFactor * nDocs` (else maxWidth), then tile the
+    * signature with `bands = totalBits / bw` non-overlapping bands.
+    *
+    * Why: with fixed-width bands the expected background collisions per
+    * band grow as n² / 2^bw — the round-8 sf1.0 tier measured 17.8×
+    * candidate growth for 10× data at the legacy fixed 4×15-bit layout
+    * (SCALING.md). Scaling bw with log2(n) keeps the per-bucket load
+    * ≤ 1/loadFactor, so background candidates stay ~linear in n. The
+    * trade (standard for simhash at scale, cf. Manku et al. WWW'07
+    * block-permutation sizing): fewer, wider bands guarantee recall only
+    * for hamming ≤ bands-1; beyond that recall is probabilistic. At
+    * 100 TB you want that trade — the alternative is a candidate set
+    * that grows quadratically with the corpus.
     */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashBandPlan(nDocs: Long, totalBits: Int, minWidth: Int, maxWidth: Int,
+                      loadFactor: Long = 16L): (Int, Int) = {
+    val bw = (minWidth to maxWidth).find(b => (1L << b) >= loadFactor * nDocs)
+      .getOrElse(maxWidth)
+    (totalBits / bw, bw)
+  }
+
+  /** Band a signature frame on an adaptive plan and (optionally) drop
+    * buckets hotter than `maxBucketDf` — the same frequent-key cutoff as
+    * `substringSpans`' `maxGramDf`: a bucket with more members than the
+    * cap is background saturation (or a duplicate mega-cluster better
+    * served by exact dedup) and would contribute O(df²) candidate pairs.
+    * The df window shares the band/key shuffle key with the self-join
+    * that follows, so the guard adds no extra exchange.
+    */
+  private def bandPairs(withSim: DataFrame, bands: Int, bw: Int,
+                        maxBucketDf: Option[Int]): DataFrame = {
+    val mask = (1L << bw) - 1
+    val banded0 = withSim.select(col("id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * bw).bitwiseAND(mask)): _*))
+        .as(Seq("band", "band_bits")))
+    val banded = maxBucketDf match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_bits")
+        banded0.withColumn("bucket_df", count(lit(1)).over(w))
+          .filter(col("bucket_df") <= cap).drop("bucket_df")
+      case None => banded0
+    }
+    val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b2, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // hamming distance between the two simhashes
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** SimHash near-dup candidates: docs agreeing on any band of the 64-bit
+    * simhash. The band plan is cardinality-adaptive (`simhashBandPlan`
+    * over 64 bits, width 16–21): small corpora get the legacy 4×16-bit
+    * quarters (hamming ≤ 3 guaranteed by pigeonhole), large corpora get
+    * fewer, wider bands so background collisions stay ~linear in n.
+    * Pass `bandPlan` to pin a layout, `maxBucketDf` to additionally cap
+    * per-bucket membership (no bucket can explode regardless of params).
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        bandPlan: Option[(Int, Int)] = None,
+                        maxBucketDf: Option[Int] = None): DataFrame = {
     // persist: both sides of the band self-join read the signature frame,
     // and without materialization each side re-runs the whole tokenize →
     // 64-vote aggregation (the dominant stage) — same reasoning as the
     // `withSig` persist in minhashPairs; released via finishPairs below
     val withSim = simhashDf(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSim.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(65535)): _*))
-        .as(Seq("band", "band_bits")))
-    val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"), col("simhash").as("sim_a"))
-    val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"), col("simhash").as("sim_b"))
-    finishPairs(
-      a.join(b2, Seq("band", "band_bits"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          // hamming distance between the two simhashes
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-        .distinct(),
-      withSim)
+    // adaptive plan sizes off the SIGNATURE frame (one row per doc) so
+    // the count materializes the persist instead of re-reading the source
+    val (bands, bw) = bandPlan.getOrElse(
+      simhashBandPlan(withSim.count(), totalBits = 64, minWidth = 16, maxWidth = 21))
+    finishPairs(bandPairs(withSim, bands, bw, maxBucketDf), withSim)
   }
 
   /** Portable SimHash candidates: same explode → per-bit vote → band
     * pipeline as `simhashCandidates`, but token hashes are 60-bit md5
     * prefixes so the run is reproducible in DuckDB (`simhashPortableOracleSql`
-    * generates the replica from the same bit layout). 60 bits in 4 bands
-    * of 15.
+    * generates the replica from the same bit layout and the SAME
+    * cardinality-adaptive sizing rule — `simhashBandPlan` over 60 bits,
+    * width 15–20: 4×15 for small corpora, 3 wider bands as n grows).
     */
-  def simhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
+                                bandPlan: Option[(Int, Int)] = None,
+                                maxBucketDf: Option[Int] = None): DataFrame = {
     val bits = 60
     val tok = df
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
@@ -469,34 +527,30 @@ object Dedup {
       // persisted for the same both-sides-of-the-self-join reason as the
       // fast path above; released via finishPairs below
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSim.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(32767)): _*))
-        .as(Seq("band", "band_bits")))
-    val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"), col("simhash").as("sim_a"))
-    val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"), col("simhash").as("sim_b"))
-    finishPairs(
-      a.join(b2, Seq("band", "band_bits"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-        .distinct(),
-      withSim)
+    // sizing off the signature frame: one row per doc, count reads the
+    // cache it just materialized (mirrors the SQL replica's count of `sim`)
+    val (bands, bw) = bandPlan.getOrElse(
+      simhashBandPlan(withSim.count(), totalBits = bits, minWidth = 15, maxWidth = 20))
+    finishPairs(bandPairs(withSim, bands, bw, maxBucketDf), withSim)
   }
 
   /** DuckDB replica of `simhashCandidatesPortable` (+ hamming cutoff) over
-    * a `corpus(doc_id, text)` CTE body — generated from the same 60-bit /
-    * 4-band layout.
+    * a `corpus(doc_id, text)` CTE body — generated from the same 60-bit
+    * layout and replaying the same integer-exact adaptive sizing rule
+    * (`simhashBandPlan`: smallest bw in [15,20] with 2^bw >= 16·n, bands
+    * = 60/bw) inside SQL, so the oracle picks the identical plan at every
+    * scale factor without knowing n in advance.
     */
-  def simhashPortableOracleSql(corpusSql: String, maxHamming: Int): String = {
+  def simhashPortableOracleSql(corpusSql: String, maxHamming: Int,
+                               maxBucketDf: Option[Int] = None): String = {
     val bits = 60
     val voteExprs = (0 until bits).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n  ")
     val simExpr = (0 until bits).map(b =>
       s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" | ")
-    val bandSelects = (0 until 4).map(bd =>
-      s"SELECT doc_id, s, $bd AS band, (s >> ${bd * 15}) & 32767 AS key FROM sim")
-      .mkString("\n  UNION ALL\n  ")
+    val dfGuard = maxBucketDf
+      .map(cap => s"\n  QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap")
+      .getOrElse("")
     s"""WITH corpus AS ($corpusSql),
        |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus),
        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -504,8 +558,14 @@ object Dedup {
        |  $voteExprs
        |  FROM h GROUP BY doc_id),
        |sim AS (SELECT doc_id, $simExpr AS s FROM votes),
+       |params AS (SELECT CAST(COALESCE(
+       |    MIN(CASE WHEN (1::BIGINT << bw) >= 16 * n THEN bw END), 20) AS INT) AS bw
+       |  FROM (SELECT unnest(range(15, 21)) AS bw), (SELECT count(*) AS n FROM sim)),
        |bands AS (
-       |  $bandSelects),
+       |  SELECT doc_id, s, bd.band AS band,
+       |    (s >> (bd.band * p.bw)) & ((1::BIGINT << p.bw) - 1) AS key
+       |  FROM sim, params p, (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) bd
+       |  WHERE bd.band < ($bits // p.bw)$dfGuard),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    bit_count(xor(a.s, b.s))::BIGINT AS hamming
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key

@@ -14,5 +14,5 @@ done
 java $ADD_OPENS -Xmx${HEAP:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT"
+  graft.Verify "$SF_DIR" "$OUT" ${3:+"$3"}
 python3 /root/repo/tools/compare.py "$SF_DIR" "$OUT"
