@@ -162,10 +162,24 @@ object Bench {
       })
 
     val all = queryTimes ++ catalogTimes
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
+    // The driver captures a bounded tail of stdout: round-8's single
+    // full-precision line (118 entries x medians+floors ~ 9 KB) overflowed
+    // it, truncating to 60 entries with "parsed": null. The printed line
+    // now carries 3-decimal medians only (~3 KB for 118 entries) so the
+    // driver parses the COMPLETE set; full-precision medians AND
+    // interference-free floors go to a committed artifact file.
+    def r3(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + r3(v._1) }.mkString("{", ",", "}")
+    val medians = all.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
     val mins = all.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
     val total = all.values.map(_._1).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"sf":"$sfDir"}""")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${all.size},""" +
+        s""""queries":$medians,"queries_min":$mins,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_entries":${all.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
