@@ -32,15 +32,40 @@ import graft.curate.{SchemaSpec, SlotsCurator}
   * declared lazily, so Catalyst pushes the predicate into every scan and
   * the matrix is never materialized wider than the slice.
   */
+/** One `uns` (unstructured metadata) value: scalar, 1-D array, or nested
+  * mapping — the anndata element encodings `numeric-scalar`/`string`/
+  * `array`/`string-array`/`dict` (`_anndata_accessor.py:516-700`). Axis
+  * metadata is driver-sized by contract; `uns` follows the same rule.
+  */
+sealed trait UnsValue
+object UnsValue {
+  final case class Scalar(value: Any) extends UnsValue
+  final case class Arr(values: Seq[Any]) extends UnsValue
+  final case class Mapping(items: Map[String, UnsValue]) extends UnsValue
+}
+
+/** The `raw` slot: the pre-filter variable axis and matrix an AnnData
+  * carries alongside the working X (`adata.raw`).
+  */
+final case class RawSlots(vars: DataFrame, x: DataFrame,
+                          varm: Map[String, DataFrame] = Map.empty)
+
 final case class AnnDataset(obs: DataFrame, vars: DataFrame, x: DataFrame,
                             obsm: Map[String, DataFrame] = Map.empty,
-                            layers: Map[String, DataFrame] = Map.empty) {
+                            layers: Map[String, DataFrame] = Map.empty,
+                            varm: Map[String, DataFrame] = Map.empty,
+                            obsp: Map[String, DataFrame] = Map.empty,
+                            uns: Map[String, UnsValue] = Map.empty,
+                            raw: Option[RawSlots] = None) {
 
   def nObs: Long = obs.count()
   def nVars: Long = vars.count()
   def shape: (Long, Long) = (nObs, nVars)
 
-  /** `adata[mask, :]` — restrict observations; X / layers / obsm follow. */
+  /** `adata[mask, :]` — restrict observations; X / layers / obsm follow,
+    * obsp on both of its obs axes. `raw` X follows too (raw keeps its own
+    * var axis but shares obs). `uns`/`varm` are obs-independent.
+    */
   def subsetObs(pred: Column): AnnDataset = {
     val kept = obs.filter(pred)
     val keptIds = kept.select("obs_id")
@@ -48,17 +73,24 @@ final case class AnnDataset(obs: DataFrame, vars: DataFrame, x: DataFrame,
       obs = kept,
       x = x.join(keptIds, Seq("obs_id"), "left_semi"),
       obsm = obsm.map { case (k, m) => k -> m.join(keptIds, Seq("obs_id"), "left_semi") },
-      layers = layers.map { case (k, l) => k -> l.join(keptIds, Seq("obs_id"), "left_semi") })
+      layers = layers.map { case (k, l) => k -> l.join(keptIds, Seq("obs_id"), "left_semi") },
+      obsp = obsp.map { case (k, p) => k ->
+        p.join(keptIds, Seq("obs_id"), "left_semi")
+          .join(keptIds.withColumnRenamed("obs_id", "obs_id_2"), Seq("obs_id_2"), "left_semi") },
+      raw = raw.map(r => r.copy(x = r.x.join(keptIds, Seq("obs_id"), "left_semi"))))
   }
 
-  /** `adata[:, mask]` — restrict variables; X / layers follow. */
+  /** `adata[:, mask]` — restrict variables; X / layers / varm follow.
+    * `raw` is by definition NOT var-sliced (it keeps the full axis).
+    */
   def subsetVars(pred: Column): AnnDataset = {
     val kept = vars.filter(pred)
     val keptIds = kept.select("var_id")
     copy(
       vars = kept,
       x = x.join(keptIds, Seq("var_id"), "left_semi"),
-      layers = layers.map { case (k, l) => k -> l.join(keptIds, Seq("var_id"), "left_semi") })
+      layers = layers.map { case (k, l) => k -> l.join(keptIds, Seq("var_id"), "left_semi") },
+      varm = varm.map { case (k, m) => k -> m.join(keptIds, Seq("var_id"), "left_semi") })
   }
 
   /** Dense view: one row per obs, one column per var_name (the in-memory

@@ -257,17 +257,76 @@ object AnnH5 {
     if (isCsr) csrCoo(spark, path, nodePath) else denseCoo(spark, path, nodePath)
   }
 
+  // ------------------------------------------------------------------ uns
+
+  /** Decode one `uns` node driver-side (uns is axis-metadata-sized by the
+    * same contract as obs/var): scalar datasets → Scalar, 1-D datasets →
+    * Arr, groups → Mapping (recursive; categorical groups decode to their
+    * string values).
+    */
+  private def readUns(f: H5File, node: H5Node): graft.artifact.UnsValue = {
+    import graft.artifact.UnsValue._
+    node match {
+      case d: H5DatasetMeta =>
+        val vals: Array[Any] = d.dtype match {
+          case H5Dtype.VlenStr() | H5Dtype.FixedStr(_) =>
+            f.decodeStrings(d.dtype, f.readRaw(d)).toArray[Any]
+          case H5Dtype.FloatPt(_) =>
+            f.decodeDoubles(d.dtype, f.readRaw(d)).map(v => v: Any)
+          case _ =>
+            f.decodeLongs(d.dtype, f.readRaw(d)).map(v => v: Any)
+        }
+        if (d.dims.isEmpty) Scalar(vals.head) else Arr(vals.toSeq)
+      case g: H5Group if f.attrString(g, "encoding-type").contains("categorical") =>
+        val codesDs = f.node(g.children("codes"), "codes").asInstanceOf[H5DatasetMeta]
+        val catsDs = f.node(g.children("categories"), "categories").asInstanceOf[H5DatasetMeta]
+        val codes = f.decodeLongs(codesDs.dtype, f.readRaw(codesDs))
+        val cats = f.decodeStrings(catsDs.dtype, f.readRaw(catsDs))
+        Arr(codes.toSeq.map(c => if (c < 0) null else cats(c.toInt)))
+      case g: H5Group =>
+        Mapping(g.children.keys.toSeq.sorted
+          .map(k => k -> readUns(f, f.node(g.children(k), k))).toMap)
+    }
+  }
+
+  /** Flatten a `uns` tree into (slot, n, numeric-sum) rows for tabular
+    * comparison: numeric scalars/arrays carry their value/sum, string
+    * scalars encode the value into the slot label (`uns/key:value`), so
+    * one typed schema covers the whole tree and the DuckDB oracle can
+    * recompute it from literals.
+    */
+  def flattenUns(uns: Map[String, graft.artifact.UnsValue],
+                 prefix: String = "uns"): Seq[(String, Long, Option[Double])] = {
+    import graft.artifact.UnsValue._
+    def flat(pfx: String, v: graft.artifact.UnsValue): Seq[(String, Long, Option[Double])] =
+      v match {
+        case Scalar(s: String) => Seq((s"$pfx:$s", 1L, None))
+        case Scalar(d: Double) => Seq((pfx, 1L, Some(d)))
+        case Scalar(n: Number) => Seq((pfx, 1L, Some(n.doubleValue())))
+        case Scalar(_) => Seq((pfx, 1L, None))
+        case Arr(vals) =>
+          val nums = vals.collect { case n: Number => n.doubleValue() }
+          Seq((pfx, vals.length.toLong, if (nums.nonEmpty) Some(nums.sum) else None))
+        case Mapping(items) =>
+          items.toSeq.sortBy(_._1).flatMap { case (k, cv) => flat(s"$pfx/$k", cv) }
+      }
+    uns.toSeq.sortBy(_._1).flatMap { case (k, v) => flat(s"$prefix/$k", v) }
+  }
+
   /** Open a native `.h5ad` as the engine's [[AnnDataset]] — obs/var
-    * decoded per the dataframe encoding; X, every `layers/` slot and
-    * every `obsm/` matrix as distributed COO (obsm columns are
-    * `dim_id`, not variables). Downstream slicing/aggregation
-    * (`subsetObs`, `perVarStats`, ingest) compose unchanged.
-    * `prefix` selects a nested anndata group (h5mu modalities).
+    * decoded per the dataframe encoding; X, every `layers/` slot, every
+    * `obsm/` matrix (`dim_id` columns), every `varm/` matrix (var-keyed,
+    * `dim_id` columns) and every `obsp/` pairwise matrix (`obs_id` ×
+    * `obs_id_2`) as distributed COO; `uns` as a driver-side metadata
+    * tree; `raw` as its own var frame + COO X. Downstream
+    * slicing/aggregation (`subsetObs`, `perVarStats`, ingest) compose
+    * unchanged. `prefix` selects a nested anndata group (h5mu
+    * modalities).
     */
   def open(spark: SparkSession, path: String, prefix: String = ""): AnnDataset = {
     val p = if (prefix.isEmpty) "" else prefix.stripSuffix("/") + "/"
     val f = H5File.open(path)
-    val (obs, vars, obsmNames, layerNames) =
+    val (obs, vars, obsmNames, layerNames, varmNames, obspNames, uns, rawInfo) =
       try {
         val obs = dataFrameGroup(spark, f, f.group(p + "obs"), "obs_id", "obs_name")
         val varsRaw = dataFrameGroup(spark, f, f.group(p + "var"), "var_id", "var_name")
@@ -276,14 +335,45 @@ object AnnH5 {
           if (container.children.contains(slot))
             f.group(p + slot).children.keys.toSeq.sorted
           else Nil
-        (obs, varsRaw, slotNames("obsm"), slotNames("layers"))
+        val uns =
+          if (container.children.contains("uns")) {
+            val g = f.group(p + "uns")
+            g.children.keys.toSeq.sorted
+              .map(k => k -> readUns(f, f.node(g.children(k), k))).toMap
+          } else Map.empty[String, graft.artifact.UnsValue]
+        val rawInfo =
+          if (container.children.contains("raw")) {
+            val rg = f.group(p + "raw")
+            Some((dataFrameGroup(spark, f, f.group(p + "raw/var"), "var_id", "var_name"),
+              if (rg.children.contains("varm"))
+                f.group(p + "raw/varm").children.keys.toSeq.sorted
+              else Nil))
+          } else None
+        (obs, varsRaw, slotNames("obsm"), slotNames("layers"),
+          slotNames("varm"), slotNames("obsp"), uns, rawInfo)
       } finally f.close()
     AnnDataset(
       obs = obs, vars = vars,
       x = cooAt(spark, path, p + "X"),
       obsm = obsmNames.map(n => n ->
         cooAt(spark, path, s"${p}obsm/$n").withColumnRenamed("var_id", "dim_id")).toMap,
-      layers = layerNames.map(n => n -> cooAt(spark, path, s"${p}layers/$n")).toMap)
+      layers = layerNames.map(n => n -> cooAt(spark, path, s"${p}layers/$n")).toMap,
+      varm = varmNames.map(n => n ->
+        cooAt(spark, path, s"${p}varm/$n")
+          .withColumnRenamed("var_id", "dim_id")
+          .withColumnRenamed("obs_id", "var_id")).toMap,
+      obsp = obspNames.map(n => n ->
+        cooAt(spark, path, s"${p}obsp/$n").withColumnRenamed("var_id", "obs_id_2")).toMap,
+      uns = uns,
+      raw = rawInfo.map { case (rawVars, rawVarmNames) =>
+        graft.artifact.RawSlots(
+          vars = rawVars,
+          x = cooAt(spark, path, p + "raw/X"),
+          varm = rawVarmNames.map(n => n ->
+            cooAt(spark, path, s"${p}raw/varm/$n")
+              .withColumnRenamed("var_id", "dim_id")
+              .withColumnRenamed("obs_id", "var_id")).toMap)
+      })
   }
 
   /** Open a native `.h5mu` (MuData container, public mudata spec):

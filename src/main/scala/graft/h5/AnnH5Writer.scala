@@ -251,7 +251,10 @@ object AnnH5Writer {
                     attrs: Seq[Attr]): Long = {
     val sorted = links.map(_._1).sorted // byte-order for ASCII names
     val byName = links.toMap
-    require(links.size <= 8, s"single-SNOD writer: <=8 links (${links.size})")
+    // one SNOD per <=8 names (2*sym_leaf_k, default k=4) under a single
+    // level-0 B-tree node; keys are heap offsets — key(0)=0 (empty name),
+    // key(i+1) = last name of child i, the libhdf5 layout
+    require(links.size <= 32, s"group writer: <=32 links (${links.size})")
     val heapData = mutable.ArrayBuffer[Byte](0, 0, 0, 0, 0, 0, 0, 0)
     val offs = sorted.map { nm =>
       val off = heapData.size.toLong
@@ -261,13 +264,17 @@ object AnnH5Writer {
     val dseg = out.write(heapData.toArray)
     val heap = out.write("HEAP".getBytes(UTF_8) ++ Array[Byte](0, 0, 0, 0) ++
       u64(heapData.size.toLong) ++ u64(Undef) ++ u64(dseg))
-    val snodBody = "SNOD".getBytes(UTF_8) ++ Array[Byte](1, 0) ++ u16(sorted.size) ++
-      sorted.toArray.flatMap { nm =>
-        u64(offs(nm)) ++ u64(byName(nm)) ++ u32(0) ++ u32(0) ++ new Array[Byte](16)
-      }
-    val snod = out.write(snodBody ++ new Array[Byte](8 + 8 * 40 - snodBody.length))
-    val btBody = "TREE".getBytes(UTF_8) ++ Array[Byte](0, 0) ++ u16(1) ++
-      u64(Undef) ++ u64(Undef) ++ u64(0) ++ u64(snod) ++ u64(offs(sorted.last))
+    val snods = sorted.grouped(8).map { part =>
+      val snodBody = "SNOD".getBytes(UTF_8) ++ Array[Byte](1, 0) ++ u16(part.size) ++
+        part.toArray.flatMap { nm =>
+          u64(offs(nm)) ++ u64(byName(nm)) ++ u32(0) ++ u32(0) ++ new Array[Byte](16)
+        }
+      val snod = out.write(snodBody ++ new Array[Byte](8 + 8 * 40 - snodBody.length))
+      (snod, offs(part.last))
+    }.toSeq
+    val btBody = "TREE".getBytes(UTF_8) ++ Array[Byte](0, 0) ++ u16(snods.size) ++
+      u64(Undef) ++ u64(Undef) ++ u64(0) ++
+      snods.toArray.flatMap { case (snod, lastOff) => u64(snod) ++ u64(lastOff) }
     val bt = out.write(btBody ++ new Array[Byte](24 + 9 * 8 + 8 * 8 - btBody.length))
     gh.flush()
     objectHeader(out, Seq(0x0011 -> (u64(bt) ++ u64(heap))) ++
@@ -361,9 +368,53 @@ object AnnH5Writer {
       encAttrs(gh, "csr_matrix", "0.1.0") :+ i64ArrayAttr("shape", Seq(nRows, nCols)))
   }
 
+  /** One `uns` value → its anndata element encoding: scalars as rank-0
+    * datasets (`numeric-scalar`/`string`), arrays as 1-D contiguous
+    * datasets, mappings as `dict` groups (recursive).
+    */
+  private def writeUns(out: Out, gh: GHeap, v: graft.artifact.UnsValue): Long = {
+    import graft.artifact.UnsValue._
+    v match {
+      case Scalar(s: String) =>
+        val i = gh.add(s); gh.flush()
+        contiguous(out, gh, dtVlenStr, Nil, gh.ref(i), encAttrs(gh, "string", "0.2.0"))
+      case Scalar(d: Double) =>
+        contiguous(out, gh, dtFloat(8), Nil,
+          u64(java.lang.Double.doubleToLongBits(d)), encAttrs(gh, "numeric-scalar", "0.2.0"))
+      case Scalar(n: Number) =>
+        contiguous(out, gh, dtFixed(8), Nil, u64(n.longValue()),
+          encAttrs(gh, "numeric-scalar", "0.2.0"))
+      case Scalar(b: Boolean) =>
+        contiguous(out, gh, dtFixed(1), Nil, Array[Byte](if (b) 1 else 0),
+          encAttrs(gh, "numeric-scalar", "0.2.0"))
+      case Scalar(other) => throw new UnsupportedOperationException(
+        s"uns scalar of ${if (other == null) "null" else other.getClass.getName}")
+      case Arr(vals) if vals.forall(_.isInstanceOf[String]) =>
+        vlenStrDataset(out, gh, vals.map(_.asInstanceOf[String]),
+          encAttrs(gh, "string-array", "0.2.0"))
+      case Arr(vals) if vals.forall(_.isInstanceOf[Double]) =>
+        contiguous(out, gh, dtFloat(8), Seq(vals.length.toLong),
+          vals.toArray.flatMap(x => u64(java.lang.Double.doubleToLongBits(
+            x.asInstanceOf[Double]))), encAttrs(gh, "array", "0.2.0"))
+      case Arr(vals) if vals.forall(_.isInstanceOf[Number]) =>
+        contiguous(out, gh, dtFixed(8), Seq(vals.length.toLong),
+          vals.toArray.flatMap(x => u64(x.asInstanceOf[Number].longValue())),
+          encAttrs(gh, "array", "0.2.0"))
+      case Arr(vals) => throw new UnsupportedOperationException(
+        s"uns array of mixed/unsupported element types (${vals.take(3)})")
+      case Mapping(items) =>
+        val children = items.toSeq.sortBy(_._1).map { case (k, cv) =>
+          k -> writeUns(out, gh, cv)
+        }
+        group(out, gh, children, encAttrs(gh, "dict", "0.1.0"))
+    }
+  }
+
   /** Write `ds` to a local `.h5ad` path, including every `obsm` matrix
-    * (`dim_id` columns) and `layers` slot as csr groups. Single-writer
-    * by design (the reference's h5py write is too).
+    * (`dim_id` columns), `layers`, `varm` (var-keyed), `obsp`
+    * (`obs_id` × `obs_id_2`) slot as csr groups, the `uns` tree, and
+    * `raw` (own var frame + X). Single-writer by design (the
+    * reference's h5py write is too).
     */
   def write(ds: AnnDataset, path: String, chunkElems: Int = 65536): Unit = {
     val raf = new RandomAccessFile(path, "rw")
@@ -392,6 +443,39 @@ object AnnH5Writer {
           name -> writeCsr(out, gh, l, "obs_id", "var_id", nObs, nVar, chunkElems)
         }
         links :+= "layers" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
+      }
+      if (ds.varm.nonEmpty) {
+        val slots = ds.varm.toSeq.sortBy(_._1).map { case (name, m) =>
+          val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
+          val dims = m.agg(coalesce(max(col(dimCol)), lit(-1L)))
+            .collect().head.getLong(0) + 1
+          name -> writeCsr(out, gh, m, "var_id", dimCol, nVar, dims, chunkElems)
+        }
+        links :+= "varm" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
+      }
+      if (ds.obsp.nonEmpty) {
+        val slots = ds.obsp.toSeq.sortBy(_._1).map { case (name, m) =>
+          name -> writeCsr(out, gh, m, "obs_id", "obs_id_2", nObs, nObs, chunkElems)
+        }
+        links :+= "obsp" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
+      }
+      if (ds.uns.nonEmpty)
+        links :+= "uns" -> writeUns(out, gh, graft.artifact.UnsValue.Mapping(ds.uns))
+      ds.raw.foreach { r =>
+        val rawVar = writeFrame(out, gh, r.vars, "var_id", "var_name")
+        val nRawVar = r.vars.count()
+        val rawX = writeCsr(out, gh, r.x, "obs_id", "var_id", nObs, nRawVar, chunkElems)
+        var rawLinks = Seq("X" -> rawX, "var" -> rawVar)
+        if (r.varm.nonEmpty) {
+          val slots = r.varm.toSeq.sortBy(_._1).map { case (name, m) =>
+            val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
+            val dims = m.agg(coalesce(max(col(dimCol)), lit(-1L)))
+              .collect().head.getLong(0) + 1
+            name -> writeCsr(out, gh, m, "var_id", dimCol, nRawVar, dims, chunkElems)
+          }
+          rawLinks :+= "varm" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
+        }
+        links :+= "raw" -> group(out, gh, rawLinks, encAttrs(gh, "raw", "0.1.0"))
       }
 
       val root = group(out, gh, links, encAttrs(gh, "anndata", "0.1.0"))

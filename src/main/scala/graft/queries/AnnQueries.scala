@@ -195,13 +195,96 @@ object AnnQueries {
         .groupBy("batch")
         .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
         .orderBy("batch")
+    }),
+
+    // uns/varm/obsp/raw read from the committed dense fixture: uns as a
+    // driver-side metadata tree (flattened to typed rows), varm/obsp/raw
+    // as distributed COO — all closed-form for the oracle
+    "a13_h5ad_uns_varm" -> ((spark, _) => {
+      slotSummary(spark, graft.h5.AnnH5.open(spark, h5Fixture("dense.h5ad")))
+    }),
+
+    // sink round-trip of the NEW slots: write varm + obsp + uns + raw
+    // through AnnH5Writer, reopen natively, summarize — a defect in any
+    // of the four encoders (or their readers) breaks the hash
+    "a14_h5ad_slots_roundtrip" -> ((spark, _) => {
+      val path = writtenSlotsH5ad(spark)
+      slotSummary(spark, graft.h5.AnnH5.open(spark, path))
     })
   )
+
+  /** One typed row per aux slot: uns entries via [[graft.h5.AnnH5.flattenUns]],
+    * varm/obsp/raw-X as (count, sum) aggregates, raw/var as a row count.
+    */
+  private def slotSummary(spark: SparkSession, ds: graft.artifact.AnnDataset): DataFrame = {
+    import spark.implicits._
+    val unsDf = graft.h5.AnnH5.flattenUns(ds.uns).toDF("slot", "n", "sum_value")
+    def agg(slot: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(lit(slot).as("slot"), col("n"), col("sum_value"))
+    val matrixDfs =
+      ds.varm.toSeq.sortBy(_._1).map { case (k, m) => agg(s"varm/$k", m) } ++
+        ds.obsp.toSeq.sortBy(_._1).map { case (k, m) => agg(s"obsp/$k", m) } ++
+        ds.raw.toSeq.flatMap { r =>
+          Seq(agg("raw/X", r.x),
+            r.vars.agg(count(lit(1)).as("n"))
+              .select(lit("raw/var").as("slot"), col("n"),
+                lit(null).cast("double").as("sum_value")))
+        }
+    matrixDfs.foldLeft(unsDf)(_ unionByName _).orderBy("slot")
+  }
 
   /** Sink fixture: written once per (process); closed-form content
     * mirrored by the a07 oracle. 240x32, mask (i*5+j*3)%7==0,
     * value ((i*11+j*29)%53)*0.5, obs.batch = i%6.
     */
+  /** a14 sink fixture: every aux slot closed-form —
+    * varm.emb[j,k] = ((j*3+k*5)%19)*0.5 (32×4, all cells explicit),
+    * obsp.knn mask (i+2j)%41==0, value ((i*2+j)%11)*0.5 (240×240),
+    * uns {seed 7, note "hello", weights [0.5,1.0,1.5], opts{lr 0.5, steps 100}},
+    * raw: 48 vars ('rg'||j), X mask (i+2j)%9==0, value ((i*13+j*7)%31)*0.5.
+    */
+  private def writtenSlotsH5ad(spark: SparkSession): String =
+    written.getOrElseUpdate("slots", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "slots.h5ad")
+      val obs = spark.range(240).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"),
+        (col("id") % 6).cast("long").as("batch"))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(32).select(col("id").as("var_id")))
+        .filter((col("obs_id") * 5 + col("var_id") * 3) % 7 === 0)
+        .withColumn("value", (col("obs_id") * 11 + col("var_id") * 29) % 53 * 0.5)
+      val emb = spark.range(32).select(col("id").as("var_id"))
+        .crossJoin(spark.range(4).select(col("id").as("dim_id")))
+        .withColumn("value", (col("var_id") * 3 + col("dim_id") * 5) % 19 * 0.5)
+      val knn = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(240).select(col("id").as("obs_id_2")))
+        .filter((col("obs_id") + col("obs_id_2") * 2) % 41 === 0)
+        .withColumn("value", (col("obs_id") * 2 + col("obs_id_2")) % 11 * 0.5)
+      val rawVars = spark.range(48).select(col("id").as("var_id"),
+        concat(lit("rg"), col("id")).as("var_name"))
+      val rawX = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(48).select(col("id").as("var_id")))
+        .filter((col("obs_id") + col("var_id") * 2) % 9 === 0)
+        .withColumn("value", (col("obs_id") * 13 + col("var_id") * 7) % 31 * 0.5)
+      import graft.artifact.UnsValue._
+      graft.h5.AnnH5Writer.write(
+        graft.artifact.AnnDataset(obs, vars, x,
+          varm = Map("emb" -> emb),
+          obsp = Map("knn" -> knn),
+          uns = Map(
+            "seed" -> Scalar(7L),
+            "note" -> Scalar("hello"),
+            "weights" -> Arr(Seq(0.5, 1.0, 1.5)),
+            "opts" -> Mapping(Map("lr" -> Scalar(0.5), "steps" -> Scalar(100L)))),
+          raw = Some(graft.artifact.RawSlots(rawVars, rawX))),
+        p.toString)
+      p.toString
+    })
+
   private val written = scala.collection.concurrent.TrieMap.empty[String, String]
   private def writtenH5ad(spark: SparkSession): String =
     written.getOrElseUpdate("x", synchronized {
@@ -299,6 +382,58 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the dense fixture's uns/varm/obsp/raw closed forms (tools/gen_h5ad.py)
+    "a13_h5ad_uns_varm" ->
+      """WITH rows AS (
+        |  SELECT 'uns/n_bins' AS slot, 1::BIGINT AS n, CAST(42.0 AS DOUBLE) AS sum_value
+        |  UNION ALL SELECT 'uns/params/alpha', 1, 0.75
+        |  UNION ALL SELECT 'uns/params/method:lognorm', 1, NULL
+        |  UNION ALL SELECT 'uns/rank_scores', 10,
+        |    (SELECT CAST(sum((k*k % 17) * 0.5) AS DOUBLE) FROM range(10) t(k))
+        |  UNION ALL SELECT 'uns/version:v1.2.3', 1, NULL
+        |  UNION ALL SELECT 'varm/PCs',
+        |    (SELECT count(*) FROM range(40) a(j), range(6) b(k)),
+        |    (SELECT CAST(sum(((j*13 + k*7) % 41) * 0.5) AS DOUBLE)
+        |     FROM range(40) a(j), range(6) b(k))
+        |  UNION ALL SELECT 'obsp/connectivities',
+        |    (SELECT count(*) FROM range(300) a(i), range(300) b(j)
+        |     WHERE (i*3 + j*11) % 97 = 0),
+        |    (SELECT CAST(sum(((i + j) % 13) * 0.5) AS DOUBLE)
+        |     FROM range(300) a(i), range(300) b(j) WHERE (i*3 + j*11) % 97 = 0)
+        |  UNION ALL SELECT 'raw/X',
+        |    (SELECT count(*) FROM range(300) a(i), range(50) b(j)
+        |     WHERE (i*3 + j*7) % 5 = 0),
+        |    (SELECT CAST(sum(((i*7 + j*11) % 23) * 0.5) AS DOUBLE)
+        |     FROM range(300) a(i), range(50) b(j) WHERE (i*3 + j*7) % 5 = 0)
+        |  UNION ALL SELECT 'raw/var', 50, NULL)
+        |SELECT slot, n, sum_value FROM rows ORDER BY slot""".stripMargin,
+
+    // a14 writes the closed-form slots through AnnH5Writer and reopens
+    // them natively; the oracle recomputes the same forms from range()
+    "a14_h5ad_slots_roundtrip" ->
+      """WITH rows AS (
+        |  SELECT 'uns/note:hello' AS slot, 1::BIGINT AS n, CAST(NULL AS DOUBLE) AS sum_value
+        |  UNION ALL SELECT 'uns/opts/lr', 1, 0.5
+        |  UNION ALL SELECT 'uns/opts/steps', 1, 100.0
+        |  UNION ALL SELECT 'uns/seed', 1, 7.0
+        |  UNION ALL SELECT 'uns/weights', 3, 3.0
+        |  UNION ALL SELECT 'varm/emb',
+        |    (SELECT count(*) FROM range(32) a(j), range(4) b(k)),
+        |    (SELECT CAST(sum(((j*3 + k*5) % 19) * 0.5) AS DOUBLE)
+        |     FROM range(32) a(j), range(4) b(k))
+        |  UNION ALL SELECT 'obsp/knn',
+        |    (SELECT count(*) FROM range(240) a(i), range(240) b(j)
+        |     WHERE (i + 2*j) % 41 = 0),
+        |    (SELECT CAST(sum(((i*2 + j) % 11) * 0.5) AS DOUBLE)
+        |     FROM range(240) a(i), range(240) b(j) WHERE (i + 2*j) % 41 = 0)
+        |  UNION ALL SELECT 'raw/X',
+        |    (SELECT count(*) FROM range(240) a(i), range(48) b(j)
+        |     WHERE (i + 2*j) % 9 = 0),
+        |    (SELECT CAST(sum(((i*13 + j*7) % 31) * 0.5) AS DOUBLE)
+        |     FROM range(240) a(i), range(48) b(j) WHERE (i + 2*j) % 9 = 0)
+        |  UNION ALL SELECT 'raw/var', 48, NULL)
+        |SELECT slot, n, sum_value FROM rows ORDER BY slot""".stripMargin,
 
     "a09_h5ad_latest_layout" ->
       """SELECT 'type_' || (i % 5) AS cell_type,

@@ -29,7 +29,8 @@ class H5Spec extends AnyFunSuite {
   test("file structure: root groups, dims, dtypes, encoding attrs") {
     val f = H5File.open(dense)
     try {
-      assert(f.root.children.keySet == Set("X", "obs", "var", "obsm", "layers"))
+      assert(f.root.children.keySet ==
+        Set("X", "obs", "var", "obsm", "layers", "varm", "obsp", "uns", "raw"))
       assert(f.attrString(f.root, "encoding-type").contains("anndata"))
       val x = f.dataset("X")
       assert(x.dims.toSeq == Seq(nObs.toLong, nVar.toLong))
@@ -234,5 +235,83 @@ class H5Spec extends AnyFunSuite {
       j <- 0 until nVar; if (i * 7 + j * 13) % 5 == 0
     } yield 1).size
     assert(nnz == expected)
+  }
+
+  test("uns decodes as a typed tree: scalars, arrays, nested dicts") {
+    import graft.artifact.UnsValue._
+    val ds = AnnH5.open(spark, dense)
+    assert(ds.uns.keySet == Set("version", "n_bins", "params", "rank_scores"))
+    assert(ds.uns("version") == Scalar("v1.2.3"))
+    assert(ds.uns("n_bins") == Scalar(42L))
+    assert(ds.uns("rank_scores") ==
+      Arr((0 until 10).map(k => (k * k % 17) * 0.5: Any)))
+    ds.uns("params") match {
+      case Mapping(items) =>
+        assert(items("alpha") == Scalar(0.75) && items("method") == Scalar("lognorm"))
+      case other => fail(s"params decoded as $other")
+    }
+  }
+
+  test("varm/obsp/raw slots: COO shape, closed-form values, subset flow") {
+    val ds = AnnH5.open(spark, dense)
+    val pcs = ds.varm("PCs")
+    assert(pcs.columns.toSeq == Seq("var_id", "dim_id", "value"))
+    assert(pcs.count() == nVar.toLong * 6)
+    assert(pcs.filter(col("var_id") === 7 && col("dim_id") === 2)
+      .collect().head.getDouble(2) == ((7 * 13 + 2 * 7) % 41) * 0.5)
+    val conn = ds.obsp("connectivities")
+    assert(conn.columns.toSeq == Seq("obs_id", "obs_id_2", "value"))
+    val expectedConn = (for {
+      i <- 0 until nObs; j <- 0 until nObs; if (i * 3 + j * 11) % 97 == 0
+    } yield 1).size
+    assert(conn.count() == expectedConn)
+    val raw = ds.raw.getOrElse(fail("raw slot missing"))
+    assert(raw.vars.count() == 50)
+    assert(raw.x.filter(col("obs_id") === 1 && col("var_id") === 1)
+      .collect().head.getDouble(2) == ((1 * 7 + 1 * 11) % 23) * 0.5)
+    // subsetObs follows obsp on BOTH axes and raw X on obs; subsetVars
+    // follows varm and leaves raw untouched
+    val subO = ds.subsetObs(col("cell_type") === "type_0") // obs_id % 5 == 0
+    val expSub = (for {
+      i <- 0 until nObs by 5; j <- 0 until nObs by 5
+      if (i * 3 + j * 11) % 97 == 0
+    } yield 1).size
+    assert(subO.obsp("connectivities").count() == expSub)
+    assert(subO.raw.get.vars.count() == 50)
+    val subV = ds.subsetVars(col("var_id") < 10)
+    assert(subV.varm("PCs").count() == 10L * 6)
+    assert(subV.raw.get.x.count() == raw.x.count())
+  }
+
+  test("writer round-trips varm/obsp/uns/raw bit-exactly") {
+    import graft.artifact.{AnnDataset, RawSlots, UnsValue}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("h5-slots").toString
+    val p = s"$dir/rt.h5ad"
+    val obs = spark.range(20).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(6).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = Seq((0L, 1L, 2.5), (3L, 2L, 1.0), (19L, 5L, 4.5)).toDF("obs_id", "var_id", "value")
+    val emb = Seq((0L, 0L, 1.5), (5L, 1L, 0.5)).toDF("var_id", "dim_id", "value")
+    val knn = Seq((0L, 3L, 0.5), (7L, 0L, 2.0)).toDF("obs_id", "obs_id_2", "value")
+    val rawVars = spark.range(9).select(col("id").as("var_id"),
+      concat(lit("rg"), col("id")).as("var_name"))
+    val rawX = Seq((2L, 8L, 3.5)).toDF("obs_id", "var_id", "value")
+    val uns = Map[String, UnsValue](
+      "k" -> UnsValue.Scalar(5L), "name" -> UnsValue.Scalar("panel"),
+      "ws" -> UnsValue.Arr(Seq(0.5, 2.5)),
+      "cfg" -> UnsValue.Mapping(Map("rate" -> UnsValue.Scalar(0.25))))
+    AnnH5Writer.write(AnnDataset(obs, vars, x,
+      varm = Map("emb" -> emb), obsp = Map("knn" -> knn), uns = uns,
+      raw = Some(RawSlots(rawVars, rawX))), p)
+    val rt = AnnH5.open(spark, p)
+    def coo(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(coo(rt.varm("emb")) == coo(emb))
+    assert(coo(rt.obsp("knn")) == coo(knn))
+    assert(coo(rt.raw.get.x) == coo(rawX))
+    assert(rt.raw.get.vars.count() == 9)
+    assert(rt.uns == uns)
   }
 }

@@ -340,7 +340,10 @@ def group(fb, gh, links, attrs=()):
         msgs += attr_msgs(gh, attrs)
         return object_header(fb, msgs)
     names = sorted(links)
-    assert len(names) <= 8, 'single-SNOD writer: <= 8 links per group'
+    # one SNOD per <=8 names (2*sym_leaf_k with the default k=4), all under
+    # one level-0 B-tree node; keys are heap offsets — key[0] = 0 (empty
+    # name), key[i+1] = last name of child i, per the libhdf5 layout
+    assert len(names) <= 32, 'group writer: <= 32 links (4 SNODs)'
     heap_data = bytearray(b'\0' * 8)  # offset 0: the empty name
     offs = {}
     for nm in names:
@@ -349,13 +352,19 @@ def group(fb, gh, links, attrs=()):
         heap_data += pad8(nb)
     dseg = fb.emit(bytes(heap_data))
     heap = fb.emit(b'HEAP' + struct.pack('<B3xQQQ', 0, len(heap_data), UNDEF, dseg))
-    snod_body = b'SNOD' + struct.pack('<BBH', 1, 0, len(names))
-    for nm in names:
-        snod_body += struct.pack('<QQII16x', offs[nm], links[nm], 0, 0)
-    snod = fb.alloc(8 + 8 * 40)
-    fb.put(snod, snod_body)
-    bt_body = (b'TREE' + struct.pack('<BBHQQ', 0, 0, 1, UNDEF, UNDEF)
-               + struct.pack('<QQQ', 0, snod, offs[names[-1]]))
+    snods = []
+    for i in range(0, len(names), 8):
+        part = names[i:i + 8]
+        snod_body = b'SNOD' + struct.pack('<BBH', 1, 0, len(part))
+        for nm in part:
+            snod_body += struct.pack('<QQII16x', offs[nm], links[nm], 0, 0)
+        snod = fb.alloc(8 + 8 * 40)
+        fb.put(snod, snod_body)
+        snods.append((snod, offs[part[-1]]))
+    bt_body = (b'TREE' + struct.pack('<BBHQQ', 0, 0, len(snods), UNDEF, UNDEF)
+               + struct.pack('<Q', 0))
+    for snod, last_off in snods:
+        bt_body += struct.pack('<QQ', snod, last_off)
     bt = fb.alloc(24 + 9 * 8 + 8 * 8)
     fb.put(bt, bt_body)
     msgs = [(0x0011, struct.pack('<QQ', bt, heap))]
@@ -438,6 +447,48 @@ def xval(i, j):
     return ((i * 31 + j * 17) % 97) * 0.5
 
 
+# ------------------------------------------------- uns / csr building blocks
+
+def scalar_f8(fb, gh, value):
+    return contiguous_dataset(fb, gh, dt_float(8), (), struct.pack('<d', value),
+                              enc_attrs(gh, 'numeric-scalar', '0.2.0'))
+
+
+def scalar_i8(fb, gh, value):
+    return contiguous_dataset(fb, gh, dt_fixed(8), (), struct.pack('<q', value),
+                              enc_attrs(gh, 'numeric-scalar', '0.2.0'))
+
+
+def scalar_str(fb, gh, value):
+    mk = vlen_payload(gh, [value])
+    gh.flush()
+    return contiguous_dataset(fb, gh, dt_vlen_str(), (), mk(),
+                              enc_attrs(gh, 'string', '0.2.0'))
+
+
+def csr_group(fb, gh, n_rows, n_cols, mask, val):
+    """csr_matrix group from closed-form mask/value functions."""
+    data, indices, indptr = [], [], [0]
+    for i in range(n_rows):
+        for j in range(n_cols):
+            if mask(i, j):
+                data.append(val(i, j))
+                indices.append(j)
+        indptr.append(len(data))
+    data_ds = chunked_dataset(fb, gh, dt_float(8), (len(data),), (1024,), 8,
+                              lambda c: struct.pack('<d', data[c[0]]),
+                              enc_attrs(gh, 'array', '0.2.0'))
+    ind_ds = chunked_dataset(fb, gh, dt_fixed(4), (len(indices),), (1024,), 4,
+                             lambda c: struct.pack('<i', indices[c[0]]),
+                             enc_attrs(gh, 'array', '0.2.0'))
+    ptr_raw = b''.join(struct.pack('<q', p) for p in indptr)
+    ptr_ds = contiguous_dataset(fb, gh, dt_fixed(8), (len(indptr),), ptr_raw,
+                                enc_attrs(gh, 'array', '0.2.0'))
+    return group(fb, gh, {'data': data_ds, 'indices': ind_ds, 'indptr': ptr_ds},
+                 enc_attrs(gh, 'csr_matrix', '0.1.0')
+                 + [int64_array_attr('shape', [n_rows, n_cols])])
+
+
 # obsm/X_pca[i,k] = ((i*43 + k*3) % 31) * 0.5  (4 dims)
 # layers/scaled[i,j] = X[i,j] + 0.5
 def write_dense(path, n_obs, n_var, chunk, aux=False):
@@ -461,6 +512,40 @@ def write_dense(path, n_obs, n_var, chunk, aux=False):
                                  enc_attrs(gh, 'array', '0.2.0'))
         links['layers'] = group(fb, gh, {'scaled': scaled},
                                 enc_attrs(gh, 'dict', '0.1.0'))
+        # varm/PCs[j,k] = ((j*13 + k*7) % 41) * 0.5  (n_var x 6 dense)
+        pcs = chunked_dataset(fb, gh, dt_float(8), (n_var, 6), (n_var, 6), 8,
+                              lambda c: struct.pack(
+                                  '<d', ((c[0] * 13 + c[1] * 7) % 41) * 0.5),
+                              enc_attrs(gh, 'array', '0.2.0'))
+        links['varm'] = group(fb, gh, {'PCs': pcs}, enc_attrs(gh, 'dict', '0.1.0'))
+        # obsp/connectivities: csr n_obs x n_obs,
+        #   mask (i*3 + j*11) % 97 == 0, value ((i+j) % 13) * 0.5
+        conn = csr_group(fb, gh, n_obs, n_obs,
+                         lambda i, j: (i * 3 + j * 11) % 97 == 0,
+                         lambda i, j: ((i + j) % 13) * 0.5)
+        links['obsp'] = group(fb, gh, {'connectivities': conn},
+                              enc_attrs(gh, 'dict', '0.1.0'))
+        # uns: string scalar, int scalar, f8 array, nested dict
+        #   rank_scores[k] = (k*k % 17) * 0.5, k < 10
+        params = group(fb, gh, {'alpha': scalar_f8(fb, gh, 0.75),
+                                'method': scalar_str(fb, gh, 'lognorm')},
+                       enc_attrs(gh, 'dict', '0.1.0'))
+        rank = contiguous_dataset(
+            fb, gh, dt_float(8), (10,),
+            b''.join(struct.pack('<d', (k * k % 17) * 0.5) for k in range(10)),
+            enc_attrs(gh, 'array', '0.2.0'))
+        links['uns'] = group(fb, gh, {'version': scalar_str(fb, gh, 'v1.2.3'),
+                                      'n_bins': scalar_i8(fb, gh, 42),
+                                      'params': params, 'rank_scores': rank},
+                             enc_attrs(gh, 'dict', '0.1.0'))
+        # raw: pre-filter state — 50 vars, csr X
+        #   mask (i*3 + j*7) % 5 == 0, value ((i*7 + j*11) % 23) * 0.5
+        raw_var = var_group(fb, gh, 50)
+        raw_x = csr_group(fb, gh, n_obs, 50,
+                          lambda i, j: (i * 3 + j * 7) % 5 == 0,
+                          lambda i, j: ((i * 7 + j * 11) % 23) * 0.5)
+        links['raw'] = group(fb, gh, {'X': raw_x, 'var': raw_var},
+                             enc_attrs(gh, 'raw', '0.1.0'))
     root = group(fb, gh, links, enc_attrs(gh, 'anndata', '0.1.0'))
     finish(fb, root, path)
 
