@@ -352,6 +352,12 @@ final class ArtifactStore(val cat: Catalog) {
         paths.map { p =>
           FcsReader.read(spark, p).withColumn("_source_path", lit(p))
         }.reduce(_ unionByName _)
+      case ".zarr" =>
+        // native zarr v2 parse (graft.zarr): same X-as-COO contract as
+        // .h5ad — the reference treats the two stores as co-equal
+        paths.map { p =>
+          graft.zarr.AnnZarr.open(spark, p).x.withColumn("_source_path", lit(p))
+        }.reduce(_ unionByName _)
       case other      => throw new IllegalArgumentException(s"unsupported suffix for open(): $other")
     }
   }

@@ -210,8 +210,44 @@ object AnnQueries {
     "a14_h5ad_slots_roundtrip" -> ((spark, _) => {
       val path = writtenSlotsH5ad(spark)
       slotSummary(spark, graft.h5.AnnH5.open(spark, path))
+    }),
+
+    // NATIVE zarr v2 open (graft.zarr): JSON metadata + blosc/zlib chunk
+    // decode in the JVM — obs filter (i8 col), var gate (null-compressor
+    // bool), csr X read through split+shuffle-lz4 chunks, per-var stats
+    "a12_zarr_native_scan" -> ((spark, _) => {
+      val ds = graft.zarr.AnnZarr.open(spark, zarrFixture)
+      ds.subsetObs(col("n_genes") < 25)
+        .subsetVars(col("highly_variable") === 1)
+        .perVarStats
+        .select(col("var_name"), col("n_obs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("var_name")
+    }),
+
+    // zarr slot surface: uns tree (scalars, a fill_value-padded array
+    // whose middle chunk is ABSENT from the store, a memcpy-flag blosc
+    // chunk), multi-chunk dense layer, zlib obsm — one typed row each
+    "a15_zarr_slots" -> ((spark, _) => {
+      import spark.implicits._
+      val ds = graft.zarr.AnnZarr.open(spark, zarrFixture)
+      val unsDf = graft.h5.AnnH5.flattenUns(ds.uns).toDF("slot", "n", "sum_value")
+      def agg(slot: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .select(lit(slot).as("slot"), col("n"), col("sum_value"))
+      Seq(agg("X", ds.x), agg("layers/log", ds.layers("log")),
+        agg("obsm/X_pca", ds.obsm("X_pca")))
+        .foldLeft(unsDf)(_ unionByName _).orderBy("slot")
     })
   )
+
+  /** Committed native-zarr fixture (tools/gen_zarr.py — closed-form
+    * content; the oracles recompute from range()).
+    */
+  private def zarrFixture: String =
+    Seq("fixtures/zarr/pbmc.zarr", "/root/repo/fixtures/zarr/pbmc.zarr")
+      .find(p => new java.io.File(p).exists)
+      .getOrElse(sys.error("zarr fixture missing; run tools/gen_zarr.py"))
 
   /** One typed row per aux slot: uns entries via [[graft.h5.AnnH5.flattenUns]],
     * varm/obsp/raw-X as (count, sum) aggregates, raw/var as a row count.
@@ -456,6 +492,42 @@ object AnnQueries {
         |       CAST(sum(((i*31 + j*17) % 97) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(100, 200) t(i), range(40) s(j)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // zarr fixture closed forms (tools/gen_zarr.py): X mask
+    // (i*5+j*11)%23==0 value ((i*2+j*13)%19)*0.5, n_genes (i*7)%50,
+    // highly_variable j%3==0
+    "a12_zarr_native_scan" ->
+      """SELECT 'gene' || j AS var_name, count(*) AS n_obs,
+        |       CAST(sum(((i*2 + j*13) % 19) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(300) t(i), range(40) s(j)
+        |WHERE (i*7) % 50 < 25 AND j % 3 = 0 AND (i*5 + j*11) % 23 = 0
+        |GROUP BY j ORDER BY var_name""".stripMargin,
+
+    "a15_zarr_slots" ->
+      """WITH rows AS (
+        |  SELECT 'X' AS slot,
+        |    (SELECT count(*) FROM range(300) a(i), range(40) b(j)
+        |     WHERE (i*5 + j*11) % 23 = 0) AS n,
+        |    (SELECT CAST(sum(((i*2 + j*13) % 19) * 0.5) AS DOUBLE)
+        |     FROM range(300) a(i), range(40) b(j)
+        |     WHERE (i*5 + j*11) % 23 = 0) AS sum_value
+        |  UNION ALL SELECT 'layers/log',
+        |    (SELECT count(*) FROM range(300) a(i), range(40) b(j)),
+        |    (SELECT CAST(sum(((i*17 + j*3) % 29) * 0.25) AS DOUBLE)
+        |     FROM range(300) a(i), range(40) b(j))
+        |  UNION ALL SELECT 'obsm/X_pca',
+        |    (SELECT count(*) FROM range(300) a(i), range(5) b(k)),
+        |    (SELECT CAST(sum(((i*13 + k*7) % 37) * 0.5) AS DOUBLE)
+        |     FROM range(300) a(i), range(5) b(k))
+        |  UNION ALL SELECT 'uns/flat', 6,
+        |    (SELECT CAST(sum(k * 0.5) AS DOUBLE) FROM range(6) t(k))
+        |  UNION ALL SELECT 'uns/method:zheng17', 1, NULL
+        |  UNION ALL SELECT 'uns/n_bins', 1, 42.0
+        |  UNION ALL SELECT 'uns/rank', 8,
+        |    (SELECT CAST(sum(CASE WHEN k < 5 THEN (k*5 % 13) * 0.5
+        |                          ELSE 9.0 END) AS DOUBLE) FROM range(8) t(k)))
+        |SELECT slot, CAST(n AS BIGINT) AS n, sum_value
+        |FROM rows ORDER BY slot""".stripMargin,
 
     "a08_h5mu_modalities" ->
       """SELECT 'adt' AS modality, count(*) AS nnz,

@@ -21,14 +21,21 @@ object CoreQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as nanos-since-epoch and convert with integer
-    * division (a double division would lose microseconds at 1.7e18 ns).
+  /** `events.ts` normalized to session-TZ TIMESTAMP whatever the parquet
+    * physical type: TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ (cast is
+    * shift-free under the UTC session), while legacy TIMESTAMP(NANOS) —
+    * which Spark's vectorized reader rejects — is read nanos-as-long and
+    * converted with integer division (a double division would lose
+    * microseconds at 1.7e18 ns).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** TableDefs over the TPC-H-ish tables so the full lookup language

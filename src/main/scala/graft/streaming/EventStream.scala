@@ -13,16 +13,22 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS); streaming reads use an
-    * explicit schema with nanos-as-long plus a conversion column.
+  /** events.parquet carries TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ);
+    * streaming sources need an explicit schema.
     */
   val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** NTZ → session-TZ TIMESTAMP (shift-free under the UTC session); a
+    * legacy nanos-as-long column converts by integer division.
+    */
   private def toTimestamp(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** The shared windowed-aggregation plan: 1-hour tumbling windows per
     * event_type (counts + exact decimal sums).

@@ -1,0 +1,292 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Native zarr v2 directory-store reader — JSON metadata (`.zgroup` /
+  * `.zarray` / `.zattrs`) plus one object per chunk, the store layout the
+  * reference's zarr-backed AnnData accessor reads through the zarr-python
+  * package (`core/storage/_anndata_accessor.py` zarr registry functions,
+  * `core/storage/_backed_access.py:108-121`). Implements the public zarr
+  * v2 spec: C-order chunks padded to full chunk shape at the edges,
+  * `dimension_separator` '.' or '/', absent chunk objects meaning
+  * fill_value, `vlen-utf8` object filter, and the numcodecs default
+  * compressor stack (blosc via [[Blosc]], zlib, or none).
+  *
+  * All byte access goes through the Hadoop FileSystem API so the same
+  * code serves local fixtures and an object store; executor tasks open
+  * their own chunk objects (nothing matrix-sized crosses the driver).
+  */
+object ZarrStore {
+  private val mapper = new ObjectMapper()
+
+  def fs(root: String): FileSystem = new Path(root).getFileSystem(new Configuration())
+
+  /** Read a store object fully; None when absent (fill-value chunks). */
+  def readBytes(root: String, rel: String): Option[Array[Byte]] = {
+    val p = new Path(root, rel)
+    val f = fs(root)
+    if (!f.exists(p)) None
+    else {
+      val st = f.getFileStatus(p)
+      val out = new Array[Byte](st.getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(0, out) finally in.close()
+      Some(out)
+    }
+  }
+
+  def json(root: String, rel: String): Option[JsonNode] =
+    readBytes(root, rel).map(mapper.readTree)
+
+  /** Attributes of a group/array node (empty when no `.zattrs`). */
+  def attrs(root: String, rel: String): Option[JsonNode] =
+    json(root, if (rel.isEmpty) ".zattrs" else s"$rel/.zattrs")
+
+  def attrString(root: String, rel: String, key: String): Option[String] =
+    attrs(root, rel).flatMap(a => Option(a.get(key))).filter(_.isTextual).map(_.asText)
+
+  def attrStrings(root: String, rel: String, key: String): Option[Seq[String]] =
+    attrs(root, rel).flatMap(a => Option(a.get(key))).filter(_.isArray).map { arr =>
+      (0 until arr.size).map(arr.get(_).asText)
+    }
+
+  def isArray(root: String, rel: String): Boolean =
+    fs(root).exists(new Path(root, s"$rel/.zarray"))
+
+  def isGroup(root: String, rel: String): Boolean =
+    fs(root).exists(new Path(root, s"$rel/.zgroup"))
+
+  /** Child node names (subdirectories holding `.zarray` or `.zgroup`). */
+  def children(root: String, rel: String): Seq[String] = {
+    val f = fs(root)
+    val base = if (rel.isEmpty) new Path(root) else new Path(root, rel)
+    if (!f.exists(base)) Nil
+    else f.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => isArray(root, if (rel.isEmpty) n else s"$rel/$n") ||
+        isGroup(root, if (rel.isEmpty) n else s"$rel/$n"))
+      .sorted
+  }
+
+  def openArray(root: String, rel: String): ZArray = {
+    val m = json(root, s"$rel/.zarray").getOrElse(
+      sys.error(s"$root/$rel: no .zarray — not a zarr array"))
+    val shape = (0 until m.get("shape").size).map(m.get("shape").get(_).asLong)
+    val chunks = (0 until m.get("chunks").size).map(m.get("chunks").get(_).asInt)
+    val dtype = m.get("dtype").asText
+    val order = Option(m.get("order")).map(_.asText).getOrElse("C")
+    require(order == "C", s"$rel: only C-order zarr arrays are supported")
+    val fillNode = m.get("fill_value")
+    val (fillNum, fillStr) =
+      if (fillNode == null || fillNode.isNull) (None, None)
+      else if (fillNode.isNumber) (Some(fillNode.asDouble), None)
+      else (None, Some(fillNode.asText))
+    val sep = Option(m.get("dimension_separator")).filterNot(_.isNull)
+      .map(_.asText).getOrElse(".")
+    val comp = Option(m.get("compressor")).filterNot(_.isNull) match {
+      case None => "none"
+      case Some(c) => c.get("id").asText match {
+        case "blosc" => "blosc"
+        case "zlib" => "zlib"
+        case other => sys.error(s"$rel: unsupported zarr compressor '$other'")
+      }
+    }
+    val vlen = Option(m.get("filters")).filterNot(_.isNull).exists { fl =>
+      (0 until fl.size).exists(i => fl.get(i).get("id").asText == "vlen-utf8")
+    }
+    require(dtype != "|O" || vlen, s"$rel: object dtype requires the vlen-utf8 filter")
+    ZArray(root, rel, shape, chunks, dtype, fillNum, fillStr, sep, comp, vlen)
+  }
+}
+
+/** One zarr v2 array: serializable metadata + chunk decode, shippable to
+  * executor tasks (each task re-opens the FileSystem for its own chunks).
+  */
+final case class ZArray(root: String, rel: String, shape: Seq[Long],
+                        chunks: Seq[Int], dtype: String,
+                        fillNum: Option[Double], fillStr: Option[String],
+                        sep: String, compressor: String, vlenUtf8: Boolean)
+    extends Serializable {
+
+  /** numpy dtype string → (kind, element size). '|O' has esize 0. */
+  val (kind: Char, esize: Int) = {
+    require(dtype.length >= 2, s"$rel: bad dtype '$dtype'")
+    val bo = dtype.charAt(0)
+    require(bo == '<' || bo == '|', s"$rel: big-endian dtype '$dtype' unsupported")
+    val k = dtype.charAt(1)
+    if (k == 'O') ('O', 0)
+    else {
+      val sz = dtype.substring(2).toInt
+      require("fiub".contains(k), s"$rel: dtype kind '$k' unsupported")
+      (k, sz)
+    }
+  }
+
+  def rank: Int = shape.length
+  def nElems: Long = if (shape.isEmpty) 1L else shape.product
+  def chunkElems: Int = if (chunks.isEmpty) 1 else chunks.product
+
+  /** Chunk-grid extents per dimension. */
+  def gridDims: Seq[Int] =
+    shape.zip(chunks).map { case (s, c) => ((s + c - 1) / c).toInt }
+
+  /** All chunk coordinates in C order (a 0-d array has one chunk `()`). */
+  def gridCoords: Seq[Seq[Int]] =
+    gridDims.foldLeft(Seq(Seq.empty[Int])) { (acc, n) =>
+      acc.flatMap(g => (0 until n).map(g :+ _))
+    }
+
+  def chunkKey(coord: Seq[Int]): String =
+    if (coord.isEmpty) "0" else coord.mkString(sep)
+
+  private def inflateAll(src: Array[Byte], sizeHint: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(src)
+    var buf = new Array[Byte](math.max(sizeHint, 256))
+    var o = 0
+    while (!inf.finished()) {
+      if (o == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      o += inf.inflate(buf, o, buf.length - o)
+    }
+    inf.end()
+    java.util.Arrays.copyOf(buf, o)
+  }
+
+  /** Decompressed bytes of one chunk; None when the object is absent
+    * (the zarr contract: every element of that chunk is fill_value).
+    */
+  def readChunk(coord: Seq[Int]): Option[Array[Byte]] =
+    ZarrStore.readBytes(root, s"$rel/${chunkKey(coord)}").map { enc =>
+      compressor match {
+        case "blosc" => Blosc.decode(enc)
+        case "zlib" => inflateAll(enc, chunkElems * math.max(esize, 1))
+        case _ => enc
+      }
+    }
+
+  /** Numeric element range [e0, e1) of a 1-D array as raw bytes (CSR
+    * data/indices slices — executor-side, reads only overlapping chunks).
+    */
+  def readRange1d(e0: Long, e1: Long): Array[Byte] = {
+    require(rank == 1 && kind != 'O', s"$rel: readRange1d needs a numeric 1-D array")
+    val cl = chunks(0)
+    val out = new Array[Byte](((e1 - e0) * esize).toInt)
+    val fill = fillBytes
+    var c = (e0 / cl).toInt
+    val cEndIdx = if (e1 == e0) c else ((e1 - 1) / cl).toInt
+    while (c <= cEndIdx) {
+      val cStart = c.toLong * cl
+      val lo = math.max(e0, cStart)
+      val hi = math.min(e1, cStart + cl)
+      if (lo < hi) {
+        val len = ((hi - lo) * esize).toInt
+        val dstOff = ((lo - e0) * esize).toInt
+        readChunk(Seq(c)) match {
+          case Some(dec) =>
+            System.arraycopy(dec, ((lo - cStart) * esize).toInt, out, dstOff, len)
+          case None =>
+            var i = 0
+            while (i < len) { out(dstOff + i) = fill(i % esize); i += 1 }
+        }
+      }
+      c += 1
+    }
+    out
+  }
+
+  private def fillBytes: Array[Byte] = {
+    val b = ByteBuffer.allocate(math.max(esize, 1)).order(ByteOrder.LITTLE_ENDIAN)
+    val v = fillNum.getOrElse(0.0)
+    kind match {
+      case 'f' if esize == 8 => b.putDouble(v)
+      case 'f' => b.putFloat(v.toFloat)
+      case _ => esize match {
+        case 8 => b.putLong(v.toLong)
+        case 4 => b.putInt(v.toInt)
+        case 2 => b.putShort(v.toShort)
+        case _ => b.put(v.toByte)
+      }
+    }
+    b.array()
+  }
+
+  /** Numeric value at byte-element index `k` of a decoded buffer. */
+  def numAt(buf: ByteBuffer, k: Int): Double = kind match {
+    case 'f' if esize == 8 => buf.getDouble(k * 8)
+    case 'f' => buf.getFloat(k * 4).toDouble
+    case _ => esize match {
+      case 8 => buf.getLong(k * 8).toDouble
+      case 4 => buf.getInt(k * 4).toDouble
+      case 2 => buf.getShort(k * 2).toDouble
+      case _ =>
+        if (kind == 'u' || kind == 'b') (buf.get(k) & 0xFF).toDouble
+        else buf.get(k).toDouble
+    }
+  }
+
+  private def longAt(buf: ByteBuffer, k: Int): Long = esize match {
+    case 8 => buf.getLong(k * 8)
+    case 4 => if (kind == 'u') buf.getInt(k * 4) & 0xFFFFFFFFL else buf.getInt(k * 4).toLong
+    case 2 => buf.getShort(k * 2).toLong
+    case _ => if (kind == 'u' || kind == 'b') (buf.get(k) & 0xFF).toLong else buf.get(k).toLong
+  }
+
+  /** The numcodecs VLenUTF8 frame: u32 item count, then per item a u32
+    * byte length + UTF-8 payload.
+    */
+  private def decodeVlen(dec: Array[Byte]): Array[String] = {
+    val b = ByteBuffer.wrap(dec).order(ByteOrder.LITTLE_ENDIAN)
+    val n = b.getInt()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val len = b.getInt()
+      val s = new Array[Byte](len)
+      b.get(s)
+      out(i) = new String(s, java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    out
+  }
+
+  /** Full driver-side decode of a 0/1-D array (axis metadata, indptr,
+    * categories, uns — driver-sized by the same contract as the HDF5
+    * reader's axis frames). Longs for i/u/b kinds, Doubles for f,
+    * Strings for object arrays; absent chunks yield fill_value.
+    */
+  def readFlat(): IndexedSeq[Any] = {
+    require(rank <= 1, s"$rel: readFlat is for 0/1-D arrays (rank $rank)")
+    val n = nElems.toInt
+    val out = new Array[Any](n)
+    val cl = if (chunks.isEmpty) 1 else chunks(0)
+    gridCoords.foreach { coord =>
+      val base = if (coord.isEmpty) 0 else coord(0) * cl
+      val m = math.min(cl.toLong, n - base).toInt
+      readChunk(coord) match {
+        case Some(dec) if kind == 'O' =>
+          val strs = decodeVlen(dec)
+          var i = 0
+          while (i < m) { out(base + i) = strs(i); i += 1 }
+        case Some(dec) =>
+          val b = ByteBuffer.wrap(dec).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < m) {
+            out(base + i) = if (kind == 'f') numAt(b, i) else longAt(b, i)
+            i += 1
+          }
+        case None =>
+          val fv: Any =
+            if (kind == 'O') fillStr.orNull
+            else if (kind == 'f') fillNum.getOrElse(0.0)
+            else fillNum.getOrElse(0.0).toLong
+          var i = 0
+          while (i < m) { out(base + i) = fv; i += 1 }
+      }
+    }
+    out.toIndexedSeq
+  }
+}

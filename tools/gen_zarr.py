@@ -326,7 +326,7 @@ def write_array(root, rel, shape, chunks, dtype, values, attrs,
             typesize = 1
         else:
             fmt, esize = DT_PACK[dtype]
-            raw = b''.join(struct.pack(fmt, int(v) if 'f' not in fmt else v)
+            raw = b''.join(struct.pack(fmt, v if fmt[-1] in 'fd' else int(v))
                            for v in chunk_vals)
             typesize = esize
         if compressor is None:
