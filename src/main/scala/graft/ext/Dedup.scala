@@ -481,10 +481,20 @@ object Dedup {
   /** SimHash near-dup candidates: docs agreeing on any band of the 64-bit
     * simhash. The band plan is cardinality-adaptive (`simhashBandPlan`
     * over 64 bits, width 16–21): small corpora get the legacy 4×16-bit
-    * quarters (hamming ≤ 3 guaranteed by pigeonhole), large corpora get
-    * fewer, wider bands so background collisions stay ~linear in n.
-    * Pass `bandPlan` to pin a layout, `maxBucketDf` to additionally cap
-    * per-bucket membership (no bucket can explode regardless of params).
+    * quarters, large corpora get fewer, wider bands so background
+    * collisions stay ~linear in n.
+    *
+    * RECALL CONTRACT (read before relying on this across corpus sizes):
+    * by pigeonhole, a pair is GUARANTEED to surface only when its hamming
+    * distance ≤ bands−1 — that is hamming ≤ 3 under the small-corpus
+    * 4-band plan but hamming ≤ 2 once the adaptive plan drops to 3 bands
+    * (n > ~2^21/16). Pairs beyond that bound surface only
+    * probabilistically, so the SAME pair can legitimately disappear as
+    * the corpus grows and callers filtering at e.g. `hamming <= 6` are
+    * sampling, not enumerating, at every corpus size. Pass `bandPlan` to
+    * pin a fixed layout (fixed recall, quadratic background risk), or
+    * `maxBucketDf` to additionally cap per-bucket membership. The chosen
+    * plan is logged per run (slf4j INFO) so runs are auditable.
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bandPlan: Option[(Int, Int)] = None,
@@ -499,8 +509,16 @@ object Dedup {
     // the count materializes the persist instead of re-reading the source
     val (bands, bw) = bandPlan.getOrElse(
       simhashBandPlan(withSim.count(), totalBits = 64, minWidth = 16, maxWidth = 21))
+    logBandPlan("simhashCandidates", bands, bw)
     finishPairs(bandPairs(withSim, bands, bw, maxBucketDf), withSim)
   }
+
+  /** Audit line for the (possibly corpus-size-derived) band layout —
+    * guaranteed-recall bound is hamming ≤ bands−1 (see entry-point docs).
+    */
+  private def logBandPlan(site: String, bands: Int, bw: Int): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"$site: band plan ${bands}x${bw}-bit (guaranteed recall hamming <= ${bands - 1})")
 
   /** Portable SimHash candidates: same explode → per-bit vote → band
     * pipeline as `simhashCandidates`, but token hashes are 60-bit md5
@@ -508,6 +526,11 @@ object Dedup {
     * generates the replica from the same bit layout and the SAME
     * cardinality-adaptive sizing rule — `simhashBandPlan` over 60 bits,
     * width 15–20: 4×15 for small corpora, 3 wider bands as n grows).
+    *
+    * Same RECALL CONTRACT as `simhashCandidates`: guaranteed only for
+    * hamming ≤ bands−1 (3 under 4×15, 2 once the plan drops to 3 bands),
+    * probabilistic beyond — candidate output is corpus-size-dependent
+    * unless `bandPlan` pins a layout. Chosen plan is logged per run.
     */
   def simhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
                                 bandPlan: Option[(Int, Int)] = None,
@@ -531,6 +554,7 @@ object Dedup {
     // cache it just materialized (mirrors the SQL replica's count of `sim`)
     val (bands, bw) = bandPlan.getOrElse(
       simhashBandPlan(withSim.count(), totalBits = bits, minWidth = 15, maxWidth = 20))
+    logBandPlan("simhashCandidatesPortable", bands, bw)
     finishPairs(bandPairs(withSim, bands, bw, maxBucketDf), withSim)
   }
 

@@ -273,6 +273,9 @@ object AnnH5 {
             f.decodeStrings(d.dtype, f.readRaw(d)).toArray[Any]
           case H5Dtype.FloatPt(_) =>
             f.decodeDoubles(d.dtype, f.readRaw(d)).map(v => v: Any)
+          case H5Dtype.EnumT(H5Dtype.FixedPt(1, _)) =>
+            // h5py's bool-on-disk encoding — surface as Boolean, not 0/1
+            f.decodeLongs(d.dtype, f.readRaw(d)).map(v => (v != 0L): Any)
           case _ =>
             f.decodeLongs(d.dtype, f.readRaw(d)).map(v => v: Any)
         }
@@ -303,9 +306,13 @@ object AnnH5 {
         case Scalar(s: String) => Seq((s"$pfx:$s", 1L, None))
         case Scalar(d: Double) => Seq((pfx, 1L, Some(d)))
         case Scalar(n: Number) => Seq((pfx, 1L, Some(n.doubleValue())))
+        case Scalar(b: Boolean) => Seq((pfx, 1L, Some(if (b) 1.0 else 0.0)))
         case Scalar(_) => Seq((pfx, 1L, None))
         case Arr(vals) =>
-          val nums = vals.collect { case n: Number => n.doubleValue() }
+          val nums = vals.collect {
+            case n: Number => n.doubleValue()
+            case b: Boolean => if (b) 1.0 else 0.0
+          }
           Seq((pfx, vals.length.toLong, if (nums.nonEmpty) Some(nums.sum) else None))
         case Mapping(items) =>
           items.toSeq.sortBy(_._1).flatMap { case (k, cv) => flat(s"$pfx/$k", cv) }

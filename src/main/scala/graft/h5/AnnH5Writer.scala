@@ -79,6 +79,15 @@ object AnnH5Writer {
   private def dtVlenStr: Array[Byte] =
     Array[Byte](0x19, 0x01, 0x01, 0) ++ u32(16) ++ dtStr1
 
+  /** h5py's bool on disk: a 2-member enum (FALSE=0, TRUE=1) over i1 —
+    * version-1 layout, member names null-terminated and 8-padded.
+    */
+  private def dtBoolEnum: Array[Byte] =
+    Array[Byte](0x18, 0x02, 0, 0) ++ u32(1) ++ dtFixed(1) ++
+      pad8("FALSE".getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte) ++
+      pad8("TRUE".getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte) ++
+      Array[Byte](0, 1)
+
   private def dataspace(dims: Seq[Long]): Array[Byte] =
     Array[Byte](1, dims.length.toByte, 0, 0) ++ u32(0) ++
       dims.toArray.flatMap(u64)
@@ -385,10 +394,21 @@ object AnnH5Writer {
         contiguous(out, gh, dtFixed(8), Nil, u64(n.longValue()),
           encAttrs(gh, "numeric-scalar", "0.2.0"))
       case Scalar(b: Boolean) =>
-        contiguous(out, gh, dtFixed(1), Nil, Array[Byte](if (b) 1 else 0),
+        // real bool-enum dtype so the value round-trips as Boolean
+        // (a plain i1 would read back as a numeric long)
+        contiguous(out, gh, dtBoolEnum, Nil, Array[Byte](if (b) 1 else 0),
           encAttrs(gh, "numeric-scalar", "0.2.0"))
       case Scalar(other) => throw new UnsupportedOperationException(
         s"uns scalar of ${if (other == null) "null" else other.getClass.getName}")
+      case Arr(Nil) =>
+        // an empty Seq satisfies every forall: pick the numeric default
+        // explicitly rather than falling into the string-array branch
+        contiguous(out, gh, dtFloat(8), Seq(0L), Array.empty[Byte],
+          encAttrs(gh, "array", "0.2.0"))
+      case Arr(vals) if vals.forall(_.isInstanceOf[Boolean]) =>
+        contiguous(out, gh, dtBoolEnum, Seq(vals.length.toLong),
+          vals.toArray.map(x => (if (x.asInstanceOf[Boolean]) 1 else 0).toByte),
+          encAttrs(gh, "array", "0.2.0"))
       case Arr(vals) if vals.forall(_.isInstanceOf[String]) =>
         vlenStrDataset(out, gh, vals.map(_.asInstanceOf[String]),
           encAttrs(gh, "string-array", "0.2.0"))

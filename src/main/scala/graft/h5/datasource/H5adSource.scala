@@ -35,8 +35,11 @@ import graft.h5._
 final class H5adSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "h5ad"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    H5adSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path"))
+    val slot = Option(options.get("slot")).getOrElse("X")
+    path.map(p => H5adSource.schemaFor(p, slot)).getOrElse(H5adSource.Schema)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
@@ -51,25 +54,36 @@ object H5adSource {
     StructField("obs_id", LongType, nullable = false),
     StructField("var_id", LongType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Matrix slots expose the COO schema; `dataframe` slots (obs / var /
+    * raw/var) expose the frame's own schema from its encoding attrs.
+    */
+  def schemaFor(path: String, slot: String): StructType = {
+    val f = H5File.open(path)
+    try {
+      if (H5adFrame.isFrameSlot(f, slot)) H5adFrame.describe(f, slot).schema
+      else Schema
+    } finally f.close()
+  }
 }
 
 final class H5adTable(path: String, slot: String) extends Table with SupportsRead {
   override def name(): String = s"h5ad:$path!$slot"
-  override def schema(): StructType = H5adSource.Schema
+  override lazy val schema: StructType = H5adSource.schemaFor(path, slot)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new H5adScanBuilder(path, slot,
+    new H5adScanBuilder(path, slot, schema,
       options.getInt("bundleThreshold", 256),
       options.getLong("bundleBytes", 32L << 20))
 }
 
-final class H5adScanBuilder(path: String, slot: String,
+final class H5adScanBuilder(path: String, slot: String, full: StructType,
                             bundleThreshold: Int, bundleBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = H5adSource.Schema
+  private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -147,6 +161,20 @@ final class H5adScan(path: String, slot: String, required: StructType,
     val (varLo, varHi) = colBounds.getOrElse("var_id", (Long.MinValue, Long.MaxValue))
     val f = H5File.open(path)
     try {
+      if (H5adFrame.isFrameSlot(f, slot)) {
+        // dataframe slot: row ranges pruned by pushed row-id bounds;
+        // tasks decode only their slice of each projected column
+        val info = H5adFrame.describe(f, slot)
+        val (idLo, idHi) = colBounds.getOrElse(info.rowIdName,
+          (Long.MinValue, Long.MaxValue))
+        val par = math.max(1, math.min(info.n, 32L)).toInt
+        val bnds = (0 to par).map(p => info.n * p / par).distinct
+        return bnds.zip(bnds.tail)
+          .filter { case (r0, r1) => r1 > idLo && r0 <= idHi }
+          .map { case (r0, r1) =>
+            FrameRangePartition(path, slot, r0, r1, info.specs.toArray): InputPartition
+          }.toArray
+      }
       f(slot) match {
         case g: H5Group =>
           require(f.attrString(g, "encoding-type").contains("csr_matrix"),
@@ -210,6 +238,7 @@ final class H5adReaderFactory(required: StructType)
     partition match {
       case p: DenseChunkPartition => new DenseChunkReader(p, required)
       case p: CsrRangePartition => new CsrRangeReader(p, required)
+      case p: FrameRangePartition => new FrameRangeReader(p, required)
     }
 }
 

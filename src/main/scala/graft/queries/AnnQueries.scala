@@ -225,6 +225,19 @@ object AnnQueries {
         .orderBy("var_name")
     }),
 
+    // DSv2 dataframe slot: obs read as a TABLE (schema from the encoding,
+    // row-range tasks, pushed obs_id bounds pruning ranges) — the
+    // executor-side answer to the reference's driver-side axis frames
+    "a16_h5ad_dsv2_obs" -> ((spark, _) => {
+      spark.read.format("h5ad").option("slot", "obs")
+        .load(h5Fixture("dense.h5ad"))
+        .filter(col("obs_id") >= 50 && col("obs_id") < 250)
+        .groupBy("cell_type")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("n_counts")).as("sum_counts"))
+        .orderBy("cell_type")
+    }),
+
     // zarr slot surface: uns tree (scalars, a fill_value-padded array
     // whose middle chunk is ABSENT from the store, a memcpy-flag blosc
     // chunk), multi-chunk dense layer, zlib obsm — one typed row each
@@ -502,6 +515,11 @@ object AnnQueries {
         |FROM range(300) t(i), range(40) s(j)
         |WHERE (i*7) % 50 < 25 AND j % 3 = 0 AND (i*5 + j*11) % 23 = 0
         |GROUP BY j ORDER BY var_name""".stripMargin,
+
+    "a16_h5ad_dsv2_obs" ->
+      """SELECT 'type_' || (i % 5) AS cell_type, count(*) AS n_obs,
+        |       CAST(sum((i*37 % 1000) + 0.5) AS DOUBLE) AS sum_counts
+        |FROM range(50, 250) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a15_zarr_slots" ->
       """WITH rows AS (

@@ -120,4 +120,39 @@ class H5WriterSpec extends AnyFunSuite {
       assert(names.toSeq == Seq("0", "1", "2", "3"))
     } finally f.close()
   }
+
+  test("multi-SNOD group (14 links) + bool/empty-array uns round-trip") {
+    import graft.artifact.UnsValue._
+    // 14 uns keys force the group writer's 9-32-link path (two symbol
+    // table nodes under one B-tree); every value kind rides along so the
+    // bool enum, empty-array, and bool-array encoders are each parsed
+    // back by AnnH5.open
+    val uns: Map[String, graft.artifact.UnsValue] =
+      (0 until 10).map(k => f"k$k%02d" -> (Scalar(k.toLong): graft.artifact.UnsValue)).toMap ++
+        Map(
+          "flag_t" -> Scalar(true), "flag_f" -> Scalar(false),
+          "mask" -> Arr(Seq(true, false, true)),
+          "empty" -> Arr(Nil))
+    val obs = spark.range(3).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(2).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = Seq((0L, 0L, 1.0)).toDF("obs_id", "var_id", "value")
+    val p = java.nio.file.Files.createTempFile("graft_w2", ".h5ad").toString
+    AnnH5Writer.write(AnnDataset(obs, vars, x, uns = uns), p)
+    // raw structure: the uns group resolves all 14 children by name
+    val f = H5File.open(p)
+    try {
+      val g = f.group("uns")
+      assert(g.children.size == 14)
+      assert(g.children.keySet ==
+        ((0 until 10).map(k => f"k$k%02d").toSet ++ Set("flag_t", "flag_f", "mask", "empty")))
+    } finally f.close()
+    val ds = AnnH5.open(spark, p)
+    (0 until 10).foreach(k => assert(ds.uns(f"k$k%02d") == Scalar(k.toLong)))
+    assert(ds.uns("flag_t") == Scalar(true))
+    assert(ds.uns("flag_f") == Scalar(false))
+    assert(ds.uns("mask") == Arr(Seq(true, false, true)))
+    assert(ds.uns("empty") == Arr(Nil))
+  }
 }
