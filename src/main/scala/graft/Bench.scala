@@ -14,6 +14,29 @@ object Bench {
       .find(p => new java.io.File(p).exists)
       .getOrElse(sys.error("bench.h5ad fixture missing; run tools/gen_h5ad.py"))
 
+  /** b12 store: 20000x256, 25% density, closed-form values — written
+    * once per process through the executor-parallel zarr sink (data
+    * prep, untimed like the other warmup fixtures).
+    */
+  private val zarrBench = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def zarrBenchStore(spark: SparkSession): String = synchronized {
+    Option(zarrBench.get).getOrElse {
+      val p = java.nio.file.Files.createTempDirectory("graft_zbench").toString + "/bench.zarr"
+      val x = spark.range(20000).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(256).select(col("id").as("var_id")))
+        .filter((col("obs_id") + col("var_id")) % 4 === 0)
+        .withColumn("value", (col("obs_id") * 7 + col("var_id") * 13) % 101 * 0.5)
+      val obs = spark.range(20000).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"))
+      val vars = spark.range(256).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs, vars, x), p, chunkElems = 65536)
+      zarrBench.set(p)
+      p
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -159,6 +182,15 @@ object Bench {
         graft.h5.AnnH5.denseCoo(spark, h5adBenchFixture, "X")
           .groupBy("var_id").agg(sum(col("value")))
           .queryExecution.toRdd.count()
+      },
+      // native zarr throughput, same logical shape as b11: a 20000x256
+      // csr store (~1.28M nnz, zlib chunk objects) written ONCE in the
+      // warmup region by the executor-parallel sink, then scanned via
+      // the DSv2 source — chunk decode parallelizes across tasks
+      "b12_zarr_native_scan" -> median3 {
+        spark.read.format("zarr").load(zarrBenchStore(spark))
+          .groupBy("var_id").agg(sum(col("value")))
+          .queryExecution.toRdd.count()
       })
 
     val all = queryTimes ++ catalogTimes
@@ -177,7 +209,7 @@ object Bench {
       "q22_salted_join", "q26_asof_join", "q27_range_join", "q31_get_ladder",
       "q32_include_annotation", "b01_ingest_1k_dedup", "b02_bfs_10_levels",
       "b05_lineitem_stats_exact", "b07_cc_190k_edges", "b08_new_docs_bloom",
-      "b10_skewed_dups", "b11_h5ad_native_scan", "c01_validate",
+      "b10_skewed_dups", "b11_h5ad_native_scan", "b12_zarr_native_scan", "c01_validate",
       "c04_cat_violations", "d01_exact_dedup", "d02_token_stats",
       "d05_minhash_lsh", "d06_simhash", "d07_langid", "d09_minhash_portable",
       "d10_simhash_portable", "d11_pii_detect", "d17_dup_clusters",

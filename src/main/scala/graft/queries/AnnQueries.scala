@@ -238,6 +238,29 @@ object AnnQueries {
         .orderBy("cell_type")
     }),
 
+    // zarr DataSource V2: spark.read.format("zarr") — pushed obs_id
+    // bounds prune csr row ranges before any chunk object is opened
+    "a18_zarr_dsv2_scan" -> ((spark, _) => {
+      spark.read.format("zarr").load(zarrFixture)
+        .filter(col("obs_id") >= 100 && col("obs_id") < 200)
+        .groupBy((col("var_id") % 8).as("var_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy("var_bucket")
+    }),
+
+    // zarr SINK round-trip: write a closed-form AnnDataset as a zarr v2
+    // store — csr data/indices chunk objects written EXECUTOR-SIDE (the
+    // no-single-writer sink path HDF5 cannot offer) — reopen through the
+    // native reader, aggregate; the oracle recomputes from range()
+    "a17_zarr_sink_roundtrip" -> ((spark, _) => {
+      val path = writtenZarr(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      ds.x.join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("batch")
+    }),
+
     // zarr slot surface: uns tree (scalars, a fill_value-padded array
     // whose middle chunk is ABSENT from the store, a memcpy-flag blosc
     // chunk), multi-chunk dense layer, zlib obsm — one typed row each
@@ -253,6 +276,29 @@ object AnnQueries {
         .foldLeft(unsDf)(_ unionByName _).orderBy("slot")
     })
   )
+
+  /** a17 sink fixture: same closed forms as a07 (240x32, mask
+    * (i*5+j*3)%7==0, value ((i*11+j*29)%53)*0.5, batch i%6) but written
+    * through the executor-parallel zarr sink, chunked small enough
+    * (512 elems) that the csr slots span several chunk objects.
+    */
+  private def writtenZarr(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "rt.zarr").toString
+      val obs = spark.range(240).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"),
+        (col("id") % 6).cast("long").as("batch"))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(32).select(col("id").as("var_id")))
+        .filter((col("obs_id") * 5 + col("var_id") * 3) % 7 === 0)
+        .withColumn("value", (col("obs_id") * 11 + col("var_id") * 29) % 53 * 0.5)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs, vars, x), p, chunkElems = 512)
+      p
+    })
 
   /** Committed native-zarr fixture (tools/gen_zarr.py — closed-form
     * content; the oracles recompute from range()).
@@ -520,6 +566,20 @@ object AnnQueries {
       """SELECT 'type_' || (i % 5) AS cell_type, count(*) AS n_obs,
         |       CAST(sum((i*37 % 1000) + 0.5) AS DOUBLE) AS sum_counts
         |FROM range(50, 250) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a18_zarr_dsv2_scan" ->
+      """SELECT j % 8 AS var_bucket, count(*) AS n,
+        |       CAST(sum(((i*2 + j*13) % 19) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(100, 200) t(i), range(40) s(j)
+        |WHERE (i*5 + j*11) % 23 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same closed forms as a07, written through the zarr sink instead
+    "a17_zarr_sink_roundtrip" ->
+      """SELECT i % 6 AS batch, count(*) AS nnz,
+        |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(32) s(j)
+        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a15_zarr_slots" ->
       """WITH rows AS (

@@ -216,4 +216,15 @@ object AnnZarr {
                 .withColumnRenamed("obs_id", "var_id")).toMap))
         } else None)
   }
+
+  /** Open a MuData-on-zarr store (public mudata spec, zarr flavor):
+    * every group under `mod/` is a full anndata encoding — one
+    * [[AnnDataset]] per modality, same contract as
+    * [[graft.h5.AnnH5.openMu]] for the HDF5 flavor.
+    */
+  def openMu(spark: SparkSession, path: String): Map[String, AnnDataset] = {
+    val mods = ZarrStore.children(path, "mod")
+    require(mods.nonEmpty, s"$path: no mod/ group — not a MuData-on-zarr store")
+    mods.map(m => m -> open(spark, path, s"mod/$m")).toMap
+  }
 }

@@ -1,0 +1,65 @@
+package graft.zarr
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** DataSource V2 surface: spark.read.format("zarr") over the committed
+  * fixture (closed forms as in ZarrSpec).
+  */
+class ZarrSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val root = "fixtures/zarr/pbmc.zarr"
+  private val nObs = 300
+  private val nVar = 40
+  private def xmask(i: Int, j: Int) = (i * 5 + j * 11) % 23 == 0
+  private def xval(i: Int, j: Int) = ((i * 2 + j * 13) % 19) * 0.5
+
+  test("csr X parity with AnnZarr.csrCoo") {
+    val dsv2 = spark.read.format("zarr").load(root)
+    assert(dsv2.columns.toSeq == Seq("obs_id", "var_id", "value"))
+    val expected = (for { i <- 0 until nObs; j <- 0 until nVar if xmask(i, j) }
+      yield xval(i, j)).sum
+    val got = dsv2.agg(sum("value")).collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-9)
+    assert(dsv2.count() ==
+      (for { i <- 0 until nObs; j <- 0 until nVar if xmask(i, j) } yield 1).size)
+  }
+
+  test("csr row-range pruning from pushed obs_id bounds") {
+    val dsv2 = spark.read.format("zarr").load(root)
+    assert(dsv2.rdd.getNumPartitions == 32)
+    val sliced = dsv2.filter(col("obs_id") < 10)
+    assert(sliced.rdd.getNumPartitions <= 2,
+      s"expected <=2 pruned ranges, got ${sliced.rdd.getNumPartitions}")
+    val cnt = sliced.count()
+    assert(cnt == (for { i <- 0 until 10; j <- 0 until nVar if xmask(i, j) } yield 1).size)
+  }
+
+  test("dense slot option: chunk-grid partitions, bound pruning, fill-aware") {
+    val log = spark.read.format("zarr").option("slot", "layers/log").load(root)
+    // 300x40 at (64,16) chunks = 5x3 grid
+    assert(log.rdd.getNumPartitions == 15)
+    val cell = log.filter(col("obs_id") === 100 && col("var_id") === 20)
+    assert(cell.rdd.getNumPartitions == 1, "point lookup = one chunk object")
+    assert(cell.collect().head.getDouble(2) == ((100 * 17 + 20 * 3) % 29) * 0.25)
+    // uns/rank is 1-D so not servable here; fill handling is covered by
+    // the dense reader's absent-object branch (none absent in layers/log)
+    val total = log.agg(sum("value")).collect().head.getDouble(0)
+    val expect = (for (i <- 0 until nObs; j <- 0 until nVar)
+      yield ((i * 17 + j * 3) % 29) * 0.25).sum
+    assert(math.abs(total - expect) < 1e-6)
+  }
+
+  test("column pruning reaches the reader") {
+    val only = spark.read.format("zarr").option("slot", "obsm/X_pca").load(root)
+      .select("value")
+    assert(only.columns.toSeq == Seq("value"))
+    val s = only.agg(sum("value")).collect().head.getDouble(0)
+    val expect = (for (i <- 0 until nObs; k <- 0 until 5)
+      yield ((i * 13 + k * 7) % 37) * 0.5).sum
+    assert(math.abs(s - expect) < 1e-6)
+  }
+}

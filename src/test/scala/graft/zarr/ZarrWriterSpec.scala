@@ -1,0 +1,128 @@
+package graft.zarr
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.artifact.{AnnDataset, RawSlots, UnsValue}
+
+/** zarr sink round-trip: the writer's store must parse through the
+  * reader whose byte-level decode is pinned by the committed Python
+  * fixture (ZarrSpec). Content is closed-form, asserted arithmetically.
+  */
+class ZarrWriterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nObs = 150
+  private val nVar = 24
+
+  private def xmask(i: Long, j: Long) = (i * 3 + j * 5) % 7 == 0
+  private def xval(i: Long, j: Long) = ((i * 11 + j * 13) % 31) * 0.5
+
+  private def buildDataset(): AnnDataset = {
+    val obs = spark.range(nObs).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      (col("id") % 4).as("batch"),
+      (col("id") * 3 % 10 * 0.25).as("score"))
+    val vars = spark.range(nVar).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nVar).select(col("id").as("var_id")))
+      .filter((col("obs_id") * 3 + col("var_id") * 5) % 7 === 0)
+      .withColumn("value", (col("obs_id") * 11 + col("var_id") * 13) % 31 * 0.5)
+    val pca = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(3).select(col("id").as("dim_id")))
+      .withColumn("value", (col("obs_id") + col("dim_id") * 7) % 13 * 0.5)
+    import UnsValue._
+    AnnDataset(obs, vars, x,
+      obsm = Map("X_pca" -> pca),
+      uns = Map("seed" -> Scalar(11L), "tag" -> Scalar("trial"),
+        "weights" -> Arr(Seq(0.5, 1.5)),
+        "nested" -> Mapping(Map("lr" -> Scalar(0.25)))))
+  }
+
+  private def writeTemp(chunkElems: Int = 128): String = {
+    val p = TestSpark.tmpDir("graft_zw") + "/rt.zarr"
+    AnnZarrWriter.write(buildDataset(), p, chunkElems)
+    p
+  }
+
+  test("round-trip: obs/var frames, csr X multi-chunk, exact values") {
+    val p = writeTemp(chunkElems = 128) // nnz > 128 -> several chunk objects
+    val ds = AnnZarr.open(spark, p)
+    val obs = ds.obs.orderBy("obs_id").collect()
+    assert(obs.length == nObs)
+    obs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("obs_name") == s"c$i")
+      assert(r.getAs[Long]("batch") == i % 4)
+      assert(r.getAs[Double]("score") == i * 3 % 10 * 0.25)
+    }
+    assert(ds.vars.count() == nVar)
+    val got = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (for {
+      i <- 0L until nObs; j <- 0L until nVar if xmask(i, j)
+    } yield (i, j, xval(i, j))).toArray
+    assert(got.sameElements(expected))
+  }
+
+  test("executor-written chunk grid matches the declared layout") {
+    val p = writeTemp(chunkElems = 128)
+    val za = ZarrStore.openArray(p, "X/data")
+    val nnz = (for { i <- 0L until nObs; j <- 0L until nVar if xmask(i, j) } yield 1).size
+    assert(za.shape == Seq(nnz.toLong) && za.chunks == Seq(128))
+    val expectChunks = (nnz + 127) / 128
+    assert(za.gridCoords.size == expectChunks)
+    // every chunk object exists (they were written by executor tasks)
+    za.gridCoords.foreach(c => assert(za.readChunk(c).isDefined, s"chunk $c missing"))
+  }
+
+  test("obsm + uns round-trip (scalars, arrays, nested mapping)") {
+    import UnsValue._
+    val ds = AnnZarr.open(spark, writeTemp())
+    val pcaSum = ds.obsm("X_pca").agg(sum("value")).head().getDouble(0)
+    val expected = (for (i <- 0L until nObs; k <- 0L until 3)
+      yield (i + k * 7) % 13 * 0.5).sum
+    assert(math.abs(pcaSum - expected) < 1e-6)
+    assert(ds.uns("seed") == Scalar(11L))
+    assert(ds.uns("tag") == Scalar("trial"))
+    assert(ds.uns("weights") == Arr(Seq(0.5, 1.5)))
+    assert(ds.uns("nested") == Mapping(Map("lr" -> Scalar(0.25))))
+  }
+
+  test("MuData-on-zarr: modalities under mod/ open via openMu") {
+    val p = TestSpark.tmpDir("graft_zmu") + "/mu.zarr"
+    val rna = buildDataset()
+    val adt = AnnDataset(
+      spark.range(10).select(col("id").as("obs_id"), concat(lit("c"), col("id")).as("obs_name")),
+      spark.range(4).select(col("id").as("var_id"), concat(lit("p"), col("id")).as("var_name")),
+      Seq((0L, 1L, 2.5), (3L, 2L, 1.0)).toDF("obs_id", "var_id", "value"))
+    AnnZarrWriter.write(rna, s"$p/mod/rna")
+    AnnZarrWriter.write(adt, s"$p/mod/adt")
+    val mods = AnnZarr.openMu(spark, p)
+    assert(mods.keySet == Set("adt", "rna"))
+    assert(mods("adt").x.count() == 2)
+    assert(mods("rna").obs.count() == nObs)
+  }
+
+  test("raw slot and empty-x slot write and reopen") {
+    val base = buildDataset()
+    val rawVars = spark.range(30).select(col("id").as("var_id"),
+      concat(lit("rg"), col("id")).as("var_name"))
+    val rawX = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(30).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 11 === 0)
+      .withColumn("value", (col("obs_id") * 2 + col("var_id")) % 9 * 0.5)
+    val p = TestSpark.tmpDir("graft_zw") + "/raw.zarr"
+    AnnZarrWriter.write(base.copy(raw = Some(RawSlots(rawVars, rawX))), p)
+    val ds = AnnZarr.open(spark, p)
+    assert(ds.raw.isDefined)
+    assert(ds.raw.get.vars.count() == 30)
+    val rs = ds.raw.get.x.agg(count(lit(1)), sum("value")).head()
+    val exp = (for { i <- 0L until nObs; j <- 0L until 30 if (i + j) % 11 == 0 }
+      yield (i * 2 + j) % 9 * 0.5)
+    assert(rs.getLong(0) == exp.size)
+    assert(math.abs(rs.getDouble(1) - exp.sum) < 1e-6)
+  }
+}
