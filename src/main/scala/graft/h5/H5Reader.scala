@@ -29,9 +29,13 @@ import org.apache.hadoop.fs.Path
   * parallel reads (see `AnnH5`).
   */
 object H5Input {
+  // one Configuration per JVM — constructing it parses XML resources,
+  // a cost that shouldn't recur per task-side open
+  private lazy val conf = new Configuration()
+
   def open(path: String): H5Input = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     new H5Input(fs.open(p), st.getLen)
   }

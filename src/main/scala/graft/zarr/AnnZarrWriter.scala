@@ -33,9 +33,11 @@ object AnnZarrWriter {
 
   // ------------------------------------------------------------- plumbing
 
+  private lazy val conf = new Configuration() // per-JVM, like ZarrStore's
+
   private def writeBytes(root: String, rel: String, bytes: Array[Byte]): Unit = {
     val p = new Path(root, rel)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
   }

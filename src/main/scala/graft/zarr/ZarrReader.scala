@@ -24,7 +24,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ZarrStore {
   private val mapper = new ObjectMapper()
 
-  def fs(root: String): FileSystem = new Path(root).getFileSystem(new Configuration())
+  /** One Configuration per JVM: constructing it parses XML resources
+    * (~ms), which would otherwise be paid PER CHUNK OBJECT — Hadoop's
+    * own FileSystem cache then dedups instances per scheme.
+    */
+  private lazy val conf = new Configuration()
+
+  def fs(root: String): FileSystem = new Path(root).getFileSystem(conf)
 
   /** Read a store object fully; None when absent (fill-value chunks). */
   def readBytes(root: String, rel: String): Option[Array[Byte]] = {
