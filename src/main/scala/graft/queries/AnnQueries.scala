@@ -225,6 +225,19 @@ object AnnQueries {
         .orderBy("var_name")
     }),
 
+    // NATIVE zarr v3 open (same closed forms, v3 store layout): planning
+    // from consolidated root zarr.json, sharding_indexed csr X (two
+    // ranged GETs per inner chunk), gzip+crc32c obs column in the filter
+    "a19_zarr_v3_scan" -> ((spark, _) => {
+      val ds = graft.zarr.AnnZarr.open(spark, zarrV3Fixture)
+      ds.subsetObs(col("n_genes") < 25 && col("score") > 0.5)
+        .subsetVars(col("highly_variable") === 1)
+        .perVarStats
+        .select(col("var_name"), col("n_obs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("var_name")
+    }),
+
     // DSv2 dataframe slot: obs read as a TABLE (schema from the encoding,
     // row-range tasks, pushed obs_id bounds pruning ranges) — the
     // executor-side answer to the reference's driver-side axis frames
@@ -307,6 +320,12 @@ object AnnQueries {
     Seq("fixtures/zarr/pbmc.zarr", "/root/repo/fixtures/zarr/pbmc.zarr")
       .find(p => new java.io.File(p).exists)
       .getOrElse(sys.error("zarr fixture missing; run tools/gen_zarr.py"))
+
+  /** Committed zarr v3 fixture (tools/gen_zarr_v3.py — same closed forms). */
+  private def zarrV3Fixture: String =
+    Seq("fixtures/zarr/pbmc_v3.zarr", "/root/repo/fixtures/zarr/pbmc_v3.zarr")
+      .find(p => new java.io.File(p).exists)
+      .getOrElse(sys.error("zarr v3 fixture missing; run tools/gen_zarr_v3.py"))
 
   /** One typed row per aux slot: uns entries via [[graft.h5.AnnH5.flattenUns]],
     * varm/obsp/raw-X as (count, sum) aggregates, raw/var as a row count.
@@ -560,6 +579,16 @@ object AnnQueries {
         |       CAST(sum(((i*2 + j*13) % 19) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(300) t(i), range(40) s(j)
         |WHERE (i*7) % 50 < 25 AND j % 3 = 0 AND (i*5 + j*11) % 23 = 0
+        |GROUP BY j ORDER BY var_name""".stripMargin,
+
+    // v3 fixture: identical closed forms + the crc32c'd score column
+    // ((i*3)%11)*0.25 in the obs gate
+    "a19_zarr_v3_scan" ->
+      """SELECT 'gene' || j AS var_name, count(*) AS n_obs,
+        |       CAST(sum(((i*2 + j*13) % 19) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(300) t(i), range(40) s(j)
+        |WHERE (i*7) % 50 < 25 AND ((i*3) % 11) * 0.25 > 0.5
+        |  AND j % 3 = 0 AND (i*5 + j*11) % 23 = 0
         |GROUP BY j ORDER BY var_name""".stripMargin,
 
     "a16_h5ad_dsv2_obs" ->

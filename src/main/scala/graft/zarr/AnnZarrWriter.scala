@@ -317,8 +317,9 @@ object AnnZarrWriter {
     * uns are driver-written. Readable back by [[AnnZarr.open]].
     */
   def write(ds: AnnDataset, path: String, chunkElems: Int = 65536): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf)
     fs.delete(new Path(path), true)
+    ZarrStore.invalidate(path) // same-JVM readers must not see stale metadata
     zgroup(path, "", Some(enc("anndata", "0.1.0")))
     val nObs = writeFrame(path, "obs", ds.obs, "obs_id", "obs_name")
     val nVar = writeFrame(path, "var", ds.vars, "var_id", "var_name")
@@ -360,5 +361,7 @@ object AnnZarrWriter {
       val nRawVar = writeFrame(path, "raw/var", r.vars, "var_id", "var_name")
       writeCsr(path, "raw/X", r.x, "obs_id", "var_id", nObs, nRawVar, chunkElems)
     }
+    // one .zmetadata so reopening the store costs a single metadata GET
+    ZarrStore.consolidate(path)
   }
 }

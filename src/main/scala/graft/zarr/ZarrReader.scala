@@ -1,21 +1,32 @@
 package graft.zarr
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.util.zip.Inflater
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** Native zarr v2 directory-store reader — JSON metadata (`.zgroup` /
-  * `.zarray` / `.zattrs`) plus one object per chunk, the store layout the
-  * reference's zarr-backed AnnData accessor reads through the zarr-python
-  * package (`core/storage/_anndata_accessor.py` zarr registry functions,
-  * `core/storage/_backed_access.py:108-121`). Implements the public zarr
-  * v2 spec: C-order chunks padded to full chunk shape at the edges,
-  * `dimension_separator` '.' or '/', absent chunk objects meaning
-  * fill_value, `vlen-utf8` object filter, and the numcodecs default
-  * compressor stack (blosc via [[Blosc]], zlib, or none).
+/** Native zarr directory-store reader — both public store flavors:
+  *
+  *  - **v2**: `.zgroup` / `.zarray` / `.zattrs` JSON per node, one object
+  *    per chunk, the layout the reference's zarr-backed AnnData accessor
+  *    reads through zarr-python (`core/storage/_anndata_accessor.py` zarr
+  *    registry functions, `core/storage/_backed_access.py:108-121`).
+  *  - **v3**: one `zarr.json` per node (`node_type` group/array), codec
+  *    pipelines, `c/`-prefixed chunk keys, and the `sharding_indexed`
+  *    codec that packs a grid of inner chunks into one store object.
+  *
+  * Metadata GETs are the scan-planning bottleneck on an object store, so
+  * both flavors read **consolidated metadata** when present (v2
+  * `.zmetadata`, v3 `consolidated_metadata` in the root `zarr.json`):
+  * one GET serves every `isArray`/`attrs`/`children`/`openArray` call.
+  * Per-root metadata is cached per JVM; [[ZarrStore.metaObjectReads]]
+  * counts real metadata-object accesses so tests can pin the contract.
   *
   * All byte access goes through the Hadoop FileSystem API so the same
   * code serves local fixtures and an object store; executor tasks open
@@ -32,6 +43,17 @@ object ZarrStore {
 
   def fs(root: String): FileSystem = new Path(root).getFileSystem(conf)
 
+  /** Per-root count of metadata OBJECTS actually fetched from the store
+    * (cache misses) — consolidated-metadata specs assert this stays at
+    * one-or-two GETs per (re)open regardless of node count.
+    */
+  private val metaObjectReads = new ConcurrentHashMap[String, AtomicLong]()
+
+  def metaReads(root: String): Long = {
+    val c = metaObjectReads.get(root)
+    if (c == null) 0L else c.get()
+  }
+
   /** Read a store object fully; None when absent (fill-value chunks). */
   def readBytes(root: String, rel: String): Option[Array[Byte]] = {
     val p = new Path(root, rel)
@@ -46,12 +68,114 @@ object ZarrStore {
     }
   }
 
-  def json(root: String, rel: String): Option[JsonNode] =
-    readBytes(root, rel).map(mapper.readTree)
+  /** Positioned read of `[pos, pos+len)` — shard-index and inner-chunk
+    * access never downloads the surrounding shard object.
+    */
+  def readRange(root: String, rel: String, pos: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    val in = fs(root).open(new Path(root, rel))
+    try in.readFully(pos, out) finally in.close()
+    out
+  }
 
-  /** Attributes of a group/array node (empty when no `.zattrs`). */
-  def attrs(root: String, rel: String): Option[JsonNode] =
-    json(root, if (rel.isEmpty) ".zattrs" else s"$rel/.zattrs")
+  def objectLen(root: String, rel: String): Option[Long] = {
+    val p = new Path(root, rel)
+    val f = fs(root)
+    if (f.exists(p)) Some(f.getFileStatus(p).getLen) else None
+  }
+
+  // ------------------------------------------------------- root metadata
+
+  /** Per-root snapshot: format version, consolidated node map (when the
+    * store carries one), and a cache of individually-fetched metadata
+    * objects (bounded by the store's node count).
+    */
+  private final case class RootMeta(fmt: Int, cons: Option[Map[String, JsonNode]]) {
+    val fileCache = new ConcurrentHashMap[String, Option[JsonNode]]()
+  }
+
+  private val roots = new ConcurrentHashMap[String, RootMeta]()
+
+  /** Drop cached metadata for `root` — writers call this after mutating
+    * a store so readers in the same JVM observe the new layout.
+    */
+  def invalidate(root: String): Unit = roots.remove(root)
+
+  private def jsonFields(n: JsonNode): Map[String, JsonNode] =
+    n.fields().asScala.map(e => e.getKey -> e.getValue).toMap
+
+  /** Fetch + parse one metadata object (counted; None when absent). */
+  private def metaFile(root: String, rel: String): Option[JsonNode] = {
+    metaObjectReads.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
+    readBytes(root, rel).map(mapper.readTree)
+  }
+
+  private def rootMeta(root: String): RootMeta = {
+    val cached = roots.get(root)
+    if (cached != null) cached
+    else {
+      val m = metaFile(root, ".zmetadata") match {
+        case Some(zm) if zm.has("metadata") =>
+          RootMeta(2, Some(jsonFields(zm.get("metadata"))))
+        case _ =>
+          metaFile(root, "zarr.json") match {
+            case Some(zj) =>
+              val cons = Option(zj.get("consolidated_metadata"))
+                .filterNot(_.isNull)
+                .flatMap(cm => Option(cm.get("metadata")))
+                .map(md => jsonFields(md) + ("" -> zj))
+              val rm = RootMeta(3, cons)
+              rm.fileCache.put("zarr.json", Some(zj))
+              rm
+            case None => RootMeta(2, None)
+          }
+      }
+      roots.putIfAbsent(root, m)
+      roots.get(root)
+    }
+  }
+
+  /** Exposed for tests/tools: 2 or 3. */
+  def format(root: String): Int = rootMeta(root).fmt
+
+  /** v2 metadata doc of `rel` (`name` ∈ .zgroup/.zarray/.zattrs). */
+  private def v2Meta(root: String, rel: String, name: String): Option[JsonNode] = {
+    val key = if (rel.isEmpty) name else s"$rel/$name"
+    val rm = rootMeta(root)
+    rm.cons match {
+      case Some(c) => c.get(key)
+      case None => rm.fileCache.computeIfAbsent(key, k => metaFile(root, k))
+    }
+  }
+
+  /** v3 `zarr.json` node doc of `rel`. */
+  private def v3Node(root: String, rel: String): Option[JsonNode] = {
+    val rm = rootMeta(root)
+    rm.cons match {
+      case Some(c) => c.get(rel)
+      case None =>
+        val key = if (rel.isEmpty) "zarr.json" else s"$rel/zarr.json"
+        rm.fileCache.computeIfAbsent(key, k => metaFile(root, k))
+    }
+  }
+
+  // --------------------------------------------------------- node surface
+
+  def isArray(root: String, rel: String): Boolean = rootMeta(root).fmt match {
+    case 3 => v3Node(root, rel).exists(_.path("node_type").asText == "array")
+    case _ => v2Meta(root, rel, ".zarray").isDefined
+  }
+
+  def isGroup(root: String, rel: String): Boolean = rootMeta(root).fmt match {
+    case 3 => v3Node(root, rel).exists(_.path("node_type").asText == "group")
+    case _ => v2Meta(root, rel, ".zgroup").isDefined
+  }
+
+  /** Attributes of a group/array node (None when absent/empty). */
+  def attrs(root: String, rel: String): Option[JsonNode] = rootMeta(root).fmt match {
+    case 3 => v3Node(root, rel).flatMap(n => Option(n.get("attributes"))).filterNot(_.isNull)
+    case _ => v2Meta(root, rel, ".zattrs")
+  }
 
   def attrString(root: String, rel: String, key: String): Option[String] =
     attrs(root, rel).flatMap(a => Option(a.get(key))).filter(_.isTextual).map(_.asText)
@@ -61,25 +185,52 @@ object ZarrStore {
       (0 until arr.size).map(arr.get(_).asText)
     }
 
-  def isArray(root: String, rel: String): Boolean =
-    fs(root).exists(new Path(root, s"$rel/.zarray"))
-
-  def isGroup(root: String, rel: String): Boolean =
-    fs(root).exists(new Path(root, s"$rel/.zgroup"))
-
-  /** Child node names (subdirectories holding `.zarray` or `.zgroup`). */
+  /** Child node names. Served from consolidated metadata without any
+    * store LIST when available — at scale a LIST per group is the other
+    * half of the metadata-GET tax.
+    */
   def children(root: String, rel: String): Seq[String] = {
-    val f = fs(root)
-    val base = if (rel.isEmpty) new Path(root) else new Path(root, rel)
-    if (!f.exists(base)) Nil
-    else f.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => isArray(root, if (rel.isEmpty) n else s"$rel/$n") ||
-        isGroup(root, if (rel.isEmpty) n else s"$rel/$n"))
-      .sorted
+    val rm = rootMeta(root)
+    val prefix = if (rel.isEmpty) "" else rel + "/"
+    rm.cons match {
+      case Some(c) if rm.fmt == 2 =>
+        c.keysIterator.collect {
+          case k if k.startsWith(prefix) =>
+            k.substring(prefix.length).split('/') match {
+              case Array(child, meta) if meta.startsWith(".z") => Some(child)
+              case _ => None
+            }
+        }.flatten.toSeq.distinct.sorted
+      case Some(c) =>
+        c.keysIterator.collect {
+          case k if k.nonEmpty && k.startsWith(prefix) &&
+            !k.substring(prefix.length).contains('/') && k != rel =>
+            k.substring(prefix.length)
+        }.toSeq.distinct.sorted
+      case None =>
+        val f = fs(root)
+        val base = if (rel.isEmpty) new Path(root) else new Path(root, rel)
+        if (!f.exists(base)) Nil
+        else {
+          val dirs = f.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+          dirs.filter { n =>
+            val child = if (rel.isEmpty) n else s"$rel/$n"
+            if (rm.fmt == 3) v3Node(root, child).isDefined
+            else isArray(root, child) || isGroup(root, child)
+          }.sorted
+        }
+    }
   }
 
-  def openArray(root: String, rel: String): ZArray = {
-    val m = json(root, s"$rel/.zarray").getOrElse(
+  // ------------------------------------------------------------- openArray
+
+  def openArray(root: String, rel: String): ZArray = rootMeta(root).fmt match {
+    case 3 => openArrayV3(root, rel)
+    case _ => openArrayV2(root, rel)
+  }
+
+  private def openArrayV2(root: String, rel: String): ZArray = {
+    val m = v2Meta(root, rel, ".zarray").getOrElse(
       sys.error(s"$root/$rel: no .zarray — not a zarr array"))
     val shape = (0 until m.get("shape").size).map(m.get("shape").get(_).asLong)
     val chunks = (0 until m.get("chunks").size).map(m.get("chunks").get(_).asInt)
@@ -93,11 +244,11 @@ object ZarrStore {
       else (None, Some(fillNode.asText))
     val sep = Option(m.get("dimension_separator")).filterNot(_.isNull)
       .map(_.asText).getOrElse(".")
-    val comp = Option(m.get("compressor")).filterNot(_.isNull) match {
-      case None => "none"
+    val (label, codecs) = Option(m.get("compressor")).filterNot(_.isNull) match {
+      case None => ("none", Nil)
       case Some(c) => c.get("id").asText match {
-        case "blosc" => "blosc"
-        case "zlib" => "zlib"
+        case "blosc" => ("blosc", Seq(ZCodec.BloscC))
+        case "zlib" => ("zlib", Seq(ZCodec.ZlibC))
         case other => sys.error(s"$rel: unsupported zarr compressor '$other'")
       }
     }
@@ -105,17 +256,202 @@ object ZarrStore {
       (0 until fl.size).exists(i => fl.get(i).get("id").asText == "vlen-utf8")
     }
     require(dtype != "|O" || vlen, s"$rel: object dtype requires the vlen-utf8 filter")
-    ZArray(root, rel, shape, chunks, dtype, fillNum, fillStr, sep, comp, vlen)
+    ZArray(root, rel, shape, chunks, dtype, fillNum, fillStr, sep, label, vlen,
+      keyPrefix = "", codecs = codecs, shard = None)
+  }
+
+  /** v3 data_type → the v2-style dtype string [[ZArray]] normalizes on. */
+  private val v3Dtypes = Map(
+    "float64" -> "<f8", "float32" -> "<f4",
+    "int64" -> "<i8", "int32" -> "<i4", "int16" -> "<i2", "int8" -> "|i1",
+    "uint64" -> "<u8", "uint32" -> "<u4", "uint16" -> "<u2", "uint8" -> "|u1",
+    "bool" -> "|b1", "string" -> "|O")
+
+  /** Parse a v3 bytes→bytes codec tail; returns (codecs, sawVlen). */
+  private def bytesCodecs(rel: String, list: Seq[JsonNode]): (Seq[ZCodec], Boolean) = {
+    var vlen = false
+    val out = list.flatMap { c =>
+      c.get("name").asText match {
+        case "bytes" =>
+          val endian = Option(c.get("configuration"))
+            .flatMap(cfg => Option(cfg.get("endian"))).map(_.asText).getOrElse("little")
+          require(endian == "little", s"$rel: big-endian v3 arrays unsupported")
+          None
+        case "vlen-utf8" => vlen = true; None
+        case "blosc" => Some(ZCodec.BloscC)
+        case "gzip" => Some(ZCodec.GzipC)
+        case "zlib" => Some(ZCodec.ZlibC)
+        case "crc32c" => Some(ZCodec.Crc32cC)
+        case "transpose" =>
+          val ord = Option(c.get("configuration"))
+            .flatMap(cfg => Option(cfg.get("order"))).map(a =>
+              (0 until a.size).map(a.get(_).asInt)).getOrElse(Nil)
+          require(ord == ord.indices.map(identity),
+            s"$rel: non-identity transpose codec unsupported")
+          None
+        case other => sys.error(s"$rel: unsupported v3 codec '$other'")
+      }
+    }
+    (out, vlen)
+  }
+
+  private def openArrayV3(root: String, rel: String): ZArray = {
+    val m = v3Node(root, rel).getOrElse(
+      sys.error(s"$root/$rel: no zarr.json — not a zarr v3 node"))
+    require(m.path("node_type").asText == "array", s"$rel: not an array node")
+    val shape = (0 until m.get("shape").size).map(m.get("shape").get(_).asLong)
+    val dtName = m.get("data_type").asText
+    val dtype = v3Dtypes.getOrElse(dtName, sys.error(s"$rel: v3 data_type '$dtName' unsupported"))
+    val grid = m.get("chunk_grid")
+    require(grid.get("name").asText == "regular", s"$rel: only regular chunk grids supported")
+    val gridShape = {
+      val cs = grid.get("configuration").get("chunk_shape")
+      (0 until cs.size).map(cs.get(_).asInt)
+    }
+    val (keyPrefix, sep) = Option(m.get("chunk_key_encoding")) match {
+      case None => ("c/", "/")
+      case Some(cke) =>
+        val s = Option(cke.get("configuration")).flatMap(c => Option(c.get("separator")))
+          .map(_.asText).getOrElse("/")
+        cke.get("name").asText match {
+          case "default" => ("c" + s, s)
+          case "v2" => ("", s)
+          case other => sys.error(s"$rel: chunk_key_encoding '$other' unsupported")
+        }
+    }
+    val fillNode = m.get("fill_value")
+    val (fillNum, fillStr) =
+      if (fillNode == null || fillNode.isNull) (None, None)
+      else if (fillNode.isBoolean) (Some(if (fillNode.asBoolean) 1.0 else 0.0), None)
+      else if (fillNode.isNumber) (Some(fillNode.asDouble), None)
+      else fillNode.asText match {
+        case "NaN" => (Some(Double.NaN), None)
+        case "Infinity" => (Some(Double.PositiveInfinity), None)
+        case "-Infinity" => (Some(Double.NegativeInfinity), None)
+        case s => (None, Some(s))
+      }
+    val codecList = Option(m.get("codecs")).filterNot(_.isNull)
+      .map(a => (0 until a.size).map(a.get(_))).getOrElse(Nil)
+    val shardNode = codecList.find(_.get("name").asText == "sharding_indexed")
+    shardNode match {
+      case None =>
+        val (codecs, vlen) = bytesCodecs(rel, codecList)
+        require(dtype != "|O" || vlen, s"$rel: string data_type requires the vlen-utf8 codec")
+        val label = if (codecs.contains(ZCodec.BloscC)) "blosc"
+          else if (codecs.contains(ZCodec.GzipC)) "gzip"
+          else if (codecs.contains(ZCodec.ZlibC)) "zlib" else "none"
+        ZArray(root, rel, shape, gridShape, dtype, fillNum, fillStr, sep, label,
+          vlen, keyPrefix = keyPrefix, codecs = codecs, shard = None)
+      case Some(sn) =>
+        // shard grid: metadata chunk_shape is the SHARD shape; read
+        // granularity (ZArray.chunks) is the inner chunk shape
+        require(codecList.size == 1,
+          s"$rel: sharding_indexed must be the only top-level codec " +
+            "(a compressor wrapping the shard would defeat ranged reads)")
+        val cfg = sn.get("configuration")
+        val inner = {
+          val cs = cfg.get("chunk_shape")
+          (0 until cs.size).map(cs.get(_).asInt)
+        }
+        require(inner.size == gridShape.size &&
+          inner.zip(gridShape).forall { case (i, s) => i > 0 && s % i == 0 },
+          s"$rel: shard shape $gridShape not a multiple of inner chunk shape $inner")
+        val innerList = Option(cfg.get("codecs")).filterNot(_.isNull)
+          .map(a => (0 until a.size).map(a.get(_))).getOrElse(Nil)
+        val (innerCodecs, vlen) = bytesCodecs(rel, innerList)
+        require(dtype != "|O" || vlen, s"$rel: string data_type requires the vlen-utf8 codec")
+        val idxList = Option(cfg.get("index_codecs")).filterNot(_.isNull)
+          .map(a => (0 until a.size).map(a.get(_).get("name").asText)).getOrElse(Nil)
+        require(idxList.forall(Set("bytes", "crc32c")),
+          s"$rel: shard index_codecs $idxList unsupported")
+        val atEnd = Option(cfg.get("index_location")).map(_.asText).getOrElse("end") == "end"
+        ZArray(root, rel, shape, inner, dtype, fillNum, fillStr, sep, "sharding",
+          vlen, keyPrefix = keyPrefix, codecs = innerCodecs,
+          shard = Some(ShardInfo(gridShape, innerCodecs, idxList.contains("crc32c"), atEnd)))
+    }
+  }
+
+  // -------------------------------------------------- shard index reads
+
+  /** Per-JVM LRU of parsed shard indexes — tasks reading neighboring
+    * inner chunks of the same shard pay one index GET, not one per chunk.
+    */
+  private val shardIdxCache =
+    new java.util.LinkedHashMap[String, Option[Array[Long]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Array[Long]]]): Boolean = size > 256
+    }
+
+  /** (offset, nbytes) pairs of a shard's inner-chunk index; None when the
+    * shard object itself is absent (every inner chunk is fill_value).
+    */
+  def shardIndex(root: String, key: String, nInner: Int, sh: ShardInfo): Option[Array[Long]] = {
+    val cacheKey = s"$root/$key"
+    shardIdxCache.synchronized {
+      if (shardIdxCache.containsKey(cacheKey)) return shardIdxCache.get(cacheKey)
+    }
+    val parsed = objectLen(root, key).map { len =>
+      val ilen = sh.indexByteLen(nInner)
+      val pos = if (sh.indexAtEnd) len - ilen else 0L
+      val bytes = readRange(root, key, pos, ilen)
+      if (sh.indexCrc) {
+        val stored = ByteBuffer.wrap(bytes, ilen - 4, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(stored == ZCodec.crc32c(bytes, 0, ilen - 4),
+          s"$key: shard index crc32c mismatch")
+      }
+      val b = ByteBuffer.wrap(bytes, 0, 16 * nInner).order(ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Long](2 * nInner)
+      var i = 0
+      while (i < out.length) { out(i) = b.getLong(); i += 1 }
+      out
+    }
+    shardIdxCache.synchronized { shardIdxCache.put(cacheKey, parsed) }
+    parsed
+  }
+
+  // ------------------------------------------------ consolidated writing
+
+  /** Write v2 consolidated metadata (`.zmetadata`) for a finished store:
+    * the public answer to per-node metadata GETs — reopening the store
+    * costs ONE metadata object regardless of node count.
+    */
+  def consolidate(root: String): Unit = {
+    val f = fs(root)
+    val out = mapper.createObjectNode()
+    out.put("zarr_consolidated_format", 1)
+    val md = out.putObject("metadata")
+    def visit(rel: String): Unit = {
+      Seq(".zgroup", ".zarray", ".zattrs").foreach { name =>
+        val key = if (rel.isEmpty) name else s"$rel/$name"
+        readBytes(root, key).foreach(b => md.set[ObjectNode](key, mapper.readTree(b)))
+      }
+      val base = if (rel.isEmpty) new Path(root) else new Path(root, rel)
+      f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName).foreach { n =>
+        val child = if (rel.isEmpty) n else s"$rel/$n"
+        if (f.exists(new Path(root, s"$child/.zgroup")) ||
+          f.exists(new Path(root, s"$child/.zarray"))) visit(child)
+      }
+    }
+    visit("")
+    val o = f.create(new Path(root, ".zmetadata"), true)
+    try o.write(mapper.writeValueAsBytes(out)) finally o.close()
+    invalidate(root)
   }
 }
 
-/** One zarr v2 array: serializable metadata + chunk decode, shippable to
-  * executor tasks (each task re-opens the FileSystem for its own chunks).
+/** One zarr array (either format): serializable metadata + chunk decode,
+  * shippable to executor tasks (each task re-opens the FileSystem for
+  * its own chunks). `chunks` is always the DECODE granularity — for v3
+  * sharded arrays that is the inner chunk shape, with [[shard]] mapping
+  * inner coordinates onto shard objects + index entries.
   */
 final case class ZArray(root: String, rel: String, shape: Seq[Long],
                         chunks: Seq[Int], dtype: String,
                         fillNum: Option[Double], fillStr: Option[String],
-                        sep: String, compressor: String, vlenUtf8: Boolean)
+                        sep: String, compressor: String, vlenUtf8: Boolean,
+                        keyPrefix: String = "", codecs: Seq[ZCodec] = Nil,
+                        shard: Option[ShardInfo] = None)
     extends Serializable {
 
   /** numpy dtype string → (kind, element size). '|O' has esize 0. */
@@ -136,7 +472,7 @@ final case class ZArray(root: String, rel: String, shape: Seq[Long],
   def nElems: Long = if (shape.isEmpty) 1L else shape.product
   def chunkElems: Int = if (chunks.isEmpty) 1 else chunks.product
 
-  /** Chunk-grid extents per dimension. */
+  /** Chunk-grid extents per dimension (inner-chunk grid when sharded). */
   def gridDims: Seq[Int] =
     shape.zip(chunks).map { case (s, c) => ((s + c - 1) / c).toInt }
 
@@ -147,32 +483,36 @@ final case class ZArray(root: String, rel: String, shape: Seq[Long],
     }
 
   def chunkKey(coord: Seq[Int]): String =
-    if (coord.isEmpty) "0" else coord.mkString(sep)
+    if (coord.isEmpty) { if (keyPrefix.nonEmpty) "c" else "0" }
+    else keyPrefix + coord.mkString(sep)
 
-  private def inflateAll(src: Array[Byte], sizeHint: Int): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(src)
-    var buf = new Array[Byte](math.max(sizeHint, 256))
-    var o = 0
-    while (!inf.finished()) {
-      if (o == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
-      o += inf.inflate(buf, o, buf.length - o)
-    }
-    inf.end()
-    java.util.Arrays.copyOf(buf, o)
+  /** Decompressed bytes of one chunk; None when the backing object (or
+    * sharded index entry) is absent — the zarr contract: every element
+    * of that chunk is fill_value.
+    */
+  def readChunk(coord: Seq[Int]): Option[Array[Byte]] = shard match {
+    case None =>
+      ZarrStore.readBytes(root, s"$rel/${chunkKey(coord)}").map(enc =>
+        ZCodec.decode(codecs, enc, chunkElems * math.max(esize, 1)))
+    case Some(sh) => readSharded(sh, coord)
   }
 
-  /** Decompressed bytes of one chunk; None when the object is absent
-    * (the zarr contract: every element of that chunk is fill_value).
-    */
-  def readChunk(coord: Seq[Int]): Option[Array[Byte]] =
-    ZarrStore.readBytes(root, s"$rel/${chunkKey(coord)}").map { enc =>
-      compressor match {
-        case "blosc" => Blosc.decode(enc)
-        case "zlib" => inflateAll(enc, chunkElems * math.max(esize, 1))
-        case _ => enc
-      }
+  private def readSharded(sh: ShardInfo, coord: Seq[Int]): Option[Array[Byte]] = {
+    val ips = sh.shardShape.zip(chunks).map { case (s, c) => s / c }
+    val sc = coord.zip(ips).map { case (c, n) => c / n }
+    val iw = coord.zip(ips).map { case (c, n) => c % n }
+    val nInner = ips.product
+    val flat = iw.zip(ips).foldLeft(0) { case (acc, (w, n)) => acc * n + w }
+    val key = s"$rel/${chunkKey(sc)}"
+    ZarrStore.shardIndex(root, key, nInner, sh).flatMap { ix =>
+      val off = ix(2 * flat)
+      val len = ix(2 * flat + 1)
+      if (off == -1L && len == -1L) None // 2^64-1: inner chunk absent
+      else Some(ZCodec.decode(sh.innerCodecs,
+        ZarrStore.readRange(root, key, off, len.toInt),
+        chunkElems * math.max(esize, 1)))
     }
+  }
 
   /** Numeric element range [e0, e1) of a 1-D array as raw bytes (CSR
     * data/indices slices — executor-side, reads only overlapping chunks).

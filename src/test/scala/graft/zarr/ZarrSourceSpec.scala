@@ -62,4 +62,23 @@ class ZarrSourceSpec extends AnyFunSuite {
       yield ((i * 13 + k * 7) % 37) * 0.5).sum
     assert(math.abs(s - expect) < 1e-6)
   }
+
+  test("format-transparent: same scans over the v3 store (sharded csr X)") {
+    val v3 = "fixtures/zarr/pbmc_v3.zarr"
+    val dsv2 = spark.read.format("zarr").load(v3)
+    val expected = (for { i <- 0 until nObs; j <- 0 until nVar if xmask(i, j) }
+      yield xval(i, j)).sum
+    assert(math.abs(dsv2.agg(sum("value")).collect().head.getDouble(0) - expected) < 1e-9)
+    // pushed bounds still prune csr row ranges on the v3 layout
+    val sliced = dsv2.filter(col("obs_id") < 10)
+    assert(sliced.rdd.getNumPartitions <= 2)
+    assert(sliced.count() ==
+      (for { i <- 0 until 10; j <- 0 until nVar if xmask(i, j) } yield 1).size)
+    // sharded dense slot: shard objects hold a 4x2 inner grid each
+    val log = spark.read.format("zarr").option("slot", "layers/log").load(v3)
+    val total = log.agg(sum("value")).collect().head.getDouble(0)
+    val expect = (for (i <- 0 until nObs; j <- 0 until nVar)
+      yield ((i * 17 + j * 3) % 29) * 0.25).sum
+    assert(math.abs(total - expect) < 1e-6)
+  }
 }
