@@ -353,10 +353,18 @@ final class ArtifactStore(val cat: Catalog) {
           FcsReader.read(spark, p).withColumn("_source_path", lit(p))
         }.reduce(_ unionByName _)
       case ".zarr" =>
-        // native zarr v2 parse (graft.zarr): same X-as-COO contract as
-        // .h5ad — the reference treats the two stores as co-equal
+        // native zarr parse (graft.zarr, v2 + v3): same X-as-COO contract
+        // as .h5ad — the reference treats the two stores as co-equal, and
+        // routes stores carrying spatialdata_attrs to the SpatialData
+        // accessor's tables surface (_backed_access.py:108-121)
         paths.map { p =>
-          graft.zarr.AnnZarr.open(spark, p).x.withColumn("_source_path", lit(p))
+          val ds =
+            if (graft.zarr.SpatialZarr.isSpatial(p)) {
+              val sd = graft.zarr.SpatialZarr.open(spark, p)
+              sd.tables.toSeq.sortBy(_._1).headOption.map(_._2).getOrElse(
+                sys.error(s"$p: spatialdata store with no tables"))
+            } else graft.zarr.AnnZarr.open(spark, p)
+          ds.x.withColumn("_source_path", lit(p))
         }.reduce(_ unionByName _)
       case other      => throw new IllegalArgumentException(s"unsupported suffix for open(): $other")
     }

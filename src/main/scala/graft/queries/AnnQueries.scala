@@ -261,6 +261,49 @@ object AnnQueries {
         .orderBy("var_bucket")
     }),
 
+    // SpatialData-on-zarr: the reference accessor's `tables` surface
+    // (anndata group under tables/) — obs gate + per-var X stats
+    "a20_spatial_table" -> ((spark, _) => {
+      val sd = graft.zarr.SpatialZarr.open(spark, spatialFixture)
+      sd.tables("table")
+        .subsetObs(col("n_spots") < 20)
+        .perVarStats
+        .select(col("var_name"), col("n_obs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("var_name")
+    }),
+
+    // SpatialData elements beyond the reference surface: NGFF image
+    // pyramid levels + labels as chunk-parallel COO, one stats row each
+    "a21_spatial_image_stats" -> ((spark, _) => {
+      val sd = graft.zarr.SpatialZarr.open(spark, spatialFixture)
+      val img = sd.images("cells")
+      def agg(slot: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .select(lit(slot).as("slot"), col("n"),
+            col("sum_value").cast("double").as("sum_value"))
+      val perChannel = img.coo(spark).groupBy("c")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(concat(lit("images/cells/c"), col("c")).as("slot"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+      perChannel
+        .unionByName(agg("images/cells/l1", img.coo(spark, 1)))
+        .unionByName(agg("labels/segmentation",
+          sd.labels("segmentation").coo(spark)))
+        .orderBy("slot")
+    }),
+
+    // SpatialData points element: parquet-native distributed read with
+    // the per-gene aggregate a transcript pipeline starts from
+    "a22_spatial_points" -> ((spark, _) => {
+      val sd = graft.zarr.SpatialZarr.open(spark, spatialFixture)
+      sd.points("transcripts")
+        .groupBy("gene")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("x") + col("y")).cast("double").as("sum_xy"))
+        .orderBy("gene")
+    }),
+
     // zarr SINK round-trip: write a closed-form AnnDataset as a zarr v2
     // store — csr data/indices chunk objects written EXECUTOR-SIDE (the
     // no-single-writer sink path HDF5 cannot offer) — reopen through the
@@ -320,6 +363,12 @@ object AnnQueries {
     Seq("fixtures/zarr/pbmc.zarr", "/root/repo/fixtures/zarr/pbmc.zarr")
       .find(p => new java.io.File(p).exists)
       .getOrElse(sys.error("zarr fixture missing; run tools/gen_zarr.py"))
+
+  /** Committed spatialdata fixture (tools/gen_spatial_zarr.py). */
+  private def spatialFixture: String =
+    Seq("fixtures/zarr/spatial.zarr", "/root/repo/fixtures/zarr/spatial.zarr")
+      .find(p => new java.io.File(p).exists)
+      .getOrElse(sys.error("spatial fixture missing; run tools/gen_spatial_zarr.py"))
 
   /** Committed zarr v3 fixture (tools/gen_zarr_v3.py — same closed forms). */
   private def zarrV3Fixture: String =
@@ -602,6 +651,37 @@ object AnnQueries {
         |FROM range(100, 200) t(i), range(40) s(j)
         |WHERE (i*5 + j*11) % 23 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // spatial fixture closed forms (tools/gen_spatial_zarr.py):
+    // table X mask (i*3+j*7)%11==0 value ((i+j*5)%13)*0.5, n_spots (i*11)%40
+    "a20_spatial_table" ->
+      """SELECT 'gene' || j AS var_name, count(*) AS n_obs,
+        |       CAST(sum(((i + j*5) % 13) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(150) t(i), range(12) s(j)
+        |WHERE (i*11) % 40 < 20 AND (i*3 + j*7) % 11 = 0
+        |GROUP BY j ORDER BY var_name""".stripMargin,
+
+    "a21_spatial_image_stats" ->
+      """WITH rows AS (
+        |  SELECT 'images/cells/c' || c AS slot, count(*) AS n,
+        |         CAST(sum((c*31 + y*7 + x*3) % 256) AS DOUBLE) AS sum_value
+        |  FROM range(3) a(c), range(64) b(y), range(64) d(x) GROUP BY c
+        |  UNION ALL
+        |  SELECT 'images/cells/l1', count(*),
+        |         CAST(sum((c*31 + 2*y*7 + 2*x*3) % 256) AS DOUBLE)
+        |  FROM range(3) a(c), range(32) b(y), range(32) d(x)
+        |  UNION ALL
+        |  SELECT 'labels/segmentation', count(*),
+        |         CAST(sum((y // 8) * 8 + (x // 8)) AS DOUBLE)
+        |  FROM range(64) b(y), range(64) d(x))
+        |SELECT slot, CAST(n AS BIGINT) AS n, sum_value
+        |FROM rows ORDER BY slot""".stripMargin,
+
+    "a22_spatial_points" ->
+      """SELECT 'g' || (p % 25) AS gene, count(*) AS n_points,
+        |       CAST(sum((p*37 % 640)*0.25 + (p*53 % 480)*0.25) AS DOUBLE)
+        |         AS sum_xy
+        |FROM range(2000) t(p) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same closed forms as a07, written through the zarr sink instead
     "a17_zarr_sink_roundtrip" ->
