@@ -295,6 +295,33 @@ object CoreQueries {
         .orderBy("doc_id")
     }),
 
+    "q44_lookup_namespace" -> ((spark, dir) => {
+      // Registry.lookup(): all rows keyed by a field, keys normalized to
+      // python identifiers ('-' -> '_'), last-in wins on duplicates —
+      // with a deterministic ascending order, last-in = max(doc_id)
+      import spark.implicits._
+      val d = t(spark, dir, "documents")
+        .withColumn("key", concat_ws("-", col("source"), col("lang")))
+      val m = QuerySet.over(d, "documents", pk = "doc_id")
+        .orderBy("doc_id")
+        .lookup("key", pythonic = true)
+      m.toSeq.map { case (k, r) => (k, r.getAs[Long]("doc_id")) }
+        .toDF("key", "doc_id").orderBy("key")
+    }),
+
+    "q45_field_error" -> ((spark, dir) => {
+      // unknown-field suggestion: the FieldError message enumerates the
+      // available fields (sorted) — pinned verbatim against the oracle
+      import spark.implicits._
+      val qs = QuerySet.over(t(spark, dir, "documents"), "documents", pk = "doc_id")
+      Seq("langg", "source_id").map { f =>
+        val msg =
+          try { qs.filter(f -> 1).df.head(1); "no error" }
+          catch { case e: graft.query.FieldError => e.getMessage }
+        (f, msg)
+      }.toDF("probe", "message").orderBy("probe")
+    }),
+
     "q14_bfs_lineage" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
       val edges = docs.filter(col("doc_id") >= 1)
@@ -562,6 +589,20 @@ object CoreQueries {
       "q37_feature_categorical" ->
         """SELECT doc_id, source FROM documents
           |WHERE source = 'src3' ORDER BY doc_id""".stripMargin,
+
+      "q44_lookup_namespace" ->
+        """SELECT replace(source || '-' || lang, '-', '_') AS key,
+          |       max(doc_id) AS doc_id
+          |FROM documents GROUP BY source, lang ORDER BY key""".stripMargin,
+
+      "q45_field_error" ->
+        """SELECT * FROM (VALUES
+          |  ('langg', 'Unknown field ''langg'' for documents. ' ||
+          |   'Available: doc_id, lang, n_chars, source, text.'),
+          |  ('source_id', 'Unknown field ''source_id'' for documents. ' ||
+          |   'Available: doc_id, lang, n_chars, source, text.'))
+          |  AS t(probe, message)
+          |ORDER BY probe""".stripMargin,
 
       "q10_is_latest_window" ->
         """SELECT o_custkey, o_orderkey,

@@ -505,9 +505,15 @@ final class QuerySet(
 
   /** Auto-complete lookup object (`Registry.lookup()`): all visible rows
     * keyed by `field` — last-in wins on duplicates, like dict building.
+    * `pythonic = true` applies the reference's identifier normalization
+    * (non-word chars and a leading digit become '_', so keys are valid
+    * attribute names on the returned namespace).
     */
-  def lookup(field: String = "name"): Map[String, Row] =
-    df.collect().iterator.map(r => r.getAs[Any](field).toString -> r).toMap
+  def lookup(field: String = "name", pythonic: Boolean = false): Map[String, Row] =
+    df.collect().iterator.map { r =>
+      val k = r.getAs[Any](field).toString
+      (if (pythonic) k.replaceAll("\\W|^(?=\\d)", "_") else k) -> r
+    }.toMap
 }
 
 object QuerySet {
