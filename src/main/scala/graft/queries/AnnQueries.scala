@@ -317,6 +317,19 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // v3 SHARDED sink round-trip: same closed forms, but the csr slots
+    // are sharding_indexed shard objects written executor-parallel
+    // (inner chunks + crc32c'd index) — the store-object-count answer
+    // at 100 TB — reopened through the format-transparent reader
+    "a23_zarr_v3_sink_roundtrip" -> ((spark, _) => {
+      val path = writtenZarrV3(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      ds.x.join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("batch")
+    }),
+
     // zarr slot surface: uns tree (scalars, a fill_value-padded array
     // whose middle chunk is ABSENT from the store, a memcpy-flag blosc
     // chunk), multi-chunk dense layer, zlib obsm — one typed row each
@@ -363,6 +376,28 @@ object AnnQueries {
     Seq("fixtures/zarr/pbmc.zarr", "/root/repo/fixtures/zarr/pbmc.zarr")
       .find(p => new java.io.File(p).exists)
       .getOrElse(sys.error("zarr fixture missing; run tools/gen_zarr.py"))
+
+  /** a23 sink fixture: a17's closed forms written as a v3 SHARDED store
+    * (128-elem inner chunks, 4 per shard — several shard objects).
+    */
+  private def writtenZarrV3(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_v3", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "rt3.zarr").toString
+      val obs = spark.range(240).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"),
+        (col("id") % 6).cast("long").as("batch"))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(32).select(col("id").as("var_id")))
+        .filter((col("obs_id") * 5 + col("var_id") * 3) % 7 === 0)
+        .withColumn("value", (col("obs_id") * 11 + col("var_id") * 29) % 53 * 0.5)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs, vars, x), p, chunkElems = 128,
+        v3 = true, shardFactor = 4)
+      p
+    })
 
   /** Committed spatialdata fixture (tools/gen_spatial_zarr.py). */
   private def spatialFixture: String =
@@ -685,6 +720,13 @@ object AnnQueries {
 
     // same closed forms as a07, written through the zarr sink instead
     "a17_zarr_sink_roundtrip" ->
+      """SELECT i % 6 AS batch, count(*) AS nnz,
+        |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(32) s(j)
+        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a17 closed forms through the v3 sharded sink
+    "a23_zarr_v3_sink_roundtrip" ->
       """SELECT i % 6 AS batch, count(*) AS nnz,
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)

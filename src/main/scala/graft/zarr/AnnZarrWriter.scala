@@ -13,21 +13,28 @@ import org.apache.spark.sql.types._
 import graft.artifact.{AnnDataset, UnsValue}
 
 /** Native AnnData-on-zarr sink — the write half of [[AnnZarr]], emitting
-  * the same zarr v2 store layout the reference writes through
-  * zarr-python (`core/storage/_backed_access.py:108-121`): JSON
-  * metadata, one object per chunk, anndata element encodings in
-  * `.zattrs`, numcodecs `zlib` chunk compression (publicly specified;
-  * a plain deflate stream).
+  * the same store layouts the reference writes through zarr-python
+  * (`core/storage/_backed_access.py:108-121`):
+  *
+  *  - **v2** (default): `.zarray`/`.zattrs` JSON metadata, one object per
+  *    chunk, numcodecs `zlib` chunk compression, plus `.zmetadata`
+  *    consolidated metadata.
+  *  - **v3 sharded** (`v3 = true`): `zarr.json` nodes, `gzip` codec, and
+  *    the `sharding_indexed` codec on the executor-written csr slots —
+  *    `shardFactor` inner chunks pack into ONE store object with a
+  *    crc32c'd (offset, nbytes) index. At 100 TB this is the difference
+  *    between 10^8 chunk objects and 10^6 shards, while readers keep
+  *    inner-chunk (ranged-GET) granularity.
   *
   * Scale shape — and the reason zarr is the preferred SINK at 100 TB:
   * chunks are independent store objects, so matrix slots are written
-  * EXECUTOR-SIDE in parallel (one shuffle groups elements by chunk id,
-  * then each task encodes and writes its own chunk files). There is no
-  * single-writer bottleneck like the HDF5 container's one-file append
-  * ([[graft.h5.AnnH5Writer]] streams through the driver by necessity —
-  * inherent to the format, not to the engine). Axis frames / indptr /
-  * uns stay driver-written (axis-metadata-sized by the same contract
-  * as the readers).
+  * EXECUTOR-SIDE in parallel (one shuffle groups elements by chunk — or
+  * shard — id, then each task encodes and writes its own objects).
+  * There is no single-writer bottleneck like the HDF5 container's
+  * one-file append ([[graft.h5.AnnH5Writer]] streams through the driver
+  * by necessity — inherent to the format, not to the engine). Axis
+  * frames / indptr / uns stay driver-written (axis-metadata-sized by
+  * the same contract as the readers).
   */
 object AnnZarrWriter {
 
@@ -64,17 +71,26 @@ object AnnZarrWriter {
     out.toByteArray
   }
 
-  private def zgroup(root: String, rel: String, attrs: Option[String]): Unit = {
-    // rel = "" is the store root: "/.zgroup" would resolve as an
-    // ABSOLUTE child in Hadoop's Path(parent, child) and land at the
-    // filesystem root, so join without a leading slash
-    val pfx = if (rel.isEmpty) "" else s"$rel/"
-    writeJson(root, s"$pfx.zgroup", """{"zarr_format":2}""")
-    attrs.foreach(a => writeJson(root, s"$pfx.zattrs", a))
+  /** v3 `gzip` codec (gzip framing; java's writer stamps MTIME=0, so
+    * output is deterministic).
+    */
+  def gzipEncode(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(math.max(64, raw.length / 4))
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
   }
+
+  private def encodeChunk(raw: Array[Byte], v3: Boolean): Array[Byte] =
+    if (v3) gzipEncode(raw) else zlibEncode(raw)
+
+  // ------------------------------------------------------------- metadata
 
   private def enc(t: String, v: String): String =
     s"""{"encoding-type":${jstr(t)},"encoding-version":${jstr(v)}}"""
+
+  private val v3Dtypes = Map("<f8" -> "float64", "<i8" -> "int64",
+    "<i4" -> "int32", "|i1" -> "int8", "|b1" -> "bool", "|O" -> "string")
 
   private def zarray(shape: Seq[Long], chunks: Seq[Int], dtype: String,
                      vlen: Boolean): String = {
@@ -84,6 +100,70 @@ object AnnZarrWriter {
       s""""order":"C","fill_value":0,"filters":$filters,""" +
       s""""dimension_separator":".","compressor":{"id":"zlib","level":5}}"""
   }
+
+  /** v3 codec pipeline: array→bytes (+gzip), optionally wrapped in
+    * sharding_indexed with `inner` chunk shape.
+    */
+  private def v3Codecs(dtype: String, inner: Option[Seq[Int]]): String = {
+    val flat = s"""[${(if (dtype == "|O") """{"name":"vlen-utf8"}"""
+      else """{"name":"bytes","configuration":{"endian":"little"}}""")},""" +
+      """{"name":"gzip","configuration":{"level":5}}]"""
+    inner match {
+      case None => flat
+      case Some(in) =>
+        s"""[{"name":"sharding_indexed","configuration":{""" +
+          s""""chunk_shape":[${in.mkString(",")}],"codecs":$flat,""" +
+          """"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+          """{"name":"crc32c"}],"index_location":"end"}}]"""
+    }
+  }
+
+  /** v3 array node: `chunks` is the store-object grid (the shard shape
+    * when `inner` is set; the chunk shape otherwise).
+    */
+  private def v3Array(shape: Seq[Long], chunks: Seq[Int], dtype: String,
+                      attrs: Option[String], inner: Option[Seq[Int]]): String = {
+    val fill = dtype match {
+      case "|b1" => "false"
+      case "<f8" => "0.0"
+      case _ => "0"
+    }
+    s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
+      s""""data_type":${jstr(v3Dtypes(dtype))},""" +
+      s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+      s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+      s""""fill_value":$fill,"codecs":${v3Codecs(dtype, inner)}""" +
+      attrs.map(a => s""","attributes":$a""").getOrElse("") + "}"
+  }
+
+  private def arrayMeta(root: String, rel: String, shape: Seq[Long],
+                        chunks: Seq[Int], dtype: String, vlen: Boolean,
+                        attrs: String, v3: Boolean,
+                        inner: Option[Seq[Int]] = None): Unit =
+    if (v3) writeJson(root, s"$rel/zarr.json",
+      v3Array(shape, chunks, dtype, Some(attrs), inner))
+    else {
+      writeJson(root, s"$rel/.zarray", zarray(shape, chunks, dtype, vlen))
+      writeJson(root, s"$rel/.zattrs", attrs)
+    }
+
+  private def zgroup(root: String, rel: String, attrs: Option[String],
+                     v3: Boolean = false): Unit = {
+    // rel = "" is the store root: "/.zgroup" would resolve as an
+    // ABSOLUTE child in Hadoop's Path(parent, child) and land at the
+    // filesystem root, so join without a leading slash
+    val pfx = if (rel.isEmpty) "" else s"$rel/"
+    if (v3)
+      writeJson(root, s"${pfx}zarr.json",
+        s"""{"zarr_format":3,"node_type":"group"""" +
+          attrs.map(a => s""","attributes":$a""").getOrElse("") + "}")
+    else {
+      writeJson(root, s"$pfx.zgroup", """{"zarr_format":2}""")
+      attrs.foreach(a => writeJson(root, s"$pfx.zattrs", a))
+    }
+  }
+
+  private def chunkKey1d(c: Long, v3: Boolean): String = if (v3) s"c/$c" else s"$c"
 
   /** Pack one chunk's values to raw bytes (C order, full chunk padded). */
   private def packNum(dtype: String, vals: Array[Double]): Array[Byte] = {
@@ -118,11 +198,9 @@ object AnnZarrWriter {
   /** Driver-side 1-D array write (axis frames, indptr, categories, uns). */
   private def array1d(root: String, rel: String, dtype: String,
                       n: Long, chunkLen: Int, attrs: String,
-                      chunkVals: Int => Array[Any]): Unit = {
+                      chunkVals: Int => Array[Any], v3: Boolean): Unit = {
     val vlen = dtype == "|O"
-    writeJson(root, s"$rel/.zarray",
-      zarray(Seq(n), Seq(chunkLen), dtype, vlen))
-    writeJson(root, s"$rel/.zattrs", attrs)
+    arrayMeta(root, rel, Seq(n), Seq(chunkLen), dtype, vlen, attrs, v3)
     val nChunks = math.max(1, (n + chunkLen - 1) / chunkLen).toInt
     (0 until nChunks).foreach { c =>
       val vals = chunkVals(c)
@@ -136,16 +214,15 @@ object AnnZarrWriter {
           case other => throw new UnsupportedOperationException(
             s"$rel: element ${if (other == null) "null" else other.getClass.getName}")
         })
-      writeBytes(root, s"$rel/$c", zlibEncode(raw))
+      writeBytes(root, s"$rel/${chunkKey1d(c, v3)}", encodeChunk(raw, v3))
     }
   }
 
   /** 0-d scalar array (uns scalars). */
   private def scalar(root: String, rel: String, dtype: String,
-                     attrs: String, raw: Array[Byte]): Unit = {
-    writeJson(root, s"$rel/.zarray", zarray(Nil, Nil, dtype, dtype == "|O"))
-    writeJson(root, s"$rel/.zattrs", attrs)
-    writeBytes(root, s"$rel/0", zlibEncode(raw))
+                     attrs: String, raw: Array[Byte], v3: Boolean): Unit = {
+    arrayMeta(root, rel, Nil, Nil, dtype, dtype == "|O", attrs, v3)
+    writeBytes(root, s"$rel/${if (v3) "c" else "0"}", encodeChunk(raw, v3))
   }
 
   // ------------------------------------------------------------ dataframe
@@ -156,14 +233,14 @@ object AnnZarrWriter {
     * synthesizes positional labels).
     */
   private def writeFrame(root: String, rel: String, df: DataFrame,
-                         rowIdName: String, idName: String): Long = {
+                         rowIdName: String, idName: String, v3: Boolean): Long = {
     val cols = df.columns.filter(c => c != rowIdName && c != idName)
     val rows = df.orderBy(rowIdName).collect()
     val n = rows.length.toLong
     val chunkLen = math.max(1, math.min(n, 65536L)).toInt
     zgroup(root, rel,
       Some(s"""{"_index":"_index","column-order":[${cols.map(jstr).mkString(",")}],""" +
-        s""""encoding-type":"dataframe","encoding-version":"0.2.0"}"""))
+        s""""encoding-type":"dataframe","encoding-version":"0.2.0"}"""), v3)
     val hasName = df.columns.contains(idName)
     def chunkOf(get: Int => Any)(c: Int): Array[Any] = {
       val lo = c * chunkLen
@@ -176,7 +253,7 @@ object AnnZarrWriter {
       chunkOf(i => if (hasName) rows(i).getAs[Any](idName) match {
         case s: String => s
         case other => String.valueOf(other)
-      } else i.toString))
+      } else i.toString), v3)
     cols.foreach { cn =>
       val dt = df.schema(cn).dataType
       val (dtype, get): (String, Int => Any) = dt match {
@@ -194,23 +271,29 @@ object AnnZarrWriter {
           if (lo + k < hi) get(lo + k)
           else if (dtype == "|O") null else 0L)
       }
-      array1d(root, s"$rel/$cn", dtype, n, chunkLen, enc("array", "0.2.0"), pad)
+      array1d(root, s"$rel/$cn", dtype, n, chunkLen, enc("array", "0.2.0"), pad, v3)
     }
     n
   }
 
   // ------------------------------------------------------------------ csr
 
-  /** A COO frame as a `csr_matrix` group, data/indices chunks written
+  /** A COO frame as a `csr_matrix` group, data/indices written
     * EXECUTOR-SIDE: per-row counts give indptr (axis-sized, driver);
     * each element gets its global CSR position (row offset + rank
     * within its row — one shuffle on the row key), elements then group
-    * on their target chunk id (second shuffle, chunk-sized state), and
-    * every task writes its own `data/<c>` + `indices/<c>` objects.
+    * on their target store-object id (second shuffle, object-sized
+    * state), and every task writes its own `data` + `indices` objects.
+    *
+    * v2: one object per chunk of `chunkElems`. v3: one SHARD object per
+    * `shardFactor` inner chunks — the task gzip-encodes each inner
+    * chunk, concatenates, and appends the crc32c'd u64 index the
+    * sharding_indexed codec specifies.
     */
   private def writeCsr(root: String, rel: String, coo: DataFrame,
                        rowCol: String, colCol: String,
-                       nRows: Long, nCols: Long, chunkElems: Int): Unit = {
+                       nRows: Long, nCols: Long, chunkElems: Int,
+                       v3: Boolean, shardFactor: Int): Unit = {
     val spark = coo.sparkSession
     val perRow = coo.groupBy(col(rowCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
@@ -219,22 +302,32 @@ object AnnZarrWriter {
     val nnz = indptr.last
 
     zgroup(root, rel, Some(
-      s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0","shape":[$nRows,$nCols]}"""))
+      s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0","shape":[$nRows,$nCols]}"""), v3)
     val ptrChunk = math.max(1, math.min(nRows + 1, 65536L)).toInt
     array1d(root, s"$rel/indptr", "<i8", nRows + 1, ptrChunk,
       enc("array", "0.2.0"), { c =>
         val lo = c * ptrChunk
         Array.tabulate(ptrChunk)(k =>
           if (lo + k <= nRows) indptr(lo + k) else 0L)
-      })
+      }, v3)
 
-    val nChunks = math.max(1, (nnz + chunkElems - 1) / chunkElems).toInt
-    writeJson(root, s"$rel/data/.zarray", zarray(Seq(nnz), Seq(chunkElems), "<f8", vlen = false))
-    writeJson(root, s"$rel/data/.zattrs", enc("array", "0.2.0"))
-    writeJson(root, s"$rel/indices/.zarray", zarray(Seq(nnz), Seq(chunkElems), "<i8", vlen = false))
-    writeJson(root, s"$rel/indices/.zattrs", enc("array", "0.2.0"))
+    // store-object granularity: chunks (v2) or shards (v3)
+    val objElems = if (v3) chunkElems.toLong * shardFactor else chunkElems.toLong
+    val shardShape = math.min(objElems, Long.MaxValue).toInt
+    if (v3) {
+      arrayMeta(root, s"$rel/data", Seq(nnz), Seq(shardShape), "<f8",
+        vlen = false, enc("array", "0.2.0"), v3 = true, inner = Some(Seq(chunkElems)))
+      arrayMeta(root, s"$rel/indices", Seq(nnz), Seq(shardShape), "<i8",
+        vlen = false, enc("array", "0.2.0"), v3 = true, inner = Some(Seq(chunkElems)))
+    } else {
+      arrayMeta(root, s"$rel/data", Seq(nnz), Seq(chunkElems), "<f8",
+        vlen = false, enc("array", "0.2.0"), v3 = false)
+      arrayMeta(root, s"$rel/indices", Seq(nnz), Seq(chunkElems), "<i8",
+        vlen = false, enc("array", "0.2.0"), v3 = false)
+    }
     if (nnz == 0) return
 
+    val nObjects = math.max(1L, (nnz + objElems - 1) / objElems).toInt
     val ptrB = spark.sparkContext.broadcast(indptr)
     val elems = coo
       .select(col(rowCol).cast("long").as("r"), col(colCol).cast("long").as("c"),
@@ -242,49 +335,88 @@ object AnnZarrWriter {
       .withColumn("rk",
         row_number().over(Window.partitionBy("r").orderBy("c")).cast("long") - 1)
     val rootC = root; val relC = rel; val chunkC = chunkElems; val nnzC = nnz
+    val objElemsC = objElems; val v3C = v3
     elems.toDF().rdd
       .map { row =>
         val e = ptrB.value(row.getLong(0).toInt) + row.getLong(3)
-        ((e / chunkC).toInt, (e, row.getLong(1), row.getDouble(2)))
+        ((e / objElemsC).toInt, (e, row.getLong(1), row.getDouble(2)))
       }
-      .groupByKey(math.min(nChunks, math.max(1, spark.sparkContext.defaultParallelism)))
-      .foreach { case (chunk, it) =>
-        val base = chunk.toLong * chunkC
-        val m = math.min(chunkC.toLong, nnzC - base).toInt
-        val dataV = new Array[Double](chunkC) // zero-padded edge chunk
-        val indV = new Array[Double](chunkC)
+      .groupByKey(math.min(nObjects, math.max(1, spark.sparkContext.defaultParallelism)))
+      .foreach { case (obj, it) =>
+        val base = obj.toLong * objElemsC
+        val m = math.min(objElemsC, nnzC - base).toInt
+        val dataV = new Array[Double](m)
+        val indV = new Array[Long](m)
         var seen = 0
         it.foreach { case (e, j, v) =>
           val k = (e - base).toInt
-          dataV(k) = v; indV(k) = j.toDouble; seen += 1
+          dataV(k) = v; indV(k) = j; seen += 1
         }
-        require(seen == m, s"$relC chunk $chunk: $seen of $m elements")
-        val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-        dataV.foreach(db.putDouble)
-        val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-        indV.foreach(v => ib.putLong(v.toLong))
-        writeBytes(rootC, s"$relC/data/$chunk", zlibEncode(db.array()))
-        writeBytes(rootC, s"$relC/indices/$chunk", zlibEncode(ib.array()))
+        require(seen == m, s"$relC object $obj: $seen of $m elements")
+        if (!v3C) {
+          // one zero-padded chunk object per array
+          val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+          dataV.foreach(db.putDouble) // allocate() zero-fills the edge padding
+          val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+          indV.foreach(ib.putLong)
+          writeBytes(rootC, s"$relC/data/$obj", zlibEncode(db.array()))
+          writeBytes(rootC, s"$relC/indices/$obj", zlibEncode(ib.array()))
+        } else {
+          // one SHARD per array: gzip'd inner chunks + crc32c'd index
+          def shardBytes(pack: (Int, Int) => Array[Byte]): Array[Byte] = {
+            val nInner = ((objElemsC + chunkC - 1) / chunkC).toInt
+            val body = new java.io.ByteArrayOutputStream()
+            val index = ByteBuffer.allocate(16 * nInner + 4).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < nInner) {
+              val lo = i * chunkC
+              if (lo >= m) { index.putLong(-1L); index.putLong(-1L) } // beyond nnz
+              else {
+                val encd = encodeChunk(pack(lo, math.min(chunkC, m - lo)), v3 = true)
+                index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
+                body.write(encd)
+              }
+              i += 1
+            }
+            val idx = index.array()
+            val crc = ZCodec.crc32c(idx, 0, 16 * nInner)
+            ByteBuffer.wrap(idx, 16 * nInner, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
+            body.write(idx)
+            body.toByteArray
+          }
+          writeBytes(rootC, s"$relC/data/c/$obj", shardBytes { (lo, len) =>
+            val bb = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+            var k = 0
+            while (k < len) { bb.putDouble(dataV(lo + k)); k += 1 }
+            bb.array() // zero-padded to the full inner chunk
+          })
+          writeBytes(rootC, s"$relC/indices/c/$obj", shardBytes { (lo, len) =>
+            val bb = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+            var k = 0
+            while (k < len) { bb.putLong(indV(lo + k)); k += 1 }
+            bb.array()
+          })
+        }
       }
     ptrB.unpersist()
   }
 
   // ------------------------------------------------------------------ uns
 
-  private def writeUns(root: String, rel: String, v: UnsValue): Unit = {
+  private def writeUns(root: String, rel: String, v: UnsValue, v3: Boolean): Unit = {
     import UnsValue._
     v match {
       case Scalar(s: String) =>
-        scalar(root, rel, "|O", enc("string", "0.2.0"), packVlen(Array(s)))
+        scalar(root, rel, "|O", enc("string", "0.2.0"), packVlen(Array(s)), v3)
       case Scalar(d: Double) =>
         val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d)
-        scalar(root, rel, "<f8", enc("numeric-scalar", "0.2.0"), bb.array())
+        scalar(root, rel, "<f8", enc("numeric-scalar", "0.2.0"), bb.array(), v3)
       case Scalar(n: Number) =>
         val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(n.longValue())
-        scalar(root, rel, "<i8", enc("numeric-scalar", "0.2.0"), bb.array())
+        scalar(root, rel, "<i8", enc("numeric-scalar", "0.2.0"), bb.array(), v3)
       case Scalar(b: Boolean) =>
         scalar(root, rel, "|b1", enc("numeric-scalar", "0.2.0"),
-          Array[Byte](if (b) 1 else 0))
+          Array[Byte](if (b) 1 else 0), v3)
       case Scalar(other) => throw new UnsupportedOperationException(
         s"uns scalar of ${if (other == null) "null" else other.getClass.getName}")
       case Arr(vals) =>
@@ -302,10 +434,10 @@ object AnnZarrWriter {
           Array.tabulate(chunkLen)(k =>
             if (lo + k < n) vals(lo + k)
             else if (dtype == "|O") null else 0L)
-        })
+        }, v3)
       case Mapping(items) =>
-        zgroup(root, rel, Some(enc("dict", "0.1.0")))
-        items.foreach { case (k, cv) => writeUns(root, s"$rel/$k", cv) }
+        zgroup(root, rel, Some(enc("dict", "0.1.0")), v3)
+        items.foreach { case (k, cv) => writeUns(root, s"$rel/$k", cv, v3) }
     }
   }
 
@@ -315,53 +447,63 @@ object AnnZarrWriter {
     * object-store prefix). Matrix slots (X, layers, obsm, varm, obsp,
     * raw.X) are csr groups written executor-parallel; axis frames and
     * uns are driver-written. Readable back by [[AnnZarr.open]].
+    *
+    * `v3 = true` emits a zarr v3 store with `sharding_indexed` csr
+    * slots: `shardFactor` inner chunks of `chunkElems` elements per
+    * shard object. Both flavors finish with consolidated metadata.
     */
-  def write(ds: AnnDataset, path: String, chunkElems: Int = 65536): Unit = {
+  def write(ds: AnnDataset, path: String, chunkElems: Int = 65536,
+            v3: Boolean = false, shardFactor: Int = 16): Unit = {
     val fs = new Path(path).getFileSystem(conf)
     fs.delete(new Path(path), true)
     ZarrStore.invalidate(path) // same-JVM readers must not see stale metadata
-    zgroup(path, "", Some(enc("anndata", "0.1.0")))
-    val nObs = writeFrame(path, "obs", ds.obs, "obs_id", "obs_name")
-    val nVar = writeFrame(path, "var", ds.vars, "var_id", "var_name")
-    writeCsr(path, "X", ds.x, "obs_id", "var_id", nObs, nVar, chunkElems)
+    zgroup(path, "", Some(enc("anndata", "0.1.0")), v3)
+    val nObs = writeFrame(path, "obs", ds.obs, "obs_id", "obs_name", v3)
+    val nVar = writeFrame(path, "var", ds.vars, "var_id", "var_name", v3)
+    writeCsr(path, "X", ds.x, "obs_id", "var_id", nObs, nVar, chunkElems, v3, shardFactor)
     def dimCount(df: DataFrame, c: String): Long =
       df.agg(coalesce(max(col(c)), lit(-1L))).collect().head.getLong(0) + 1
     if (ds.layers.nonEmpty) {
-      zgroup(path, "layers", Some(enc("dict", "0.1.0")))
+      zgroup(path, "layers", Some(enc("dict", "0.1.0")), v3)
       ds.layers.foreach { case (nm, m) =>
-        writeCsr(path, s"layers/$nm", m, "obs_id", "var_id", nObs, nVar, chunkElems)
+        writeCsr(path, s"layers/$nm", m, "obs_id", "var_id", nObs, nVar,
+          chunkElems, v3, shardFactor)
       }
     }
     if (ds.obsm.nonEmpty) {
-      zgroup(path, "obsm", Some(enc("dict", "0.1.0")))
+      zgroup(path, "obsm", Some(enc("dict", "0.1.0")), v3)
       ds.obsm.foreach { case (nm, m) =>
         val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
-        writeCsr(path, s"obsm/$nm", m, "obs_id", dimCol, nObs, dimCount(m, dimCol), chunkElems)
+        writeCsr(path, s"obsm/$nm", m, "obs_id", dimCol, nObs,
+          dimCount(m, dimCol), chunkElems, v3, shardFactor)
       }
     }
     if (ds.varm.nonEmpty) {
-      zgroup(path, "varm", Some(enc("dict", "0.1.0")))
+      zgroup(path, "varm", Some(enc("dict", "0.1.0")), v3)
       ds.varm.foreach { case (nm, m) =>
         val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
-        writeCsr(path, s"varm/$nm", m, "var_id", dimCol, nVar, dimCount(m, dimCol), chunkElems)
+        writeCsr(path, s"varm/$nm", m, "var_id", dimCol, nVar,
+          dimCount(m, dimCol), chunkElems, v3, shardFactor)
       }
     }
     if (ds.obsp.nonEmpty) {
-      zgroup(path, "obsp", Some(enc("dict", "0.1.0")))
+      zgroup(path, "obsp", Some(enc("dict", "0.1.0")), v3)
       ds.obsp.foreach { case (nm, m) =>
-        writeCsr(path, s"obsp/$nm", m, "obs_id", "obs_id_2", nObs, nObs, chunkElems)
+        writeCsr(path, s"obsp/$nm", m, "obs_id", "obs_id_2", nObs, nObs,
+          chunkElems, v3, shardFactor)
       }
     }
     if (ds.uns.nonEmpty) {
-      zgroup(path, "uns", Some(enc("dict", "0.1.0")))
-      ds.uns.foreach { case (k, v) => writeUns(path, s"uns/$k", v) }
+      zgroup(path, "uns", Some(enc("dict", "0.1.0")), v3)
+      ds.uns.foreach { case (k, v) => writeUns(path, s"uns/$k", v, v3) }
     }
     ds.raw.foreach { r =>
-      zgroup(path, "raw", Some(enc("dict", "0.1.0")))
-      val nRawVar = writeFrame(path, "raw/var", r.vars, "var_id", "var_name")
-      writeCsr(path, "raw/X", r.x, "obs_id", "var_id", nObs, nRawVar, chunkElems)
+      zgroup(path, "raw", Some(enc("dict", "0.1.0")), v3)
+      val nRawVar = writeFrame(path, "raw/var", r.vars, "var_id", "var_name", v3)
+      writeCsr(path, "raw/X", r.x, "obs_id", "var_id", nObs, nRawVar,
+        chunkElems, v3, shardFactor)
     }
-    // one .zmetadata so reopening the store costs a single metadata GET
-    ZarrStore.consolidate(path)
+    // consolidated metadata so reopening costs a single metadata GET
+    if (v3) ZarrStore.consolidateV3(path) else ZarrStore.consolidate(path)
   }
 }

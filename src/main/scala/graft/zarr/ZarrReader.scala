@@ -438,6 +438,36 @@ object ZarrStore {
     try o.write(mapper.writeValueAsBytes(out)) finally o.close()
     invalidate(root)
   }
+
+  /** v3 consolidation: rewrite the root `zarr.json` with
+    * `consolidated_metadata` covering every descendant node — same
+    * one-GET reopen contract as v2's `.zmetadata`.
+    */
+  def consolidateV3(root: String): Unit = {
+    val f = fs(root)
+    val rootNode = readBytes(root, "zarr.json").map(mapper.readTree).getOrElse(
+      sys.error(s"$root: no root zarr.json to consolidate")).asInstanceOf[ObjectNode]
+    val md = mapper.createObjectNode()
+    def visit(rel: String): Unit = {
+      val base = if (rel.isEmpty) new Path(root) else new Path(root, rel)
+      f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName).foreach { n =>
+        val child = s"$rel/$n".stripPrefix("/")
+        readBytes(root, s"$child/zarr.json").foreach { b =>
+          md.set[ObjectNode](child, mapper.readTree(b))
+          visit(child)
+        }
+      }
+    }
+    visit("")
+    val cm = mapper.createObjectNode()
+    cm.put("kind", "inline")
+    cm.put("must_understand", false)
+    cm.set[ObjectNode]("metadata", md)
+    rootNode.set[ObjectNode]("consolidated_metadata", cm)
+    val o = f.create(new Path(root, "zarr.json"), true)
+    try o.write(mapper.writeValueAsBytes(rootNode)) finally o.close()
+    invalidate(root)
+  }
 }
 
 /** One zarr array (either format): serializable metadata + chunk decode,

@@ -106,6 +106,40 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(mods("rna").obs.count() == nObs)
   }
 
+  test("v3 sharded sink: zarr.json nodes, shard objects, one-GET reopen") {
+    val p = TestSpark.tmpDir("graft_zw3") + "/rt3.zarr"
+    // 32-elem inner chunks x4 per shard -> several shard objects for nnz
+    AnnZarrWriter.write(buildDataset(), p, chunkElems = 32, v3 = true,
+      shardFactor = 4)
+    assert(ZarrStore.format(p) == 3)
+    val za = ZarrStore.openArray(p, "X/data")
+    assert(za.compressor == "sharding")
+    assert(za.chunks == Seq(32) && za.shard.get.shardShape == Seq(128))
+    val nnz = (for { i <- 0L until nObs; j <- 0L until nVar if xmask(i, j) } yield 1).size
+    // store objects = shards, not inner chunks
+    val shardDir = new java.io.File(s"$p/X/data/c")
+    // ignore Hadoop local-FS .crc sidecars
+    assert(shardDir.listFiles().count(!_.getName.startsWith(".")) == (nnz + 127) / 128)
+    // consolidated v3 root: full reopen costs 2 metadata GETs
+    ZarrStore.invalidate(p)
+    val before = ZarrStore.metaReads(p)
+    val ds = AnnZarr.open(spark, p)
+    val got = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (for {
+      i <- 0L until nObs; j <- 0L until nVar if xmask(i, j)
+    } yield (i, j, xval(i, j))).toArray
+    assert(got.sameElements(expected))
+    assert(ZarrStore.metaReads(p) - before == 2)
+    // uns + obsm survive the v3 flavor too
+    import UnsValue._
+    assert(ds.uns("seed") == Scalar(11L) && ds.uns("tag") == Scalar("trial"))
+    val pcaSum = ds.obsm("X_pca").agg(sum("value")).head().getDouble(0)
+    val expPca = (for (i <- 0L until nObs; k <- 0L until 3)
+      yield (i + k * 7) % 13 * 0.5).sum
+    assert(math.abs(pcaSum - expPca) < 1e-6)
+  }
+
   test("raw slot and empty-x slot write and reopen") {
     val base = buildDataset()
     val rawVars = spark.range(30).select(col("id").as("var_id"),
