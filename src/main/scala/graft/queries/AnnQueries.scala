@@ -317,6 +317,18 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // zarr-native APPEND: write 160 rows, appendRows the other 80 —
+    // only boundary + new data/indices chunk objects are written (the
+    // incremental-ingest shape HDF5 cannot offer) — reopen, aggregate
+    "a24_zarr_append" -> ((spark, _) => {
+      val path = appendedZarr(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      ds.x.join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("batch")
+    }),
+
     // v3 SHARDED sink round-trip: same closed forms, but the csr slots
     // are sharding_indexed shard objects written executor-parallel
     // (inner chunks + crc32c'd index) — the store-object-count answer
@@ -376,6 +388,33 @@ object AnnQueries {
     Seq("fixtures/zarr/pbmc.zarr", "/root/repo/fixtures/zarr/pbmc.zarr")
       .find(p => new java.io.File(p).exists)
       .getOrElse(sys.error("zarr fixture missing; run tools/gen_zarr.py"))
+
+  /** a24 fixture: a17's closed forms built in TWO passes — rows 0..159
+    * written, rows 160..239 appended via [[graft.zarr.AnnZarrWriter.appendRows]]
+    * (local obs ids; values keyed by the GLOBAL row formula).
+    */
+  private def appendedZarr(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_append", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "grow.zarr").toString
+      def slice(lo: Long, hi: Long) = (
+        spark.range(hi - lo).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id") + lo).as("obs_name"),
+          ((col("id") + lo) % 6).cast("long").as("batch")),
+        spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(32).select(col("id").as("var_id")))
+          .filter(((col("obs_id") + lo) * 5 + col("var_id") * 3) % 7 === 0)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 11 + col("var_id") * 29) % 53 * 0.5))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val (obs0, x0) = slice(0, 160)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs0, vars, x0), p, chunkElems = 256)
+      val (obs1, x1) = slice(160, 240)
+      graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p)
+      p
+    })
 
   /** a23 sink fixture: a17's closed forms written as a v3 SHARDED store
     * (128-elem inner chunks, 4 per shard — several shard objects).
@@ -720,6 +759,13 @@ object AnnQueries {
 
     // same closed forms as a07, written through the zarr sink instead
     "a17_zarr_sink_roundtrip" ->
+      """SELECT i % 6 AS batch, count(*) AS nnz,
+        |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(32) s(j)
+        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a17 closed forms built write-then-append
+    "a24_zarr_append" ->
       """SELECT i % 6 AS batch, count(*) AS nnz,
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)

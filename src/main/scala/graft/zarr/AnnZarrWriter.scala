@@ -506,4 +506,170 @@ object AnnZarrWriter {
     // consolidated metadata so reopening costs a single metadata GET
     if (v3) ZarrStore.consolidateV3(path) else ZarrStore.consolidate(path)
   }
+
+  // --------------------------------------------------------------- append
+
+  /** Append rows to an existing (writer-produced, v2) AnnData-on-zarr
+    * store IN PLACE — the zarr answer to incremental ingest: because
+    * chunks are independent store objects, only the boundary chunk and
+    * the NEW chunks of `X/data` + `X/indices` are written; all earlier
+    * chunk objects are untouched (asserted by spec via mtimes). Axis
+    * metadata (obs frame, indptr) rewrites driver-side by the same
+    * axis-metadata-sized contract as the readers.
+    *
+    * `newObs` must carry the store's obs columns (obs_id local 0..n-1);
+    * `newX` is COO with local obs_id. Obs-aligned aux slots (layers /
+    * obsm / obsp / raw) would be invalidated by a row append and must
+    * be absent. The HDF5 container cannot offer this shape at all — an
+    * h5ad append rewrites the file.
+    */
+  def appendRows(newObs: DataFrame, newX: DataFrame, path: String): Unit = {
+    require(ZarrStore.format(path) == 2, s"$path: appendRows serves v2 stores")
+    Seq("layers", "obsm", "obsp", "raw").foreach { s =>
+      require(!ZarrStore.isGroup(path, s),
+        s"$path: cannot append rows with obs-aligned slot '$s' present")
+    }
+    val dataZ = ZarrStore.openArray(path, "X/data")
+    val indZ = ZarrStore.openArray(path, "X/indices")
+    require(dataZ.compressor == "zlib" && indZ.compressor == "zlib",
+      s"$path: appendRows requires the writer's zlib chunk encoding")
+    val chunkElems = dataZ.chunks.head
+    val nnz0 = dataZ.shape.head
+    val ptr0 = ZarrStore.openArray(path, "X/indptr").readFlat()
+      .map(_.asInstanceOf[Long]).toArray
+    val n0 = ptr0.length - 1L
+    val nCols = {
+      val a = ZarrStore.attrs(path, "X").get.get("shape")
+      a.get(1).asLong
+    }
+
+    // ---- new rows: counts, then global element positions
+    val spark = newX.sparkSession
+    val rows = newObs.orderBy("obs_id").collect()
+    val nAdd = rows.length.toLong
+    val perRow = newX.groupBy(col("obs_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
+    val addPtr = new Array[Long](nAdd.toInt + 1)
+    (0 until nAdd.toInt).foreach(i =>
+      addPtr(i + 1) = addPtr(i) + perRow.getOrElse(i.toLong, 0L))
+    val nnzAdd = addPtr.last
+    val nnz1 = nnz0 + nnzAdd
+
+    // ---- obs frame: merge + full rewrite (axis-metadata-sized)
+    val obsCols = ZarrStore.children(path, "obs").filterNot(_ == "_index")
+    val chunkLen = ZarrStore.openArray(path, "obs/_index").chunks.head
+    def rewrite1d(rel: String, dtype: String, attrs: String,
+                  merged: IndexedSeq[Any]): Unit = {
+      val n1 = merged.length.toLong
+      array1d(path, rel, dtype, n1, chunkLen, attrs, { c =>
+        val lo = c * chunkLen
+        Array.tabulate(chunkLen)(k =>
+          if (lo + k < n1) merged(lo + k)
+          else if (dtype == "|O") null else 0L)
+      }, v3 = false)
+    }
+    val names0 = ZarrStore.openArray(path, "obs/_index").readFlat()
+    val hasName = newObs.columns.contains("obs_name")
+    rewrite1d("obs/_index", "|O", enc("string-array", "0.2.0"),
+      names0 ++ rows.zipWithIndex.map { case (r, i) =>
+        if (hasName) String.valueOf(r.getAs[Any]("obs_name")) else (n0 + i).toString
+      })
+    obsCols.foreach { cn =>
+      require(newObs.columns.contains(cn), s"append obs frame missing column '$cn'")
+      require(ZarrStore.isArray(path, s"obs/$cn"),
+        s"obs/$cn: categorical obs columns are not appendable")
+      val za = ZarrStore.openArray(path, s"obs/$cn")
+      require(za.kind != 'O' || za.vlenUtf8, s"obs/$cn: unsupported encoding")
+      val attrs = if (za.kind == 'O') enc("string-array", "0.2.0") else enc("array", "0.2.0")
+      val add: Seq[Any] = za.kind match {
+        case 'O' => rows.map(r => String.valueOf(r.getAs[Any](cn))).toSeq
+        case 'f' => rows.map(r => r.getAs[Number](cn).doubleValue()).toSeq
+        case _ => rows.map { r =>
+          r.getAs[Any](cn) match {
+            case b: Boolean => if (b) 1L else 0L
+            case x: Number => x.longValue()
+            case other => sys.error(s"obs/$cn: element $other")
+          }
+        }.toSeq
+      }
+      rewrite1d(s"obs/$cn", za.dtype, attrs, za.readFlat() ++ add)
+    }
+
+    // ---- indptr: extend (axis-sized)
+    val ptr1 = ptr0 ++ addPtr.tail.map(_ + nnz0)
+    val ptrChunk = ZarrStore.openArray(path, "X/indptr").chunks.head
+    array1d(path, "X/indptr", "<i8", ptr1.length.toLong, ptrChunk,
+      enc("array", "0.2.0"), { c =>
+        val lo = c * ptrChunk
+        Array.tabulate(ptrChunk)(k =>
+          if (lo + k < ptr1.length) ptr1(lo + k) else 0L)
+      }, v3 = false)
+
+    // ---- X group shape gains the appended rows
+    zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
+      s""""shape":[${n0 + nAdd},$nCols]}"""))
+
+    // ---- data/indices: metadata grows; ONLY boundary + new chunks write
+    writeJson(path, "X/data/.zarray", zarray(Seq(nnz1), Seq(chunkElems), "<f8", vlen = false))
+    writeJson(path, "X/data/.zattrs", enc("array", "0.2.0"))
+    writeJson(path, "X/indices/.zarray", zarray(Seq(nnz1), Seq(chunkElems), "<i8", vlen = false))
+    writeJson(path, "X/indices/.zattrs", enc("array", "0.2.0"))
+    if (nnzAdd > 0) {
+      val cb = (nnz0 / chunkElems).toInt // boundary chunk id
+      val boundaryOff = (nnz0 % chunkElems).toInt
+      val (bndData, bndInd) =
+        if (boundaryOff == 0) (Array.empty[Double], Array.empty[Long])
+        else {
+          val db = ByteBuffer.wrap(dataZ.readChunk(Seq(cb)).get)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val ib = ByteBuffer.wrap(indZ.readChunk(Seq(cb)).get)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          (Array.tabulate(boundaryOff)(k => db.getDouble(k * 8)),
+            Array.tabulate(boundaryOff)(k => ib.getLong(k * 8)))
+        }
+      val ptrB = spark.sparkContext.broadcast(addPtr)
+      val bndB = spark.sparkContext.broadcast((bndData, bndInd))
+      val rootC = path; val chunkC = chunkElems
+      val nnz0C = nnz0; val nnz1C = nnz1; val cbC = cb
+      val elems = newX
+        .select(col("obs_id").cast("long").as("r"), col("var_id").cast("long").as("c"),
+          col("value").cast("double").as("v"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("r").orderBy("c")).cast("long") - 1)
+      elems.toDF().rdd
+        .map { row =>
+          val e = nnz0C + ptrB.value(row.getLong(0).toInt) + row.getLong(3)
+          ((e / chunkC).toInt, (e, row.getLong(1), row.getDouble(2)))
+        }
+        .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
+        .foreach { case (chunk, it) =>
+          val base = chunk.toLong * chunkC
+          val dataV = new Array[Double](chunkC)
+          val indV = new Array[Long](chunkC)
+          // the boundary chunk keeps its existing prefix
+          if (chunk == cbC) {
+            val (bd, bi) = bndB.value
+            var k = 0
+            while (k < bd.length) { dataV(k) = bd(k); indV(k) = bi(k); k += 1 }
+          }
+          var seen = 0
+          it.foreach { case (e, j, v) =>
+            val k = (e - base).toInt
+            dataV(k) = v; indV(k) = j; seen += 1
+          }
+          val lo = math.max(base, nnz0C)
+          val hi = math.min(base + chunkC, nnz1C)
+          require(seen == (hi - lo).toInt,
+            s"X append chunk $chunk: $seen of ${hi - lo} new elements")
+          val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+          dataV.foreach(db.putDouble)
+          val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+          indV.foreach(ib.putLong)
+          writeBytes(rootC, s"X/data/$chunk", zlibEncode(db.array()))
+          writeBytes(rootC, s"X/indices/$chunk", zlibEncode(ib.array()))
+        }
+      ptrB.unpersist(); bndB.unpersist()
+    }
+    ZarrStore.consolidate(path)
+  }
 }

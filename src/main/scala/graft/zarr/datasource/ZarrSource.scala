@@ -23,22 +23,32 @@ import graft.zarr.{ZArray, ZarrStore}
   *    against indptr (csr), so task parallelism tracks the store's own
   *    chunk layout;
   *  - **filter pushdown = chunk pruning** — pushed min/max bounds on
-  *    `obs_id`/`var_id` skip chunk OBJECTS whose grid offsets cannot
+  *    the axis columns skip chunk OBJECTS whose grid offsets cannot
   *    intersect, before any byte is read (and with a directory store
   *    that also means those objects are never even opened);
   *  - **column pruning** — only projected fields materialize.
+  *
+  * Dense slots of ANY rank are served: rank-2 keeps the
+  * `(obs_id, var_id)` naming; other ranks (NGFF images/labels, rank-3
+  * tensors) get axis columns `d0..dN-1`, renameable via
+  * `.option("axes", "c,y,x")` — each axis column prunes its own grid
+  * dimension. Works on v2 and v3 (incl. sharded) stores alike.
   */
 final class ZarrSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("zarr source requires a path"))
+    ZarrSource.schemaFor(path, Option(options.get("slot")).getOrElse("X"),
+      Option(options.get("axes")))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("zarr source requires a path"))
-    new ZarrTable(path, Option(properties.get("slot")).getOrElse("X"))
+    new ZarrTable(path, Option(properties.get("slot")).getOrElse("X"), schema)
   }
 }
 
@@ -47,22 +57,44 @@ object ZarrSource {
     StructField("obs_id", LongType, nullable = false),
     StructField("var_id", LongType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Axis columns: rank-2 keeps the anndata COO names; other ranks use
+    * `axes` (or d0..dN-1).
+    */
+  def axisNames(rank: Int, axes: Option[String]): Seq[String] = axes match {
+    case Some(a) =>
+      val names = a.split(',').map(_.trim).toSeq
+      require(names.size == rank, s"axes '$a' for rank-$rank slot")
+      names
+    case None if rank == 2 => Seq("obs_id", "var_id")
+    case None => (0 until rank).map(d => s"d$d")
+  }
+
+  def schemaFor(path: String, slot: String, axes: Option[String]): StructType =
+    if (ZarrStore.attrString(path, slot, "encoding-type").contains("csr_matrix"))
+      Schema
+    else {
+      val za = ZarrStore.openArray(path, slot)
+      StructType(axisNames(za.rank, axes).map(StructField(_, LongType, nullable = false)) :+
+        StructField("value", DoubleType, nullable = false))
+    }
 }
 
-final class ZarrTable(path: String, slot: String) extends Table with SupportsRead {
+final class ZarrTable(path: String, slot: String, tschema: StructType)
+    extends Table with SupportsRead {
   override def name(): String = s"zarr:$path!$slot"
-  override def schema(): StructType = ZarrSource.Schema
+  override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, slot)
+    new ZarrScanBuilder(path, slot, tschema)
 }
 
-final class ZarrScanBuilder(path: String, slot: String)
+final class ZarrScanBuilder(path: String, slot: String, tschema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = ZarrSource.Schema
+  private var required: StructType = tschema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -76,17 +108,18 @@ final class ZarrScanBuilder(path: String, slot: String)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan =
-    new ZarrScan(path, slot, required, H5adScanBuilder.bounds(pushed))
+    new ZarrScan(path, slot, tschema, required, H5adScanBuilder.bounds(pushed))
 }
 
 private final case class ZarrDenseChunkPartition(
-    za: ZArray, coords: Array[Array[Int]]) extends InputPartition
+    za: ZArray, axes: Array[String], coords: Array[Array[Int]]) extends InputPartition
 
 private final case class ZarrCsrRangePartition(
     path: String, slot: String, r0: Long, r1: Long,
     e0: Long, e1: Long) extends InputPartition
 
-final class ZarrScan(path: String, slot: String, required: StructType,
+final class ZarrScan(path: String, slot: String, tschema: StructType,
+                     required: StructType,
                      colBounds: Map[String, (Long, Long)]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -94,12 +127,11 @@ final class ZarrScan(path: String, slot: String, required: StructType,
     s"zarr $path!$slot bounds=$colBounds cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (obsLo, obsHi) = colBounds.getOrElse("obs_id", (Long.MinValue, Long.MaxValue))
-    val (varLo, varHi) = colBounds.getOrElse("var_id", (Long.MinValue, Long.MaxValue))
     if (ZarrStore.attrString(path, slot, "encoding-type").contains("csr_matrix")) {
       // csr: row ranges against indptr; pushed obs bounds prune ranges,
       // and each task's element span is fixed here so tasks touch only
       // their own data/indices chunks
+      val (obsLo, obsHi) = colBounds.getOrElse("obs_id", (Long.MinValue, Long.MaxValue))
       val indptr = ZarrStore.openArray(path, s"$slot/indptr").readFlat()
         .map(_.asInstanceOf[Long]).toArray
       val nRows = indptr.length - 1
@@ -113,17 +145,22 @@ final class ZarrScan(path: String, slot: String, required: StructType,
         }.toArray
     } else {
       val za = ZarrStore.openArray(path, slot)
-      require(za.rank == 2, s"$slot: dense zarr slot must be rank 2")
+      val axes = tschema.fieldNames.dropRight(1) // value is last
+      require(za.rank == axes.length, s"$slot: rank ${za.rank} vs schema $tschema")
+      val axBounds = axes.map(a => colBounds.getOrElse(a, (Long.MinValue, Long.MaxValue)))
       val pruned = za.gridCoords.filter { c =>
-        val r0 = c(0).toLong * za.chunks(0); val c0 = c(1).toLong * za.chunks(1)
-        (r0 + za.chunks(0)) > obsLo && r0 <= obsHi &&
-          (c0 + za.chunks(1)) > varLo && c0 <= varHi
+        c.indices.forall { d =>
+          val off = c(d).toLong * za.chunks(d)
+          val (lo, hi) = axBounds(d)
+          (off + za.chunks(d)) > lo && off <= hi
+        }
       }
       // one partition per chunk object (pruning stays 1:1-observable);
       // tiny-chunk stores bundle up to 64 chunks per task
       val perTask = if (pruned.size <= 256) 1 else 64
       pruned.grouped(perTask)
-        .map(g => ZarrDenseChunkPartition(za, g.map(_.toArray).toArray): InputPartition)
+        .map(g => ZarrDenseChunkPartition(za, axes,
+          g.map(_.toArray).toArray): InputPartition)
         .toArray
     }
   }
@@ -151,49 +188,88 @@ private object ZProject {
   }
 }
 
+/** Rank-agnostic dense chunk reader: odometer over each chunk's clipped
+  * extents, C-order strides into the decoded (full, padded) buffer.
+  */
 private final class ZarrDenseChunkReader(p: ZarrDenseChunkPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private val za = p.za
+  private val rank = za.rank
+  // projection: for each required field, the axis index (or -1 = value)
+  private val proj = required.fieldNames.map(f => p.axes.indexOf(f))
+  private val strides = {
+    val s = new Array[Int](rank)
+    var acc = 1
+    var d = rank - 1
+    while (d >= 0) { s(d) = acc; acc *= za.chunks(d); d -= 1 }
+    s
+  }
   private var ci = -1
   private var buf: java.nio.ByteBuffer = _
   private var fillOnly = false
-  private var rOff, cOff = 0L
-  private var rows, cols = 0
-  private var r = 0
-  private var c = -1
+  private val offs = new Array[Long](rank)
+  private val ext = new Array[Int](rank)
+  private val pos = new Array[Int](rank)
+  private var done = true
 
   private def loadNextChunk(): Boolean = {
     ci += 1
     if (ci >= p.coords.length) return false
     val coord = p.coords(ci)
-    rOff = coord(0).toLong * za.chunks(0)
-    cOff = coord(1).toLong * za.chunks(1)
-    rows = math.min(za.chunks(0).toLong, za.shape(0) - rOff).toInt
-    cols = math.min(za.chunks(1).toLong, za.shape(1) - cOff).toInt
+    var d = 0
+    while (d < rank) {
+      offs(d) = coord(d).toLong * za.chunks(d)
+      ext(d) = math.min(za.chunks(d).toLong, za.shape(d) - offs(d)).toInt
+      pos(d) = 0
+      d += 1
+    }
     za.readChunk(coord.toSeq) match {
       case Some(dec) =>
         buf = java.nio.ByteBuffer.wrap(dec).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         fillOnly = false
       case None => fillOnly = true // absent object: whole chunk = fill
     }
-    r = 0; c = -1
+    done = false
     true
   }
 
-  override def next(): Boolean = {
-    c += 1
-    if (c >= cols) { c = 0; r += 1 }
-    while (r >= rows) {
-      if (!loadNextChunk()) return false
-      c = 0
+  /** Advance the odometer; returns false when the chunk is exhausted. */
+  private def advance(): Boolean = {
+    var d = rank - 1
+    while (d >= 0) {
+      pos(d) += 1
+      if (pos(d) < ext(d)) return true
+      pos(d) = 0
+      d -= 1
     }
+    false
+  }
+
+  private var first = true
+
+  override def next(): Boolean = {
+    if (done || (!first && !advance())) {
+      if (!loadNextChunk()) return false
+      first = true
+    }
+    first = false
     true
   }
 
   override def get(): InternalRow = {
-    val v = if (fillOnly) za.fillNum.getOrElse(0.0)
-    else za.numAt(buf, r * za.chunks(1) + c)
-    ZProject.row(required, rOff + r, cOff + c, v)
+    var k = 0
+    var d = 0
+    while (d < rank) { k += pos(d) * strides(d); d += 1 }
+    val v = if (fillOnly) za.fillNum.getOrElse(0.0) else za.numAt(buf, k)
+    val vals = new Array[Any](proj.length)
+    var f = 0
+    while (f < proj.length) {
+      vals(f) =
+        if (proj(f) < 0) java.lang.Double.valueOf(v)
+        else java.lang.Long.valueOf(offs(proj(f)) + pos(proj(f)))
+      f += 1
+    }
+    new GenericInternalRow(vals)
   }
 
   override def close(): Unit = ()

@@ -63,6 +63,27 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(math.abs(s - expect) < 1e-6)
   }
 
+  test("rank-3 dense slot: axis columns, per-axis chunk pruning (NGFF image)") {
+    val sp = "fixtures/zarr/spatial.zarr"
+    val img = spark.read.format("zarr")
+      .option("slot", "images/cells/0").option("axes", "c,y,x").load(sp)
+    assert(img.columns.toSeq == Seq("c", "y", "x", "value"))
+    // (3,64,64) at (1,32,32) chunks = 3*2*2 = 12 chunk objects
+    assert(img.rdd.getNumPartitions == 12)
+    // pushed bounds on EACH axis prune independently: one channel, one
+    // y-half, one x-half -> exactly 1 chunk object planned
+    val one = img.filter(col("c") === 1 && col("y") < 32 && col("x") >= 32)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 32L * 32)
+    val probe = img.filter(col("c") === 2 && col("y") === 33 && col("x") === 7)
+      .head().getDouble(3)
+    assert(probe == (2 * 31 + 33 * 7 + 7 * 3) % 256)
+    val total = img.agg(sum("value")).head().getDouble(0)
+    val expect = (for (c <- 0 until 3; y <- 0 until 64; x <- 0 until 64)
+      yield ((c * 31 + y * 7 + x * 3) % 256).toDouble).sum
+    assert(math.abs(total - expect) < 1e-6)
+  }
+
   test("format-transparent: same scans over the v3 store (sharded csr X)") {
     val v3 = "fixtures/zarr/pbmc_v3.zarr"
     val dsv2 = spark.read.format("zarr").load(v3)

@@ -140,6 +140,46 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(math.abs(pcaSum - expPca) < 1e-6)
   }
 
+  test("appendRows: incremental ingest touches only boundary + new chunks") {
+    val p = TestSpark.tmpDir("graft_za") + "/grow.zarr"
+    val mk = (lo: Long, hi: Long) => (
+      spark.range(hi - lo).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id") + lo).as("obs_name"),
+        ((col("id") + lo) % 5).as("grp")),
+      spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nVar).select(col("id").as("var_id")))
+        .filter(((col("obs_id") + lo) * 3 + col("var_id") * 5) % 7 === 0)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 11 + col("var_id") * 13) % 31 * 0.5))
+    val (obs0, x0) = mk(0, 90)
+    val vars = spark.range(nVar).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    AnnZarrWriter.write(AnnDataset(obs0, vars, x0), p, chunkElems = 128)
+    val nnz0 = ZarrStore.openArray(p, "X/data").shape.head
+    val chunk0 = new java.io.File(s"$p/X/data/0")
+    val mtime0 = chunk0.lastModified()
+    Thread.sleep(1100) // second-granularity mtimes on some filesystems
+    val (obs1, x1) = mk(90, nObs)
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    // chunk 0 (full before the append) was NOT rewritten
+    assert(nnz0 > 128, "fixture must span >1 chunk before the append")
+    assert(chunk0.lastModified() == mtime0, "pre-boundary chunk rewritten")
+    // the merged store equals a from-scratch write of all 150 rows
+    val ds = AnnZarr.open(spark, p)
+    val obs = ds.obs.orderBy("obs_id").collect()
+    assert(obs.length == nObs)
+    obs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("obs_name") == s"c$i")
+      assert(r.getAs[Long]("grp") == i % 5)
+    }
+    val got = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (for {
+      i <- 0L until nObs; j <- 0L until nVar if xmask(i, j)
+    } yield (i, j, xval(i, j))).toArray
+    assert(got.sameElements(expected))
+  }
+
   test("raw slot and empty-x slot write and reopen") {
     val base = buildDataset()
     val rawVars = spark.range(30).select(col("id").as("var_id"),
