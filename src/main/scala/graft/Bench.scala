@@ -37,6 +37,29 @@ object Bench {
     }
   }
 
+  /** b13 store: b12's closed forms written v3-SHARDED (4096-elem inner
+    * chunks, 16 per shard).
+    */
+  private val zarrShardedBench = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def zarrShardedBenchStore(spark: SparkSession): String = synchronized {
+    Option(zarrShardedBench.get).getOrElse {
+      val p = java.nio.file.Files.createTempDirectory("graft_zbench3").toString + "/bench3.zarr"
+      val x = spark.range(20000).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(256).select(col("id").as("var_id")))
+        .filter((col("obs_id") + col("var_id")) % 4 === 0)
+        .withColumn("value", (col("obs_id") * 7 + col("var_id") * 13) % 101 * 0.5)
+      val obs = spark.range(20000).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"))
+      val vars = spark.range(256).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs, vars, x), p, chunkElems = 4096,
+        v3 = true, shardFactor = 16)
+      zarrShardedBench.set(p)
+      p
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -191,6 +214,14 @@ object Bench {
         spark.read.format("zarr").load(zarrBenchStore(spark))
           .groupBy("var_id").agg(sum(col("value")))
           .queryExecution.toRdd.count()
+      },
+      // v3 SHARDED flavor of b12: same 1.28M-nnz logical store, but csr
+      // slots are sharding_indexed shard objects (16x fewer store
+      // objects; reads stay inner-chunk ranged GETs + a cached index)
+      "b13_zarr_sharded_scan" -> median3 {
+        spark.read.format("zarr").load(zarrShardedBenchStore(spark))
+          .groupBy("var_id").agg(sum(col("value")))
+          .queryExecution.toRdd.count()
       })
 
     val all = queryTimes ++ catalogTimes
@@ -209,7 +240,9 @@ object Bench {
       "q22_salted_join", "q26_asof_join", "q27_range_join", "q31_get_ladder",
       "q32_include_annotation", "b01_ingest_1k_dedup", "b02_bfs_10_levels",
       "b05_lineitem_stats_exact", "b07_cc_190k_edges", "b08_new_docs_bloom",
-      "b10_skewed_dups", "b11_h5ad_native_scan", "b12_zarr_native_scan", "c01_validate",
+      "b10_skewed_dups", "b11_h5ad_native_scan", "b12_zarr_native_scan",
+      "b13_zarr_sharded_scan", "a19_zarr_v3_scan", "a23_zarr_v3_sink_roundtrip",
+      "a24_zarr_append", "a20_spatial_table", "c01_validate",
       "c04_cat_violations", "d01_exact_dedup", "d02_token_stats",
       "d05_minhash_lsh", "d06_simhash", "d07_langid", "d09_minhash_portable",
       "d10_simhash_portable", "d11_pii_detect", "d17_dup_clusters",

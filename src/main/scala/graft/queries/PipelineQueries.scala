@@ -59,6 +59,42 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    "s06_stream_zarr_append" -> ((spark, dir) => {
+      // REAL streaming ingest into a zarr store: a 3-file source stream
+      // (maxFilesPerTrigger=1 -> 3 microbatches), each batch APPENDED in
+      // place via appendRows (boundary + new chunks only, batch-id
+      // ledger for redelivery); the reopened store must match the batch
+      // aggregate — stream/batch parity, order-insensitive by design
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val coo = docs.select(col("doc_id"), col("lang"))
+        .crossJoin(spark.range(4).select(col("id").as("k")))
+        .select(concat(lit("d"), col("doc_id")).as("obs_name"), col("lang"),
+          ((col("doc_id") * 7 + col("k") * 3) % 16).as("var_id"),
+          ((col("doc_id") + col("k")) % 9 * 0.5).as("value"))
+      val stage = LifecycleQueries.TempRoot.dir("graft_s06src")
+      coo.repartitionByRange(3, col("obs_name")).write
+        .mode("overwrite").parquet(s"$stage/src")
+      val store = s"$stage/grow.zarr"
+      graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
+        spark.range(0).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id")).as("obs_name"), lit("xx").as("lang")),
+        spark.range(16).select(col("id").as("var_id"),
+          concat(lit("g"), col("id")).as("var_name")),
+        spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
+          col("id").cast("double").as("value"))), store, chunkElems = 512)
+      val q = graft.streaming.ZarrStreamSink.streamAppendZarr(
+        spark.readStream.schema(coo.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/src"),
+        store, Seq("lang"), s"$stage/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val ds = graft.zarr.AnnZarr.open(spark, store)
+      ds.x.join(ds.obs.select("obs_id", "lang"), "obs_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("value")).cast("double").as("sum_value"))
+        .orderBy("lang")
+    }),
+
     "m01_multimodal_decode" -> ((spark, dir) => {
       // REAL codec round-trip: encode genuine PNG bytes per doc with
       // javax.imageio (dims planned from md5(text) so the oracle can
@@ -189,6 +225,12 @@ object PipelineQueries {
     "s04_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "s06_stream_zarr_append" ->
+      """SELECT lang, count(*) AS nnz,
+        |       CAST(sum((doc_id + k) % 9 * 0.5) AS DOUBLE) AS sum_value
+        |FROM documents, range(4) t(k)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "s05_stream_interval_join" ->
       """SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,

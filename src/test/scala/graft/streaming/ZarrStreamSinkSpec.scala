@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.artifact.AnnDataset
+import graft.zarr.AnnZarr
+
+/** Streaming zarr append: microbatch ingest grows the store in place;
+  * the batch-id ledger makes redelivered batches no-ops.
+  */
+class ZarrStreamSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def stageSource(dir: String): Unit = {
+    val coo = spark.range(60).select(col("id").as("doc_id"))
+      .crossJoin(spark.range(3).select(col("id").as("k")))
+      .select(concat(lit("d"), col("doc_id")).as("obs_name"),
+        (col("doc_id") % 4).cast("long").as("grp"),
+        ((col("doc_id") * 5 + col("k")) % 8).as("var_id"),
+        ((col("doc_id") + col("k") * 2) % 7 * 0.5).as("value"))
+    coo.repartitionByRange(3, col("obs_name")).write.mode("overwrite")
+      .parquet(s"$dir/src")
+  }
+
+  private def emptyStore(path: String): Unit =
+    graft.zarr.AnnZarrWriter.write(AnnDataset(
+      spark.range(0).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"), lit(0L).as("grp")),
+      spark.range(8).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name")),
+      spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
+        col("id").cast("double").as("value"))), path, chunkElems = 64)
+
+  private def runStream(dir: String, store: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(s"$dir/src").schema
+    val q = ZarrStreamSink.streamAppendZarr(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/src"),
+      store, Seq("grp"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def storeStats(store: String): (Long, Double, Long) = {
+    val ds = AnnZarr.open(spark, store)
+    val r = ds.x.agg(count(lit(1)), sum("value")).head()
+    (r.getLong(0), r.getDouble(1), ds.obs.count())
+  }
+
+  test("3-microbatch ingest equals the batch aggregate; obs metadata lands") {
+    val dir = TestSpark.tmpDir("graft_zss")
+    stageSource(dir)
+    val store = s"$dir/grow.zarr"
+    emptyStore(store)
+    runStream(dir, store, s"$dir/ckpt1")
+    val (nnz, sumV, nObs) = storeStats(store)
+    assert(nObs == 60 && nnz == 180)
+    val expect = (for (d <- 0 until 60; k <- 0 until 3)
+      yield (d + k * 2) % 7 * 0.5).sum
+    assert(math.abs(sumV - expect) < 1e-9)
+    val ds = AnnZarr.open(spark, store)
+    val perGrp = ds.obs.groupBy("grp").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perGrp == Map(0L -> 15L, 1L -> 15L, 2L -> 15L, 3L -> 15L))
+  }
+
+  test("redelivery is a no-op: same batch ids against the ledger") {
+    val dir = TestSpark.tmpDir("graft_zss2")
+    stageSource(dir)
+    val store = s"$dir/grow.zarr"
+    emptyStore(store)
+    runStream(dir, store, s"$dir/ckptA")
+    val first = storeStats(store)
+    // a FRESH checkpoint replays batches 0..2 — the store ledger already
+    // carries those ids, so nothing is appended twice
+    runStream(dir, store, s"$dir/ckptB")
+    assert(storeStats(store) == first)
+  }
+}
