@@ -88,6 +88,20 @@ object SpatialZarr {
         l -> pyramid(path, s"labels/$l", l)).toMap)
   }
 
+  /** Bridge an opened store into the curator surface: each table
+    * becomes a modality of slot frames (`tables:key:obs` /
+    * `tables:key:var` / `tables:key:var.T` resolve through
+    * [[graft.curate.MuDataCurator.resolveSlot]] exactly like the
+    * reference's `SpatialDataCurator` slot grammar,
+    * `curators/core.py:1338`). Non-tabular elements (images / points /
+    * labels) stay out of the curator by the same explicit rejection.
+    */
+  def toMuDataset(sd: SpatialDataset): graft.curate.MuDataset =
+    graft.curate.MuDataset(
+      modalities = sd.tables.map { case (name, t) =>
+        name -> Map("obs" -> t.obs, "var" -> t.vars)
+      })
+
   /** Rank-N dense array as distributed COO `(axis..., value)` — one task
     * bundle per chunk set; absent chunks emit fill_value, edge chunks
     * clip to shape.

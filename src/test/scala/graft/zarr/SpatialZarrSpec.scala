@@ -71,6 +71,20 @@ class SpatialZarrSpec extends AnyFunSuite {
     assert(p == (2 * 31 + 2 * 5 * 7 + 2 * 9 * 3) % 256)
   }
 
+  test("curator bridge: tables:key:slot resolves on the NATIVE store") {
+    val sd = SpatialZarr.open(spark, root)
+    val md = SpatialZarr.toMuDataset(sd)
+    val obs = graft.curate.MuDataCurator.resolveSlot(md, "tables:table:obs")
+    assert(!obs.transposed && obs.df.count() == 150)
+    val varT = graft.curate.MuDataCurator.resolveSlot(md, "tables:table:var.T")
+    assert(varT.transposed && varT.df.count() == 12)
+    // non-tabular elements keep the reference's explicit rejection
+    val e = intercept[IllegalArgumentException] {
+      graft.curate.MuDataCurator.resolveSlot(md, "images:cells")
+    }
+    assert(e.getMessage.contains("non-tabular"))
+  }
+
   test("labels element: int decode, block structure") {
     val sd = SpatialZarr.open(spark, root)
     val lab = sd.labels("segmentation")
