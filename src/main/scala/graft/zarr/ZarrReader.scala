@@ -574,6 +574,49 @@ final case class ZArray(root: String, rel: String, shape: Seq[Long],
     out
   }
 
+  /** Typed element ranges of a 1-D array (frame-slot tasks decode only
+    * their own `[e0, e1)` slice).
+    */
+  def readLongs(e0: Long, e1: Long): Array[Long] = {
+    val b = ByteBuffer.wrap(readRange1d(e0, e1)).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate((e1 - e0).toInt)(k => longAt(b, k))
+  }
+
+  def readDoubles(e0: Long, e1: Long): Array[Double] = {
+    val b = ByteBuffer.wrap(readRange1d(e0, e1)).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate((e1 - e0).toInt)(k => numAt(b, k))
+  }
+
+  /** String range of a 1-D vlen-utf8 array: decodes only the chunks
+    * overlapping `[e0, e1)` (the vlen frame is chunk-scoped, so a chunk
+    * decodes whole; the slice is then cut out).
+    */
+  def readStrings(e0: Long, e1: Long): Array[String] = {
+    require(rank == 1 && kind == 'O', s"$rel: readStrings needs a 1-D string array")
+    val cl = chunks(0)
+    val out = new Array[String]((e1 - e0).toInt)
+    var c = (e0 / cl).toInt
+    val cEnd = if (e1 == e0) c else ((e1 - 1) / cl).toInt
+    while (c <= cEnd) {
+      val cStart = c.toLong * cl
+      val lo = math.max(e0, cStart)
+      val hi = math.min(e1, cStart + cl)
+      if (lo < hi) {
+        readChunk(Seq(c)) match {
+          case Some(dec) =>
+            val strs = decodeVlen(dec)
+            var k = lo
+            while (k < hi) { out((k - e0).toInt) = strs((k - cStart).toInt); k += 1 }
+          case None =>
+            var k = lo
+            while (k < hi) { out((k - e0).toInt) = fillStr.orNull; k += 1 }
+        }
+      }
+      c += 1
+    }
+    out
+  }
+
   private def fillBytes: Array[Byte] = {
     val b = ByteBuffer.allocate(math.max(esize, 1)).order(ByteOrder.LITTLE_ENDIAN)
     val v = fillNum.getOrElse(0.0)

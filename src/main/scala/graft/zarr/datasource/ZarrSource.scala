@@ -71,7 +71,9 @@ object ZarrSource {
   }
 
   def schemaFor(path: String, slot: String, axes: Option[String]): StructType =
-    if (ZarrStore.attrString(path, slot, "encoding-type").contains("csr_matrix"))
+    if (ZarrFrame.isFrameSlot(path, slot))
+      ZarrFrame.describe(path, slot).schema
+    else if (ZarrStore.attrString(path, slot, "encoding-type").contains("csr_matrix"))
       Schema
     else {
       val za = ZarrStore.openArray(path, slot)
@@ -127,7 +129,19 @@ final class ZarrScan(path: String, slot: String, tschema: StructType,
     s"zarr $path!$slot bounds=$colBounds cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (ZarrStore.attrString(path, slot, "encoding-type").contains("csr_matrix")) {
+    if (ZarrFrame.isFrameSlot(path, slot)) {
+      // dataframe slot: row ranges pruned by pushed row-id bounds
+      val info = ZarrFrame.describe(path, slot)
+      val (lo, hi) = colBounds.getOrElse(info.rowIdName, (Long.MinValue, Long.MaxValue))
+      val par = math.max(1, math.min(info.n, 32L)).toInt
+      val bounds = (0 to par).map(p => info.n * p / par).distinct
+      bounds.zip(bounds.tail)
+        .filter { case (r0, r1) => r1 > lo && r0 <= hi }
+        .map { case (r0, r1) =>
+          ZarrFrameRangePartition(path, slot, r0, r1,
+            info.specs.toArray): InputPartition
+        }.toArray
+    } else if (ZarrStore.attrString(path, slot, "encoding-type").contains("csr_matrix")) {
       // csr: row ranges against indptr; pushed obs bounds prune ranges,
       // and each task's element span is fixed here so tasks touch only
       // their own data/indices chunks
@@ -174,6 +188,7 @@ final class ZarrReaderFactory(required: StructType) extends PartitionReaderFacto
     partition match {
       case p: ZarrDenseChunkPartition => new ZarrDenseChunkReader(p, required)
       case p: ZarrCsrRangePartition => new ZarrCsrRangeReader(p, required)
+      case p: ZarrFrameRangePartition => new ZarrFrameRangeReader(p, required)
     }
 }
 
