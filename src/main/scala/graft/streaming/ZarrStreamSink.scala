@@ -10,24 +10,40 @@ import graft.zarr.{AnnZarrWriter, ZarrStore}
 
 /** Streaming ingestion into an AnnData-on-zarr store: every microbatch
   * of COO-ish rows is APPENDED in place via
-  * [[graft.zarr.AnnZarrWriter.appendRows]] — only boundary + new chunk
-  * objects are written per batch, so a long-running stream grows the
-  * store at O(batch), not O(store). The batch analog is the reference's
-  * append-style collection growth (`collection.py`); the zarr container
-  * is what makes the streaming flavor possible at all (a single-file
-  * HDF5 sink would rewrite or lock the file per batch).
+  * [[graft.zarr.AnnZarrWriter.appendRows]] — every array (obs columns,
+  * indptr, X data/indices) rewrites only its boundary chunk plus new
+  * chunks, and consolidated metadata is patched, so a long-running
+  * stream grows the store at O(batch) store operations per trigger, not
+  * O(store). The batch analog is the reference's append-style
+  * collection growth (`collection.py`); the zarr container is what
+  * makes the streaming flavor possible at all (a single-file HDF5 sink
+  * would rewrite or lock the file per batch).
   *
-  * Exactly-once effect without a transactional sink: `foreachBatch` may
-  * redeliver a batch after failure, so applied batch ids are recorded
-  * in a ledger object (`.graft_batches` at the store root — same
-  * resume-ledger idea as the AnnData append bridge); a redelivered
-  * batch is skipped. Batch contract: one row per matrix element, with
-  * `obs_name` (new rows grouped by it), `var_id`, `value`, plus any
-  * obs-level metadata columns (constant per obs_name).
+  * Exactly-once effect without a transactional sink, via two ledger
+  * objects at the store root:
+  *
+  *  - `.graft_batches` — applied batch ids; `foreachBatch` may
+  *    redeliver a batch after failure, and an id already in the ledger
+  *    is skipped.
+  *  - `.graft_pending` — written BEFORE appendRows with the batch id
+  *    and the pre-append extents `(nObs, nnz)`. A crash mid-append
+  *    leaves the marker behind; the next batch (or restart) finds it,
+  *    and — because appends only extend shapes and boundary-chunk
+  *    rewrites preserve the committed prefix — rolls the store back
+  *    with [[graft.zarr.AnnZarrWriter.truncateTo]] before reapplying.
+  *    This assumes atomic whole-object PUTs (true of object stores).
+  *
+  * Batch contract: one row per matrix element, with `obs_name` (new
+  * rows grouped by it — an obs_name must NOT span two microbatches, or
+  * it is appended as two distinct rows), `var_id`, `value`, plus any
+  * obs-level metadata columns (constant per obs_name). The per-batch
+  * obs ranking window is global but microbatch-sized, so the
+  * single-partition sort is bounded by the trigger size.
   */
 object ZarrStreamSink {
 
   private val LedgerName = ".graft_batches"
+  private val PendingName = ".graft_pending"
 
   private def appliedBatches(path: String): Set[Long] = {
     ZarrStore.readBytes(path, LedgerName) match {
@@ -37,15 +53,29 @@ object ZarrStreamSink {
     }
   }
 
+  private def writeObject(path: String, rel: String, content: String): Unit = {
+    val out = ZarrStore.fs(path).create(new Path(path, rel), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def recordBatch(path: String, batchId: Long): Unit = {
     val prior = ZarrStore.readBytes(path, LedgerName)
       .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")
-    val fs = ZarrStore.fs(path)
-    val out = fs.create(new Path(path, LedgerName), true)
-    try out.write((prior + batchId + "\n").getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeObject(path, LedgerName, prior + batchId + "\n")
   }
+
+  /** Undo a half-applied append from a previous incarnation, if any. */
+  private def recoverPending(path: String, applied: Set[Long]): Unit =
+    ZarrStore.readBytes(path, PendingName).foreach { b =>
+      val parts = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split(',')
+      // marker for an already-ledgered batch = crash AFTER commit; the
+      // data is good, only the marker cleanup was lost
+      if (!applied.contains(parts(0).toLong))
+        AnnZarrWriter.truncateTo(path, parts(1).toLong, parts(2).toLong)
+      ZarrStore.fs(path).delete(new Path(path, PendingName), false)
+    }
 
   /** Start the stream: each microbatch's distinct `obs_name`s become
     * appended rows (ids assigned in name order within the batch), their
@@ -56,19 +86,28 @@ object ZarrStreamSink {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty && !appliedBatches(path).contains(batchId)) {
-          // local obs ids in obs_name order — batches are microbatch-
-          // sized, so the single-partition ranking window is bounded
-          val obs = batch.select(col("obs_name") +: obsCols.map(col): _*)
-            .distinct()
-            .withColumn("obs_id",
-              row_number().over(Window.orderBy("obs_name")).cast("long") - 1)
-          val x = batch
-            .join(obs.select("obs_name", "obs_id"), "obs_name")
-            .select(col("obs_id"), col("var_id").cast("long").as("var_id"),
-              col("value").cast("double").as("value"))
-          AnnZarrWriter.appendRows(obs, x, path)
-          recordBatch(path, batchId)
+        if (!batch.isEmpty) {
+          val applied = appliedBatches(path)
+          recoverPending(path, applied)
+          if (!applied.contains(batchId)) {
+            // local obs ids in obs_name order — batches are microbatch-
+            // sized, so the single-partition ranking window is bounded
+            val obs = batch.select(col("obs_name") +: obsCols.map(col): _*)
+              .distinct()
+              .withColumn("obs_id",
+                row_number().over(Window.orderBy("obs_name")).cast("long") - 1)
+            val x = batch
+              .join(obs.select("obs_name", "obs_id"), "obs_name")
+              .select(col("obs_id"), col("var_id").cast("long").as("var_id"),
+                col("value").cast("double").as("value"))
+            val n0 = ZarrStore.openArray(path, "obs/_index").shape.head
+            val nnz0 = ZarrStore.openArray(path, "X/data").shape.head
+            writeObject(path, PendingName, s"$batchId,$n0,$nnz0")
+            AnnZarrWriter.appendRows(obs, x, path)
+            recordBatch(path, batchId)
+            ZarrStore.fs(path).delete(new Path(path, PendingName), false)
+            ()
+          }
         }
       }
       .start()

@@ -201,7 +201,9 @@ object AnnZarrWriter {
                       chunkVals: Int => Array[Any], v3: Boolean): Unit = {
     val vlen = dtype == "|O"
     arrayMeta(root, rel, Seq(n), Seq(chunkLen), dtype, vlen, attrs, v3)
-    val nChunks = math.max(1, (n + chunkLen - 1) / chunkLen).toInt
+    // an empty array has ZERO chunk objects (the zarr grid contract);
+    // no max(1) — a chunk written for shape [0] would be orphan garbage
+    val nChunks = ((n + chunkLen - 1) / chunkLen).toInt
     (0 until nChunks).foreach { c =>
       val vals = chunkVals(c)
       val raw =
@@ -233,11 +235,15 @@ object AnnZarrWriter {
     * synthesizes positional labels).
     */
   private def writeFrame(root: String, rel: String, df: DataFrame,
-                         rowIdName: String, idName: String, v3: Boolean): Long = {
+                         rowIdName: String, idName: String, v3: Boolean,
+                         chunkLen: Int = 65536): Long = {
     val cols = df.columns.filter(c => c != rowIdName && c != idName)
     val rows = df.orderBy(rowIdName).collect()
     val n = rows.length.toLong
-    val chunkLen = math.max(1, math.min(n, 65536L)).toInt
+    // chunk length is a CONSTANT, never derived from the current row
+    // count: a store bootstrapped empty (the streaming-sink pattern)
+    // must not inherit degenerate 1-element chunks for the rest of its
+    // life — that bug made every later append O(rows) store objects
     zgroup(root, rel,
       Some(s"""{"_index":"_index","column-order":[${cols.map(jstr).mkString(",")}],""" +
         s""""encoding-type":"dataframe","encoding-version":"0.2.0"}"""), v3)
@@ -293,7 +299,8 @@ object AnnZarrWriter {
   private def writeCsr(root: String, rel: String, coo: DataFrame,
                        rowCol: String, colCol: String,
                        nRows: Long, nCols: Long, chunkElems: Int,
-                       v3: Boolean, shardFactor: Int): Unit = {
+                       v3: Boolean, shardFactor: Int,
+                       ptrChunkLen: Int = 65536): Unit = {
     val spark = coo.sparkSession
     val perRow = coo.groupBy(col(rowCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
@@ -303,7 +310,7 @@ object AnnZarrWriter {
 
     zgroup(root, rel, Some(
       s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0","shape":[$nRows,$nCols]}"""), v3)
-    val ptrChunk = math.max(1, math.min(nRows + 1, 65536L)).toInt
+    val ptrChunk = ptrChunkLen // constant — see the writeFrame note
     array1d(root, s"$rel/indptr", "<i8", nRows + 1, ptrChunk,
       enc("array", "0.2.0"), { c =>
         val lo = c * ptrChunk
@@ -313,7 +320,9 @@ object AnnZarrWriter {
 
     // store-object granularity: chunks (v2) or shards (v3)
     val objElems = if (v3) chunkElems.toLong * shardFactor else chunkElems.toLong
-    val shardShape = math.min(objElems, Long.MaxValue).toInt
+    require(objElems <= Int.MaxValue,
+      s"$rel: chunkElems * shardFactor = $objElems exceeds Int.MaxValue")
+    val shardShape = objElems.toInt
     if (v3) {
       arrayMeta(root, s"$rel/data", Seq(nnz), Seq(shardShape), "<f8",
         vlen = false, enc("array", "0.2.0"), v3 = true, inner = Some(Seq(chunkElems)))
@@ -421,7 +430,7 @@ object AnnZarrWriter {
         s"uns scalar of ${if (other == null) "null" else other.getClass.getName}")
       case Arr(vals) =>
         val n = vals.length.toLong
-        val chunkLen = math.max(1, math.min(n, 65536L)).toInt
+        val chunkLen = 65536
         val dtype =
           if (vals.isEmpty) "<f8"
           else if (vals.forall(_.isInstanceOf[String])) "|O"
@@ -453,14 +462,16 @@ object AnnZarrWriter {
     * shard object. Both flavors finish with consolidated metadata.
     */
   def write(ds: AnnDataset, path: String, chunkElems: Int = 65536,
-            v3: Boolean = false, shardFactor: Int = 16): Unit = {
+            v3: Boolean = false, shardFactor: Int = 16,
+            frameChunkLen: Int = 65536): Unit = {
     val fs = new Path(path).getFileSystem(conf)
     fs.delete(new Path(path), true)
     ZarrStore.invalidate(path) // same-JVM readers must not see stale metadata
     zgroup(path, "", Some(enc("anndata", "0.1.0")), v3)
-    val nObs = writeFrame(path, "obs", ds.obs, "obs_id", "obs_name", v3)
-    val nVar = writeFrame(path, "var", ds.vars, "var_id", "var_name", v3)
-    writeCsr(path, "X", ds.x, "obs_id", "var_id", nObs, nVar, chunkElems, v3, shardFactor)
+    val nObs = writeFrame(path, "obs", ds.obs, "obs_id", "obs_name", v3, frameChunkLen)
+    val nVar = writeFrame(path, "var", ds.vars, "var_id", "var_name", v3, frameChunkLen)
+    writeCsr(path, "X", ds.x, "obs_id", "var_id", nObs, nVar, chunkElems, v3,
+      shardFactor, frameChunkLen)
     def dimCount(df: DataFrame, c: String): Long =
       df.agg(coalesce(max(col(c)), lit(-1L))).collect().head.getLong(0) + 1
     if (ds.layers.nonEmpty) {
@@ -511,17 +522,24 @@ object AnnZarrWriter {
 
   /** Append rows to an existing (writer-produced, v2) AnnData-on-zarr
     * store IN PLACE — the zarr answer to incremental ingest: because
-    * chunks are independent store objects, only the boundary chunk and
-    * the NEW chunks of `X/data` + `X/indices` are written; all earlier
-    * chunk objects are untouched (asserted by spec via mtimes). Axis
-    * metadata (obs frame, indptr) rewrites driver-side by the same
-    * axis-metadata-sized contract as the readers.
+    * chunks are independent store objects, EVERY array (obs frame
+    * columns, `X/indptr`, `X/data`, `X/indices`) extends by rewriting
+    * only its boundary chunk plus the new chunks; all earlier chunk
+    * objects are untouched (asserted by spec via mtimes + a written-
+    * object count). Consolidated metadata is PATCHED for the changed
+    * nodes, not re-walked. A microbatch therefore costs O(batch) store
+    * operations, independent of how large the store has grown.
     *
     * `newObs` must carry the store's obs columns (obs_id local 0..n-1);
     * `newX` is COO with local obs_id. Obs-aligned aux slots (layers /
     * obsm / obsp / raw) would be invalidated by a row append and must
     * be absent. The HDF5 container cannot offer this shape at all — an
     * h5ad append rewrites the file.
+    *
+    * Crash behavior: shapes are only ever EXTENDED and boundary-chunk
+    * rewrites preserve the committed prefix, so a half-applied append
+    * is fully undone by [[truncateTo]] (the streaming sink's pending-
+    * marker protocol does exactly that on restart).
     */
   def appendRows(newObs: DataFrame, newX: DataFrame, path: String): Unit = {
     require(ZarrStore.format(path) == 2, s"$path: appendRows serves v2 stores")
@@ -535,13 +553,15 @@ object AnnZarrWriter {
       s"$path: appendRows requires the writer's zlib chunk encoding")
     val chunkElems = dataZ.chunks.head
     val nnz0 = dataZ.shape.head
-    val ptr0 = ZarrStore.openArray(path, "X/indptr").readFlat()
-      .map(_.asInstanceOf[Long]).toArray
-    val n0 = ptr0.length - 1L
+    val n0 = ZarrStore.openArray(path, "X/indptr").shape.head - 1
     val nCols = {
       val a = ZarrStore.attrs(path, "X").get.get("shape")
       a.get(1).asLong
     }
+    // node set computed up front — the cached consolidated metadata
+    // stays authoritative (pre-append) until the final patch
+    val obsCols = ZarrStore.children(path, "obs").filterNot(_ == "_index")
+    val changedMeta = scala.collection.mutable.ArrayBuffer[String]()
 
     // ---- new rows: counts, then global element positions
     val spark = newX.sparkSession
@@ -555,65 +575,89 @@ object AnnZarrWriter {
     val nnzAdd = addPtr.last
     val nnz1 = nnz0 + nnzAdd
 
-    // ---- obs frame: merge + full rewrite (axis-metadata-sized)
-    val obsCols = ZarrStore.children(path, "obs").filterNot(_ == "_index")
-    val chunkLen = ZarrStore.openArray(path, "obs/_index").chunks.head
-    def rewrite1d(rel: String, dtype: String, attrs: String,
-                  merged: IndexedSeq[Any]): Unit = {
-      val n1 = merged.length.toLong
-      array1d(path, rel, dtype, n1, chunkLen, attrs, { c =>
-        val lo = c * chunkLen
-        Array.tabulate(chunkLen)(k =>
-          if (lo + k < n1) merged(lo + k)
-          else if (dtype == "|O") null else 0L)
-      }, v3 = false)
+    /** Chunk-aligned 1-D extend: reads the boundary chunk's committed
+      * prefix, writes boundary + new chunks ONLY — O(add), not O(n).
+      */
+    def append1d(rel: String, add: IndexedSeq[Any]): Unit = {
+      val za = ZarrStore.openArray(path, rel)
+      require(za.kind != 'O' || za.vlenUtf8, s"$rel: unsupported encoding")
+      val cl = za.chunks.head
+      val aN0 = za.shape.head
+      val aN1 = aN0 + add.length
+      writeJson(path, s"$rel/.zarray", zarray(Seq(aN1), Seq(cl), za.dtype, za.vlenUtf8))
+      changedMeta += s"$rel/.zarray"
+      if (add.isEmpty) return
+      val cb = (aN0 / cl).toInt // boundary chunk id
+      val base = cb.toLong * cl
+      val prefix: IndexedSeq[Any] =
+        if (aN0 == base) IndexedSeq.empty
+        else if (za.kind == 'O') za.readStrings(base, aN0).toIndexedSeq
+        else if (za.kind == 'f') za.readDoubles(base, aN0).toIndexedSeq
+        else za.readLongs(base, aN0).toIndexedSeq
+      val lastChunk = ((aN1 - 1) / cl).toInt
+      var c = cb
+      while (c <= lastChunk) {
+        val lo = c.toLong * cl
+        val vals: Array[Any] = Array.tabulate(cl) { k =>
+          val g = lo + k
+          if (g < aN0) prefix((g - base).toInt)
+          else if (g < aN1) add((g - aN0).toInt)
+          else if (za.kind == 'O') null else 0L // edge-chunk padding
+        }
+        val raw =
+          if (za.kind == 'O')
+            packVlen(vals.map(v => if (v == null) null else String.valueOf(v)))
+          else packNum(za.dtype, vals.map {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case i: Int => i.toDouble
+            case b: Boolean => if (b) 1.0 else 0.0
+            case other => throw new UnsupportedOperationException(
+              s"$rel: element ${if (other == null) "null" else other.getClass.getName}")
+          })
+        writeBytes(path, s"$rel/$c", zlibEncode(raw))
+        c += 1
+      }
     }
-    val names0 = ZarrStore.openArray(path, "obs/_index").readFlat()
+
+    // ---- obs frame: boundary + new chunks per column
     val hasName = newObs.columns.contains("obs_name")
-    rewrite1d("obs/_index", "|O", enc("string-array", "0.2.0"),
-      names0 ++ rows.zipWithIndex.map { case (r, i) =>
-        if (hasName) String.valueOf(r.getAs[Any]("obs_name")) else (n0 + i).toString
-      })
+    append1d("obs/_index", rows.zipWithIndex.map { case (r, i) =>
+      (if (hasName) String.valueOf(r.getAs[Any]("obs_name"))
+       else (n0 + i).toString): Any
+    }.toIndexedSeq)
     obsCols.foreach { cn =>
       require(newObs.columns.contains(cn), s"append obs frame missing column '$cn'")
       require(ZarrStore.isArray(path, s"obs/$cn"),
         s"obs/$cn: categorical obs columns are not appendable")
-      val za = ZarrStore.openArray(path, s"obs/$cn")
-      require(za.kind != 'O' || za.vlenUtf8, s"obs/$cn: unsupported encoding")
-      val attrs = if (za.kind == 'O') enc("string-array", "0.2.0") else enc("array", "0.2.0")
-      val add: Seq[Any] = za.kind match {
-        case 'O' => rows.map(r => String.valueOf(r.getAs[Any](cn))).toSeq
-        case 'f' => rows.map(r => r.getAs[Number](cn).doubleValue()).toSeq
+      val kind = ZarrStore.openArray(path, s"obs/$cn").kind
+      val add: IndexedSeq[Any] = kind match {
+        case 'O' => rows.map(r => String.valueOf(r.getAs[Any](cn)): Any).toIndexedSeq
+        case 'f' => rows.map(r => r.getAs[Number](cn).doubleValue(): Any).toIndexedSeq
         case _ => rows.map { r =>
-          r.getAs[Any](cn) match {
+          (r.getAs[Any](cn) match {
             case b: Boolean => if (b) 1L else 0L
             case x: Number => x.longValue()
             case other => sys.error(s"obs/$cn: element $other")
-          }
-        }.toSeq
+          }): Any
+        }.toIndexedSeq
       }
-      rewrite1d(s"obs/$cn", za.dtype, attrs, za.readFlat() ++ add)
+      append1d(s"obs/$cn", add)
     }
 
-    // ---- indptr: extend (axis-sized)
-    val ptr1 = ptr0 ++ addPtr.tail.map(_ + nnz0)
-    val ptrChunk = ZarrStore.openArray(path, "X/indptr").chunks.head
-    array1d(path, "X/indptr", "<i8", ptr1.length.toLong, ptrChunk,
-      enc("array", "0.2.0"), { c =>
-        val lo = c * ptrChunk
-        Array.tabulate(ptrChunk)(k =>
-          if (lo + k < ptr1.length) ptr1(lo + k) else 0L)
-      }, v3 = false)
+    // ---- indptr: boundary + new chunks (shifted by the prior nnz)
+    append1d("X/indptr", addPtr.toIndexedSeq.tail.map(v => (v + nnz0): Any))
 
     // ---- X group shape gains the appended rows
     zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
       s""""shape":[${n0 + nAdd},$nCols]}"""))
+    changedMeta += "X/.zattrs"
 
     // ---- data/indices: metadata grows; ONLY boundary + new chunks write
     writeJson(path, "X/data/.zarray", zarray(Seq(nnz1), Seq(chunkElems), "<f8", vlen = false))
-    writeJson(path, "X/data/.zattrs", enc("array", "0.2.0"))
     writeJson(path, "X/indices/.zarray", zarray(Seq(nnz1), Seq(chunkElems), "<i8", vlen = false))
-    writeJson(path, "X/indices/.zattrs", enc("array", "0.2.0"))
+    changedMeta += "X/data/.zarray"
+    changedMeta += "X/indices/.zarray"
     if (nnzAdd > 0) {
       val cb = (nnz0 / chunkElems).toInt // boundary chunk id
       val boundaryOff = (nnz0 % chunkElems).toInt
@@ -670,6 +714,42 @@ object AnnZarrWriter {
         }
       ptrB.unpersist(); bndB.unpersist()
     }
-    ZarrStore.consolidate(path)
+    // O(changed nodes) metadata patch — a full consolidate() re-walk
+    // would LIST every chunk directory, O(store) per microbatch
+    ZarrStore.patchConsolidated(path, changedMeta.toSeq)
+  }
+
+  /** Roll a (writer-produced, v2) store back to `n0` obs rows and
+    * `nnz0` X elements — the crash-recovery half of the streaming
+    * sink's pending-marker protocol. [[appendRows]] only ever EXTENDS
+    * array shapes and its boundary-chunk rewrites preserve the
+    * committed prefix, so shrinking the declared shapes (and patching
+    * consolidated metadata) is a complete undo: chunk objects beyond
+    * the declared shape are unreachable to readers. Assumes atomic
+    * whole-object PUTs (true on object stores; a local filesystem can
+    * expose a half-written chunk mid-crash).
+    */
+  def truncateTo(path: String, n0: Long, nnz0: Long): Unit = {
+    require(ZarrStore.format(path) == 2, s"$path: truncateTo serves v2 stores")
+    val changed = scala.collection.mutable.ArrayBuffer[String]()
+    def reshape(rel: String, n: Long): Unit = {
+      val za = ZarrStore.openArray(path, rel)
+      if (za.shape.head != n) {
+        writeJson(path, s"$rel/.zarray",
+          zarray(Seq(n), Seq(za.chunks.head), za.dtype, za.vlenUtf8))
+        changed += s"$rel/.zarray"
+      }
+    }
+    reshape("obs/_index", n0)
+    ZarrStore.children(path, "obs").filterNot(_ == "_index")
+      .foreach(cn => reshape(s"obs/$cn", n0))
+    reshape("X/indptr", n0 + 1)
+    reshape("X/data", nnz0)
+    reshape("X/indices", nnz0)
+    val nCols = ZarrStore.attrs(path, "X").get.get("shape").get(1).asLong
+    zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix",""" +
+      s""""encoding-version":"0.1.0","shape":[$n0,$nCols]}"""))
+    changed += "X/.zattrs"
+    ZarrStore.patchConsolidated(path, changed.toSeq)
   }
 }

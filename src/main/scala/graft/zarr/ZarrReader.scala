@@ -97,9 +97,19 @@ object ZarrStore {
   private val roots = new ConcurrentHashMap[String, RootMeta]()
 
   /** Drop cached metadata for `root` — writers call this after mutating
-    * a store so readers in the same JVM observe the new layout.
+    * a store so readers in the same JVM observe the new layout. Also
+    * evicts the shard-index LRU entries under the root: a rewritten v3
+    * store would otherwise serve stale (offset, nbytes) index entries —
+    * wrong data or spurious crc32c failures.
     */
-  def invalidate(root: String): Unit = roots.remove(root)
+  def invalidate(root: String): Unit = {
+    roots.remove(root)
+    shardIdxCache.synchronized {
+      val it = shardIdxCache.keySet().iterator()
+      val prefix = root + "/"
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+  }
 
   private def jsonFields(n: JsonNode): Map[String, JsonNode] =
     n.fields().asScala.map(e => e.getKey -> e.getValue).toMap
@@ -437,6 +447,30 @@ object ZarrStore {
     val o = f.create(new Path(root, ".zmetadata"), true)
     try o.write(mapper.writeValueAsBytes(out)) finally o.close()
     invalidate(root)
+  }
+
+  /** Patch v2 consolidated metadata IN PLACE for the given metadata
+    * object keys (re-read each from the store; absent keys are
+    * removed). The append path uses this so a microbatch costs O(batch)
+    * metadata work — a full [[consolidate]] re-walk LISTs every array
+    * directory (O(chunk objects) on an object store), which would make
+    * a long-running ingest stream quadratic in store size.
+    */
+  def patchConsolidated(root: String, keys: Seq[String]): Unit = {
+    readBytes(root, ".zmetadata").map(mapper.readTree) match {
+      case None => consolidate(root)
+      case Some(node) =>
+        val md = node.get("metadata").asInstanceOf[ObjectNode]
+        keys.foreach { k =>
+          readBytes(root, k) match {
+            case Some(b) => md.set[ObjectNode](k, mapper.readTree(b))
+            case None => md.remove(k)
+          }
+        }
+        val o = fs(root).create(new Path(root, ".zmetadata"), true)
+        try o.write(mapper.writeValueAsBytes(node)) finally o.close()
+        invalidate(root)
+    }
   }
 
   /** v3 consolidation: rewrite the root `zarr.json` with

@@ -65,6 +65,33 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(perGrp == Map(0L -> 15L, 1L -> 15L, 2L -> 15L, 3L -> 15L))
   }
 
+  test("pending marker rolls back a half-applied batch before ingest") {
+    val dir = TestSpark.tmpDir("graft_zss3")
+    stageSource(dir)
+    val store = s"$dir/grow.zarr"
+    emptyStore(store)
+    // simulate a crash mid-append: a batch landed (fully, worst case)
+    // but neither the ledger nor the marker cleanup ran
+    val junkObs = spark.range(7).select(col("id").as("obs_id"),
+      concat(lit("junk"), col("id")).as("obs_name"), lit(9L).as("grp"))
+    val junkX = spark.range(7).select(col("id").as("obs_id"),
+      (col("id") % 8).as("var_id"), lit(99.0).as("value"))
+    val fs = graft.zarr.ZarrStore.fs(store)
+    val out = fs.create(new org.apache.hadoop.fs.Path(store, ".graft_pending"), true)
+    out.write("999,0,0".getBytes("UTF-8")); out.close()
+    graft.zarr.AnnZarrWriter.appendRows(junkObs, junkX, store)
+    // the stream recovers (truncates the junk) and then ingests cleanly
+    runStream(dir, store, s"$dir/ckpt")
+    val (nnz, sumV, nObs) = storeStats(store)
+    assert(nObs == 60 && nnz == 180)
+    val expect = (for (d <- 0 until 60; k <- 0 until 3)
+      yield (d + k * 2) % 7 * 0.5).sum
+    assert(math.abs(sumV - expect) < 1e-9)
+    val ds = AnnZarr.open(spark, store)
+    assert(ds.obs.filter(col("obs_name").startsWith("junk")).count() == 0)
+    assert(ds.x.filter(col("value") === 99.0).count() == 0)
+  }
+
   test("redelivery is a no-op: same batch ids against the ledger") {
     val dir = TestSpark.tmpDir("graft_zss2")
     stageSource(dir)

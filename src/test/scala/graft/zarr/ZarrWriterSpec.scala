@@ -180,6 +180,105 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("appendRows is O(batch): obs/indptr chunk-aligned, bounded object writes") {
+    val p = TestSpark.tmpDir("graft_zab") + "/grow.zarr"
+    val mk = (lo: Long, hi: Long) => (
+      spark.range(hi - lo).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id") + lo).as("obs_name"),
+        ((col("id") + lo) % 5).as("grp")),
+      spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nVar).select(col("id").as("var_id")))
+        .filter(((col("obs_id") + lo) * 3 + col("var_id") * 5) % 7 === 0)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 11 + col("var_id") * 13) % 31 * 0.5))
+    val (obs0, x0) = mk(0, 90)
+    val vars = spark.range(nVar).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    // small frame chunks so the obs axis spans >1 chunk before the append
+    AnnZarrWriter.write(AnnDataset(obs0, vars, x0), p,
+      chunkElems = 128, frameChunkLen = 64)
+    def files(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else if (f.getName.startsWith(".crc") ||
+            f.getName.endsWith(".crc")) Nil else Seq(f))
+      walk(new java.io.File(p)).map(f =>
+        f.getPath.stripPrefix(p + "/") -> f.lastModified()).toMap
+    }
+    val before = files()
+    Thread.sleep(1100)
+    val (obs1, x1) = mk(90, nObs)
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    val after = files()
+    val touched = after.keySet.filter(k => !before.contains(k) || before(k) != after(k))
+    // full pre-boundary chunks are untouched across EVERY array
+    Seq("obs/_index/0", "obs/grp/0", "X/indptr/0", "X/data/0", "X/indices/0")
+      .foreach(k => assert(!touched.contains(k), s"$k rewritten by append"))
+    // what a batch may write: boundary+new chunks per array + metadata
+    touched.foreach { k =>
+      assert(k.endsWith(".zarray") || k.endsWith(".zattrs") ||
+        k.endsWith(".zgroup") || k == ".zmetadata" ||
+        k.split('/').last.toIntOption.exists(_ >= 1), s"unexpected write: $k")
+    }
+    // 5 .zarray + X/.zattrs|.zgroup + .zmetadata + boundary/new chunks
+    // (2 per 1-D axis array, 3 per X data/indices) = ~20 objects; the
+    // pre-fix code wrote every obs + indptr chunk — O(store)
+    assert(touched.size <= 24, s"append wrote ${touched.size} objects: $touched")
+    // merged store equals a from-scratch write of all 150 rows
+    val ds = AnnZarr.open(spark, p)
+    val obs = ds.obs.orderBy("obs_id").collect()
+    assert(obs.length == nObs)
+    obs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("obs_name") == s"c$i")
+      assert(r.getAs[Long]("grp") == i % 5)
+    }
+    val got = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (for {
+      i <- 0L until nObs; j <- 0L until nVar if xmask(i, j)
+    } yield (i, j, xval(i, j))).toArray
+    assert(got.sameElements(expected))
+  }
+
+  test("truncateTo undoes a half-applied append (crash-recovery contract)") {
+    val p = TestSpark.tmpDir("graft_ztr") + "/grow.zarr"
+    val obs0 = spark.range(50).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"), (col("id") % 3).as("grp"))
+    val x0 = spark.range(50).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(8).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 4 === 0)
+      .withColumn("value", (col("obs_id") * 2 + col("var_id")) % 5 * 0.5)
+    val vars = spark.range(8).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    AnnZarrWriter.write(graft.artifact.AnnDataset(obs0, vars, x0), p,
+      chunkElems = 32, frameChunkLen = 16)
+    def snap() = {
+      val ds = AnnZarr.open(spark, p)
+      (ds.obs.orderBy("obs_id").collect().map(_.toString).toSeq,
+        ds.x.orderBy("obs_id", "var_id").collect().map(_.toString).toSeq)
+    }
+    val committed = snap()
+    val nnz0 = ZarrStore.openArray(p, "X/data").shape.head
+    // an append lands (this plays the half-applied batch)...
+    val obs1 = spark.range(20).select(col("id").as("obs_id"),
+      concat(lit("d"), col("id")).as("obs_name"), (col("id") % 3).as("grp"))
+    val x1 = spark.range(20).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(8).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 3 === 0)
+      .withColumn("value", lit(9.0))
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    assert(snap() != committed)
+    // ...and truncateTo rolls the store back to the committed extents
+    AnnZarrWriter.truncateTo(p, 50, nnz0)
+    assert(snap() == committed)
+    // the store is still appendable after the rollback
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    val ds = AnnZarr.open(spark, p)
+    assert(ds.obs.count() == 70)
+    assert(ds.x.filter(col("value") === 9.0).count() ==
+      (for (i <- 0 until 20; j <- 0 until 8 if (i + j) % 3 == 0) yield 1).size)
+  }
+
   test("raw slot and empty-x slot write and reopen") {
     val base = buildDataset()
     val rawVars = spark.range(30).select(col("id").as("var_id"),
