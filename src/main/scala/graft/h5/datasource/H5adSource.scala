@@ -75,11 +75,15 @@ final class H5adTable(path: String, slot: String) extends Table with SupportsRea
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new H5adScanBuilder(path, slot, schema,
       options.getInt("bundleThreshold", 256),
-      options.getLong("bundleBytes", 32L << 20))
+      options.getLong("bundleBytes", 32L << 20),
+      options.getLong("targetRowsPerTask", 1L << 20),
+      options.getLong("targetElemsPerTask", 4L << 20))
 }
 
 final class H5adScanBuilder(path: String, slot: String, full: StructType,
-                            bundleThreshold: Int, bundleBytes: Long)
+                            bundleThreshold: Int, bundleBytes: Long,
+                            targetRows: Long = 1L << 20,
+                            targetElems: Long = 4L << 20)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -100,10 +104,25 @@ final class H5adScanBuilder(path: String, slot: String, full: StructType,
 
   override def build(): Scan =
     new H5adScan(path, slot, required, H5adScanBuilder.bounds(pushed),
-      bundleThreshold, bundleBytes)
+      bundleThreshold, bundleBytes, targetRows, targetElems)
 }
 
 object H5adScanBuilder {
+  /** Row-range partition count: ceil(n / targetRows) with a
+    * `defaultParallelism` floor, capped at n. Planning runs driver-side,
+    * so the active session's parallelism is the honest floor — a fixed
+    * 32-partition cap (the old plan) was invisible on local[32] but
+    * would bottleneck a 1000-executor scan regardless of store size.
+    */
+  def rangeCount(nRows: Long, targetRows: Long): Int = {
+    require(targetRows >= 1, s"targetRowsPerTask must be >= 1, got $targetRows")
+    val floor =
+      try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism.toLong
+      catch { case _: Throwable => 8L }
+    val byTarget = (nRows + targetRows - 1) / targetRows
+    math.max(1L, math.min(nRows, math.max(byTarget, floor))).toInt
+  }
+
   /** (lo, hi) inclusive bounds per column from simple comparison filters. */
   def bounds(filters: Array[Filter]): Map[String, (Long, Long)] = {
     val b = mutable.Map.empty[String, (Long, Long)]
@@ -150,7 +169,9 @@ private final case class CsrRangePartition(
 final class H5adScan(path: String, slot: String, required: StructType,
                      colBounds: Map[String, (Long, Long)],
                      bundleThreshold: Int = 256,
-                     bundleBytes: Long = 32L << 20) extends Scan with Batch {
+                     bundleBytes: Long = 32L << 20,
+                     targetRows: Long = 1L << 20,
+                     targetElems: Long = 4L << 20) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -167,7 +188,7 @@ final class H5adScan(path: String, slot: String, required: StructType,
         val info = H5adFrame.describe(f, slot)
         val (idLo, idHi) = colBounds.getOrElse(info.rowIdName,
           (Long.MinValue, Long.MaxValue))
-        val par = math.max(1, math.min(info.n, 32L)).toInt
+        val par = H5adScanBuilder.rangeCount(info.n, targetRows)
         val bnds = (0 to par).map(p => info.n * p / par).distinct
         return bnds.zip(bnds.tail)
           .filter { case (r0, r1) => r1 > idLo && r0 <= idHi }
@@ -181,7 +202,13 @@ final class H5adScan(path: String, slot: String, required: StructType,
             s"$slot: group is not csr_matrix")
           val indptrDs = f.node(g.children("indptr"), "indptr").asInstanceOf[H5DatasetMeta]
           val nRows = indptrDs.dims(0) - 1
-          val par = math.max(1, math.min(nRows, 32L)).toInt
+          val nnz = f.node(g.children("data"), "data")
+            .asInstanceOf[H5DatasetMeta].dims(0)
+          // rows AND elements both size the plan: a few very dense rows
+          // must not collapse into one task
+          val par = math.max(
+            H5adScanBuilder.rangeCount(nRows, targetRows).toLong,
+            math.min(nRows, (nnz + targetElems - 1) / targetElems)).toInt
           val bounds = (0 to par).map(p => nRows * p / par).distinct
           bounds.zip(bounds.tail)
             .filter { case (r0, r1) => r1 > obsLo && r0 <= obsHi } // chunk pruning
@@ -312,8 +339,6 @@ private final class CsrRangeReader(p: CsrRangePartition, required: StructType)
     try {
       val g = f.group(p.groupPath)
       val indptrDs = f.node(g.children("indptr"), "indptr").asInstanceOf[H5DatasetMeta]
-      val ptrAll = f.decodeLongs(indptrDs.dtype, f.readRaw(indptrDs))
-      val ptr = ptrAll.slice(p.r0.toInt, p.r1.toInt + 1)
       val dataDs = f.node(g.children("data"), "data").asInstanceOf[H5DatasetMeta]
       val indDs = f.node(g.children("indices"), "indices").asInstanceOf[H5DatasetMeta]
       def sliceBytes(ds: H5DatasetMeta, e0: Long, e1: Long): Array[Byte] = {
@@ -337,6 +362,10 @@ private final class CsrRangeReader(p: CsrRangePartition, required: StructType)
           case _ => throw new UnsupportedOperationException("compact CSR slot")
         }
       }
+      // only THIS task's indptr slice decodes — indptr is axis-sized,
+      // and a full decode per task is O(store rows) at 10^8 rows
+      val ptr = f.decodeLongs(indptrDs.dtype,
+        sliceBytes(indptrDs, p.r0, p.r1 + 1))
       val e0 = ptr.head; val e1 = ptr.last
       (ptr, sliceBytes(dataDs, e0, e1), sliceBytes(indDs, e0, e1),
         dataDs.dtype, indDs.dtype)

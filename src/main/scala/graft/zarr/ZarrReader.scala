@@ -54,6 +54,20 @@ object ZarrStore {
     if (c == null) 0L else c.get()
   }
 
+  /** Per-root count of chunk/shard OBJECT accesses (same-JVM only —
+    * local-mode specs use it to pin that a pruned scan or a range task
+    * touches only its own chunk objects).
+    */
+  private val dataObjectReads = new ConcurrentHashMap[String, AtomicLong]()
+
+  def dataReads(root: String): Long = {
+    val c = dataObjectReads.get(root)
+    if (c == null) 0L else c.get()
+  }
+
+  private[zarr] def countDataRead(root: String): Unit =
+    dataObjectReads.computeIfAbsent(root, _ => new AtomicLong()).incrementAndGet()
+
   /** Read a store object fully; None when absent (fill-value chunks). */
   def readBytes(root: String, rel: String): Option[Array[Byte]] = {
     val p = new Path(root, rel)
@@ -556,9 +570,12 @@ final case class ZArray(root: String, rel: String, shape: Seq[Long],
     */
   def readChunk(coord: Seq[Int]): Option[Array[Byte]] = shard match {
     case None =>
+      ZarrStore.countDataRead(root)
       ZarrStore.readBytes(root, s"$rel/${chunkKey(coord)}").map(enc =>
         ZCodec.decode(codecs, enc, chunkElems * math.max(esize, 1)))
-    case Some(sh) => readSharded(sh, coord)
+    case Some(sh) =>
+      ZarrStore.countDataRead(root)
+      readSharded(sh, coord)
   }
 
   private def readSharded(sh: ShardInfo, coord: Seq[Int]): Option[Array[Byte]] = {

@@ -89,10 +89,14 @@ final class ZarrTable(path: String, slot: String, tschema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, slot, tschema)
+    new ZarrScanBuilder(path, slot, tschema,
+      options.getLong("targetRowsPerTask", 1L << 20),
+      options.getLong("targetElemsPerTask", 4L << 20))
 }
 
-final class ZarrScanBuilder(path: String, slot: String, tschema: StructType)
+final class ZarrScanBuilder(path: String, slot: String, tschema: StructType,
+                            targetRows: Long = 1L << 20,
+                            targetElems: Long = 4L << 20)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -110,7 +114,8 @@ final class ZarrScanBuilder(path: String, slot: String, tschema: StructType)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan =
-    new ZarrScan(path, slot, tschema, required, H5adScanBuilder.bounds(pushed))
+    new ZarrScan(path, slot, tschema, required, H5adScanBuilder.bounds(pushed),
+      targetRows, targetElems)
 }
 
 private final case class ZarrDenseChunkPartition(
@@ -122,7 +127,9 @@ private final case class ZarrCsrRangePartition(
 
 final class ZarrScan(path: String, slot: String, tschema: StructType,
                      required: StructType,
-                     colBounds: Map[String, (Long, Long)]) extends Scan with Batch {
+                     colBounds: Map[String, (Long, Long)],
+                     targetRows: Long = 1L << 20,
+                     targetElems: Long = 4L << 20) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -133,7 +140,7 @@ final class ZarrScan(path: String, slot: String, tschema: StructType,
       // dataframe slot: row ranges pruned by pushed row-id bounds
       val info = ZarrFrame.describe(path, slot)
       val (lo, hi) = colBounds.getOrElse(info.rowIdName, (Long.MinValue, Long.MaxValue))
-      val par = math.max(1, math.min(info.n, 32L)).toInt
+      val par = H5adScanBuilder.rangeCount(info.n, targetRows)
       val bounds = (0 to par).map(p => info.n * p / par).distinct
       bounds.zip(bounds.tail)
         .filter { case (r0, r1) => r1 > lo && r0 <= hi }
@@ -146,17 +153,25 @@ final class ZarrScan(path: String, slot: String, tschema: StructType,
       // and each task's element span is fixed here so tasks touch only
       // their own data/indices chunks
       val (obsLo, obsHi) = colBounds.getOrElse("obs_id", (Long.MinValue, Long.MaxValue))
-      val indptr = ZarrStore.openArray(path, s"$slot/indptr").readFlat()
-        .map(_.asInstanceOf[Long]).toArray
-      val nRows = indptr.length - 1
-      val par = math.max(1, math.min(nRows, 32L)).toInt
-      val bounds = (0 to par).map(p => nRows.toLong * p / par).distinct
-      bounds.zip(bounds.tail)
+      val ptrZ = ZarrStore.openArray(path, s"$slot/indptr")
+      val nRows = ptrZ.shape.head - 1
+      val nnz = ZarrStore.openArray(path, s"$slot/data").shape.head
+      // rows AND elements both size the plan: a few very dense rows
+      // must not collapse into one task
+      val par = math.max(
+        H5adScanBuilder.rangeCount(nRows, targetRows).toLong,
+        math.min(nRows, (nnz + targetElems - 1) / targetElems)).toInt
+      val bounds = (0 to par).map(p => nRows * p / par).distinct
+      val kept = bounds.zip(bounds.tail)
         .filter { case (r0, r1) => r1 > obsLo && r0 <= obsHi }
-        .map { case (r0, r1) =>
-          ZarrCsrRangePartition(path, slot, r0, r1,
-            indptr(r0.toInt), indptr(r1.toInt)): InputPartition
-        }.toArray
+      // indptr values at the SURVIVING range boundaries only: O(par)
+      // chunk-sliced reads, never a full O(store rows) driver decode
+      val bvals = kept.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(b => b -> ptrZ.readLongs(b, b + 1)(0)).toMap
+      kept.map { case (r0, r1) =>
+        ZarrCsrRangePartition(path, slot, r0, r1,
+          bvals(r0), bvals(r1)): InputPartition
+      }.toArray
     } else {
       val za = ZarrStore.openArray(path, slot)
       val axes = tschema.fieldNames.dropRight(1) // value is last
@@ -293,26 +308,29 @@ private final class ZarrDenseChunkReader(p: ZarrDenseChunkPartition, required: S
 private final class ZarrCsrRangeReader(p: ZarrCsrRangePartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private val (ptr, dataBuf, indBuf, dataZ, indZ) = {
-    val indptr = ZarrStore.openArray(p.path, s"${p.slot}/indptr").readFlat()
-      .map(_.asInstanceOf[Long]).toArray
+    // only THIS task's indptr slice decodes (chunk-sliced read) —
+    // indptr is axis-sized, and a full decode per task is O(store
+    // rows) at the 10^8-row stores this source exists to serve
+    val slice = ZarrStore.openArray(p.path, s"${p.slot}/indptr")
+      .readLongs(p.r0, p.r1 + 1)
     val dz = ZarrStore.openArray(p.path, s"${p.slot}/data")
     val iz = ZarrStore.openArray(p.path, s"${p.slot}/indices")
     val d = java.nio.ByteBuffer.wrap(dz.readRange1d(p.e0, p.e1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val ix = java.nio.ByteBuffer.wrap(iz.readRange1d(p.e0, p.e1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    (indptr, d, ix, dz, iz)
+    (slice, d, ix, dz, iz)
   }
   private val total = (p.e1 - p.e0).toInt
   private var k = -1
-  private var row = p.r0.toInt
+  private var row = 0 // local offset within [r0, r1)
 
   override def next(): Boolean = { k += 1; k < total }
 
   override def get(): InternalRow = {
     val elem = p.e0 + k
     while (ptr(row + 1) <= elem) row += 1
-    ZProject.row(required, row.toLong, indZ.numAt(indBuf, k).toLong,
+    ZProject.row(required, p.r0 + row, indZ.numAt(indBuf, k).toLong,
       dataZ.numAt(dataBuf, k))
   }
 

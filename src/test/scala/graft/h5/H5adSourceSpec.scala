@@ -73,6 +73,20 @@ class H5adSourceSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("range planning scales with store rows — no fixed partition cap") {
+    val obs = spark.read.format("h5ad").option("slot", "obs")
+      .option("targetRowsPerTask", 25).load(dense)
+    assert(obs.rdd.getNumPartitions == 12, // 300 rows / 25
+      s"got ${obs.rdd.getNumPartitions}")
+    assert(obs.count() == 300)
+    val csr = spark.read.format("h5ad")
+      .option("targetRowsPerTask", 30).load(sparse)
+    assert(csr.rdd.getNumPartitions == 10)
+    val expected = AnnH5.csrCoo(spark, sparse, "X")
+      .agg(sum("value")).head().getDouble(0)
+    assert(csr.agg(sum("value")).head().getDouble(0) == expected)
+  }
+
   test("column pruning: projected schema reaches the reader") {
     val onlyValue = spark.read.format("h5ad").load(dense).select("value")
     assert(onlyValue.columns.toSeq == Seq("value"))
@@ -85,7 +99,8 @@ class H5adSourceSpec extends AnyFunSuite {
     val obs = spark.read.format("h5ad").option("slot", "obs").load(dense)
     assert(obs.columns.toSeq ==
       Seq("obs_id", "obs_name", "cell_type", "n_counts", "sample"))
-    assert(obs.rdd.getNumPartitions == 32, "row ranges, not one driver task")
+    assert(obs.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "row ranges floored at defaultParallelism, not one driver task")
     val rows = obs.orderBy("obs_id").collect()
     assert(rows.length == 300)
     rows.zipWithIndex.foreach { case (r, i) =>

@@ -30,12 +30,65 @@ class ZarrSourceSpec extends AnyFunSuite {
 
   test("csr row-range pruning from pushed obs_id bounds") {
     val dsv2 = spark.read.format("zarr").load(root)
-    assert(dsv2.rdd.getNumPartitions == 32)
+    // small store: plan floors at defaultParallelism (no fixed cap)
+    assert(dsv2.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
     val sliced = dsv2.filter(col("obs_id") < 10)
     assert(sliced.rdd.getNumPartitions <= 2,
       s"expected <=2 pruned ranges, got ${sliced.rdd.getNumPartitions}")
     val cnt = sliced.count()
     assert(cnt == (for { i <- 0 until 10; j <- 0 until nVar if xmask(i, j) } yield 1).size)
+  }
+
+  test("range planning scales with store rows — no fixed partition cap") {
+    // targetRowsPerTask=10 on a 300-row store -> 30 row ranges; the old
+    // plan capped at 32 tasks regardless of store size
+    val scaled = spark.read.format("zarr")
+      .option("targetRowsPerTask", 10).load(root)
+    assert(scaled.rdd.getNumPartitions == 30,
+      s"got ${scaled.rdd.getNumPartitions}")
+    val expected = (for { i <- 0 until nObs; j <- 0 until nVar if xmask(i, j) }
+      yield xval(i, j)).sum
+    assert(math.abs(scaled.agg(sum("value")).head().getDouble(0) - expected) < 1e-9)
+    // frame slots plan through the same sizing
+    val obs = spark.read.format("zarr").option("slot", "obs")
+      .option("targetRowsPerTask", 50).load(root)
+    assert(obs.rdd.getNumPartitions == 6)
+    assert(obs.count() == nObs)
+  }
+
+  test("csr range task reads only its own indptr/data/indices chunks") {
+    // small chunks so indptr spans several chunk objects: 120 rows,
+    // frame/indptr chunk 16, X chunk 32
+    val p = graft.TestSpark.tmpDir("graft_zsrc") + "/slice.zarr"
+    val obs = spark.range(120).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(12).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(120).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(12).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 3 === 0)
+      .withColumn("value", (col("obs_id") * 2 + col("var_id")) % 7 * 0.5)
+    AnnZarrWriter.write(graft.artifact.AnnDataset(obs, vars, x), p,
+      chunkElems = 32, frameChunkLen = 16)
+    def reads(body: => Unit): Long = {
+      val before = ZarrStore.dataReads(p); body; ZarrStore.dataReads(p) - before
+    }
+    val full = reads {
+      spark.read.format("zarr").load(p).agg(sum("value")).head()
+    }
+    val sliced = reads {
+      val r = spark.read.format("zarr").load(p)
+        .filter(col("obs_id") >= 110).agg(sum("value")).head().getDouble(0)
+      val expect = (for (i <- 110 until 120; j <- 0 until 12 if (i + j) % 3 == 0)
+        yield (i * 2 + j) % 7 * 0.5).sum
+      assert(math.abs(r - expect) < 1e-9)
+    }
+    // the tail slice (one 30-row range survives pruning) must not
+    // re-decode the whole indptr (8 chunks) or the full data/indices
+    // (15 chunks each) per task: ~2 planning boundary reads + ~3
+    // indptr slice chunks + ~4+4 data/indices chunks
+    assert(sliced < full / 2, s"sliced scan read $sliced of $full chunk objects")
+    assert(sliced <= 16, s"tail slice read $sliced chunk objects")
   }
 
   test("dense slot option: chunk-grid partitions, bound pruning, fill-aware") {
