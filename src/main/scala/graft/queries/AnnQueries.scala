@@ -355,6 +355,49 @@ object AnnQueries {
       Seq(agg("X", ds.x), agg("layers/log", ds.layers("log")),
         agg("obsm/X_pca", ds.obsm("X_pca")))
         .foldLeft(unsDf)(_ unionByName _).orderBy("slot")
+    }),
+
+    // write-side ENCODING parity: obsm/X_pca written as a dense `array`
+    // chunk grid (implicit zeros included on re-read — csr would
+    // under-count) and obs/cell_type as a `categorical` group (codes +
+    // categories), reopened through the native reader — a store a
+    // python anndata reader sees with the encodings the reference's
+    // write registry would have produced
+    "a25_zarr_encoding_roundtrip" -> ((spark, _) => {
+      val path = writtenZarrEncoded(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      ds.obsm("X_pca")
+        .join(ds.obs.select("obs_id", "cell_type"), "obs_id")
+        .groupBy("cell_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy("cell_type")
+    }),
+
+    // categorical APPEND: rows carrying an UNSEEN category land via
+    // appendRows — categories extend (category-cardinality-sized),
+    // codes extend chunk-aligned — then the merged store aggregates by
+    // the decoded category strings
+    "a26_zarr_categorical_append" -> ((spark, _) => {
+      val path = appendedZarrCategorical(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      ds.x.join(ds.obs.select("obs_id", "grade"), "obs_id")
+        .groupBy("grade")
+        .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("grade")
+    }),
+
+    // native multi-member COLLECTION open: three .zarr members (one v3
+    // sharded) registered in the catalog, opened as ONE union through
+    // ArtifactStore.open with `_source_path` provenance — the
+    // ArtifactSet.open analog over native stores instead of parquet
+    "a27_collection_union_native" -> ((spark, _) => {
+      val coo = collectionUnionZarr(spark)
+      coo.withColumn("member",
+          regexp_extract(col("_source_path"), "m(\\d)\\.zarr", 1).cast("long"))
+        .groupBy("member")
+        .agg(countDistinct(col("obs_id")).as("n_obs"),
+          count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("member")
     })
   )
 
@@ -380,6 +423,96 @@ object AnnQueries {
         graft.artifact.AnnDataset(obs, vars, x), p, chunkElems = 512)
       p
     })
+
+  /** a25 fixture: 240 obs, categorical cell_type = 'type_'||(i%5), a
+    * DENSE 240x4 obsm/X_pca with mask (i+k)%3==0 value ((i*7+k*5)%17)*0.5
+    * (implicit zeros elsewhere), a17's csr X alongside.
+    */
+  private def writtenZarrEncoded(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_encoded", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "enc.zarr").toString
+      val obs = spark.range(240).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"),
+        concat(lit("type_"), col("id") % 5).as("cell_type"))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(32).select(col("id").as("var_id")))
+        .filter((col("obs_id") * 5 + col("var_id") * 3) % 7 === 0)
+        .withColumn("value", (col("obs_id") * 11 + col("var_id") * 29) % 53 * 0.5)
+      val pca = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(4).select(col("id").as("dim_id")))
+        .filter((col("obs_id") + col("dim_id")) % 3 === 0)
+        .withColumn("value", (col("obs_id") * 7 + col("dim_id") * 5) % 17 * 0.5)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs, vars, x, obsm = Map("X_pca" -> pca)),
+        p, chunkElems = 512,
+        denseSlots = Set("obsm/X_pca"),
+        categoricalCols = Set("obs/cell_type"))
+      p
+    })
+
+  /** a26 fixture: a17's closed forms with a categorical `grade` column —
+    * 140 rows written ('type_'||(i%5)), 100 rows APPENDED carrying the
+    * unseen categories 'late_'||(i%2).
+    */
+  private def appendedZarrCategorical(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_cat_append", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "cat.zarr").toString
+      def slice(lo: Long, hi: Long) = (
+        spark.range(hi - lo).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id") + lo).as("obs_name"),
+          when(col("id") + lo < 140, concat(lit("type_"), (col("id") + lo) % 5))
+            .otherwise(concat(lit("late_"), (col("id") + lo) % 2)).as("grade")),
+        spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(32).select(col("id").as("var_id")))
+          .filter(((col("obs_id") + lo) * 5 + col("var_id") * 3) % 7 === 0)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 11 + col("var_id") * 29) % 53 * 0.5))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val (obs0, x0) = slice(0, 140)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs0, vars, x0), p, chunkElems = 256,
+        categoricalCols = Set("obs/grade"))
+      val (obs1, x1) = slice(140, 240)
+      graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p)
+      p
+    })
+
+  /** a27 fixture: three member stores (member 2 v3-SHARDED), registered
+    * as catalog artifacts and opened through [[ArtifactStore.open]] as
+    * one union. Member m: 80x16, mask (i*3+j+m)%5==0, value
+    * ((i*7+j*11+m*13)%23)*0.5.
+    */
+  private def collectionUnionZarr(spark: SparkSession): DataFrame = {
+    val root = written.getOrElseUpdate("zarr_collection", synchronized {
+      val r = LifecycleQueries.TempRoot.dir("graft_coll")
+      (0 until 3).foreach { m =>
+        val obs = spark.range(80).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id")).as("obs_name"))
+        val vars = spark.range(16).select(col("id").as("var_id"),
+          concat(lit("g"), col("id")).as("var_name"))
+        val x = spark.range(80).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(16).select(col("id").as("var_id")))
+          .filter((col("obs_id") * 3 + col("var_id") + m) % 5 === 0)
+          .withColumn("value",
+            (col("obs_id") * 7 + col("var_id") * 11 + m * 13) % 23 * 0.5)
+        graft.zarr.AnnZarrWriter.write(
+          graft.artifact.AnnDataset(obs, vars, x), s"$r/m$m.zarr",
+          chunkElems = 128, v3 = m == 2, shardFactor = 4)
+      }
+      r
+    })
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    (0 until 3).foreach(m =>
+      store.registerPath(s"$root/m$m.zarr", s"coll/m$m.zarr", root))
+    store.open(cat.table("artifact")
+      .filter(col("key").startsWith("coll/")))
+  }
 
   /** Committed native-zarr fixture (tools/gen_zarr.py — closed-form
     * content; the oracles recompute from range()).
@@ -812,6 +945,34 @@ object AnnQueries {
         |SELECT 'rna', count(*),
         |       CAST(sum(((i*31 + j*17) % 97) * 0.5) AS DOUBLE)
         |FROM range(300) t(i), range(40) s(j)
-        |ORDER BY modality""".stripMargin
+        |ORDER BY modality""".stripMargin,
+
+    // dense obsm reads the FULL 240x4 grid (absent chunks = fill 0),
+    // categorical cell_type decodes through codes+categories
+    "a25_zarr_encoding_roundtrip" ->
+      """SELECT 'type_' || (i % 5) AS cell_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN (i + k) % 3 = 0
+        |                     THEN ((i*7 + k*5) % 17) * 0.5 ELSE 0 END)
+        |         AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(4) s(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rows >= 140 arrive via appendRows with unseen 'late_*' categories
+    "a26_zarr_categorical_append" ->
+      """SELECT CASE WHEN i < 140 THEN 'type_' || (i % 5)
+        |            ELSE 'late_' || (i % 2) END AS grade,
+        |       count(*) AS nnz,
+        |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(32) s(j)
+        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // three members, one union: member m contributes its own mask/value
+    "a27_collection_union_native" ->
+      """SELECT m AS member, count(DISTINCT i) AS n_obs, count(*) AS nnz,
+        |       CAST(sum(((i*7 + j*11 + m*13) % 23) * 0.5) AS DOUBLE)
+        |         AS sum_value
+        |FROM range(3) r(m), range(80) t(i), range(16) s(j)
+        |WHERE (i*3 + j + m) % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

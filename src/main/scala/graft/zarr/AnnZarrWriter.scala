@@ -236,7 +236,8 @@ object AnnZarrWriter {
     */
   private def writeFrame(root: String, rel: String, df: DataFrame,
                          rowIdName: String, idName: String, v3: Boolean,
-                         chunkLen: Int = 65536): Long = {
+                         chunkLen: Int = 65536,
+                         catCols: Set[String] = Set.empty): Long = {
     val cols = df.columns.filter(c => c != rowIdName && c != idName)
     val rows = df.orderBy(rowIdName).collect()
     val n = rows.length.toLong
@@ -261,6 +262,36 @@ object AnnZarrWriter {
         case other => String.valueOf(other)
       } else i.toString), v3)
     cols.foreach { cn =>
+      if (catCols.contains(cn)) {
+        // `categorical` group (codes + categories) — the encoding the
+        // reference writes for pandas category columns through anndata
+        // (`_anndata_accessor.py:516-700` registry); writing them as
+        // plain string arrays would silently change the store encoding
+        val sVals = Array.tabulate(n.toInt)(i => rows(i).getAs[Any](cn) match {
+          case null => null
+          case s: String => s
+          case other => String.valueOf(other)
+        })
+        val cats = sVals.filter(_ != null).distinct.sorted
+        val idx = cats.zipWithIndex.toMap
+        zgroup(root, s"$rel/$cn", Some("""{"encoding-type":"categorical",""" +
+          """"encoding-version":"0.2.0","ordered":false}"""), v3)
+        array1d(root, s"$rel/$cn/categories", "|O", cats.length.toLong, chunkLen,
+          enc("string-array", "0.2.0"), { c =>
+            val lo = c * chunkLen
+            Array.tabulate(chunkLen)(k =>
+              if (lo + k < cats.length) cats(lo + k) else null)
+          }, v3)
+        array1d(root, s"$rel/$cn/codes", "<i8", n, chunkLen,
+          enc("array", "0.2.0"), { c =>
+            val lo = c * chunkLen
+            Array.tabulate(chunkLen)(k =>
+              if (lo + k < n) {
+                val v = sVals(lo + k)
+                (if (v == null) -1L else idx(v).toLong): Any
+              } else 0L)
+          }, v3)
+      } else {
       val dt = df.schema(cn).dataType
       val (dtype, get): (String, Int => Any) = dt match {
         case StringType => ("|O", i => rows(i).getAs[String](cn))
@@ -278,8 +309,56 @@ object AnnZarrWriter {
           else if (dtype == "|O") null else 0L)
       }
       array1d(root, s"$rel/$cn", dtype, n, chunkLen, enc("array", "0.2.0"), pad, v3)
+      }
     }
     n
+  }
+
+  // ---------------------------------------------------------------- dense
+
+  /** A COO frame as a dense 2-D `array` node, written EXECUTOR-SIDE:
+    * elements group on their target chunk object (one shuffle), each
+    * task zero-fills its chunk buffer and writes the object — the write
+    * twin of [[AnnZarr.denseCoo]]. The reference preserves a dense
+    * in-memory matrix as a dense store encoding (anndata's write
+    * registry, `core/storage/_anndata_accessor.py:516-700`); forcing
+    * every slot through csr would silently change encodings on a
+    * round-trip. Chunks with no elements are simply absent (zarr reads
+    * them as fill_value 0 — exactly the dense semantics of missing COO
+    * entries).
+    */
+  private def writeDense(root: String, rel: String, coo: DataFrame,
+                         rowCol: String, colCol: String,
+                         nRows: Long, nCols: Long, chunkElems: Int,
+                         v3: Boolean): Unit = {
+    val spark = coo.sparkSession
+    val cc = math.max(1L, math.min(nCols, 4096L)).toInt
+    val cr = math.max(1L, math.min(if (nRows == 0) 1L else nRows,
+      math.max(1, chunkElems / cc).toLong)).toInt
+    arrayMeta(root, rel, Seq(nRows, nCols), Seq(cr, cc), "<f8",
+      vlen = false, attrs = enc("array", "0.2.0"), v3 = v3)
+    if (nRows == 0 || nCols == 0) return
+    val gridCols = ((nCols + cc - 1) / cc).toInt
+    val rootC = root; val relC = rel; val v3C = v3
+    coo.select(col(rowCol).cast("long").as("r"), col(colCol).cast("long").as("c"),
+        col("value").cast("double").as("v"))
+      .rdd
+      .map { row =>
+        val r = row.getLong(0); val c = row.getLong(1)
+        (((r / cr) * gridCols + c / cc).toInt, (r, c, row.getDouble(2)))
+      }
+      .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
+      .foreach { case (obj, it) =>
+        val gr = obj / gridCols; val gc = obj % gridCols
+        val buf = new Array[Double](cr * cc) // zero-filled = fill_value
+        it.foreach { case (r, c, v) =>
+          buf(((r - gr.toLong * cr) * cc + (c - gc.toLong * cc)).toInt) = v
+        }
+        val bb = ByteBuffer.allocate(cr * cc * 8).order(ByteOrder.LITTLE_ENDIAN)
+        buf.foreach(bb.putDouble)
+        val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
+        writeBytes(rootC, s"$relC/$key", encodeChunk(bb.array(), v3C))
+      }
   }
 
   // ------------------------------------------------------------------ csr
@@ -460,48 +539,65 @@ object AnnZarrWriter {
     * `v3 = true` emits a zarr v3 store with `sharding_indexed` csr
     * slots: `shardFactor` inner chunks of `chunkElems` elements per
     * shard object. Both flavors finish with consolidated metadata.
+    *
+    * Encoding parity with the reference's anndata write registry:
+    * slots named in `denseSlots` (e.g. "obsm/X_pca", "X") write as
+    * dense 2-D `array` chunk grids; frame columns named in
+    * `categoricalCols` (qualified, e.g. "obs/cell_type") write as
+    * `categorical` groups — both re-open bit-identically through
+    * anndata-python instead of silently degrading to csr / plain
+    * string arrays.
     */
   def write(ds: AnnDataset, path: String, chunkElems: Int = 65536,
             v3: Boolean = false, shardFactor: Int = 16,
-            frameChunkLen: Int = 65536): Unit = {
+            frameChunkLen: Int = 65536,
+            denseSlots: Set[String] = Set.empty,
+            categoricalCols: Set[String] = Set.empty): Unit = {
     val fs = new Path(path).getFileSystem(conf)
     fs.delete(new Path(path), true)
     ZarrStore.invalidate(path) // same-JVM readers must not see stale metadata
+    def catsFor(rel: String): Set[String] =
+      categoricalCols.collect { case s if s.startsWith(rel + "/") =>
+        s.stripPrefix(rel + "/") }
+    def writeMatrix(rel: String, m: DataFrame, rowCol: String, colCol: String,
+                    nR: Long, nC: Long): Unit =
+      if (denseSlots.contains(rel))
+        writeDense(path, rel, m, rowCol, colCol, nR, nC, chunkElems, v3)
+      else
+        writeCsr(path, rel, m, rowCol, colCol, nR, nC, chunkElems, v3,
+          shardFactor, frameChunkLen)
     zgroup(path, "", Some(enc("anndata", "0.1.0")), v3)
-    val nObs = writeFrame(path, "obs", ds.obs, "obs_id", "obs_name", v3, frameChunkLen)
-    val nVar = writeFrame(path, "var", ds.vars, "var_id", "var_name", v3, frameChunkLen)
-    writeCsr(path, "X", ds.x, "obs_id", "var_id", nObs, nVar, chunkElems, v3,
-      shardFactor, frameChunkLen)
+    val nObs = writeFrame(path, "obs", ds.obs, "obs_id", "obs_name", v3,
+      frameChunkLen, catsFor("obs"))
+    val nVar = writeFrame(path, "var", ds.vars, "var_id", "var_name", v3,
+      frameChunkLen, catsFor("var"))
+    writeMatrix("X", ds.x, "obs_id", "var_id", nObs, nVar)
     def dimCount(df: DataFrame, c: String): Long =
       df.agg(coalesce(max(col(c)), lit(-1L))).collect().head.getLong(0) + 1
     if (ds.layers.nonEmpty) {
       zgroup(path, "layers", Some(enc("dict", "0.1.0")), v3)
       ds.layers.foreach { case (nm, m) =>
-        writeCsr(path, s"layers/$nm", m, "obs_id", "var_id", nObs, nVar,
-          chunkElems, v3, shardFactor)
+        writeMatrix(s"layers/$nm", m, "obs_id", "var_id", nObs, nVar)
       }
     }
     if (ds.obsm.nonEmpty) {
       zgroup(path, "obsm", Some(enc("dict", "0.1.0")), v3)
       ds.obsm.foreach { case (nm, m) =>
         val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
-        writeCsr(path, s"obsm/$nm", m, "obs_id", dimCol, nObs,
-          dimCount(m, dimCol), chunkElems, v3, shardFactor)
+        writeMatrix(s"obsm/$nm", m, "obs_id", dimCol, nObs, dimCount(m, dimCol))
       }
     }
     if (ds.varm.nonEmpty) {
       zgroup(path, "varm", Some(enc("dict", "0.1.0")), v3)
       ds.varm.foreach { case (nm, m) =>
         val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
-        writeCsr(path, s"varm/$nm", m, "var_id", dimCol, nVar,
-          dimCount(m, dimCol), chunkElems, v3, shardFactor)
+        writeMatrix(s"varm/$nm", m, "var_id", dimCol, nVar, dimCount(m, dimCol))
       }
     }
     if (ds.obsp.nonEmpty) {
       zgroup(path, "obsp", Some(enc("dict", "0.1.0")), v3)
       ds.obsp.foreach { case (nm, m) =>
-        writeCsr(path, s"obsp/$nm", m, "obs_id", "obs_id_2", nObs, nObs,
-          chunkElems, v3, shardFactor)
+        writeMatrix(s"obsp/$nm", m, "obs_id", "obs_id_2", nObs, nObs)
       }
     }
     if (ds.uns.nonEmpty) {
@@ -510,9 +606,9 @@ object AnnZarrWriter {
     }
     ds.raw.foreach { r =>
       zgroup(path, "raw", Some(enc("dict", "0.1.0")), v3)
-      val nRawVar = writeFrame(path, "raw/var", r.vars, "var_id", "var_name", v3)
-      writeCsr(path, "raw/X", r.x, "obs_id", "var_id", nObs, nRawVar,
-        chunkElems, v3, shardFactor)
+      val nRawVar = writeFrame(path, "raw/var", r.vars, "var_id", "var_name", v3,
+        frameChunkLen, catsFor("raw/var"))
+      writeMatrix("raw/X", r.x, "obs_id", "var_id", nObs, nRawVar)
     }
     // consolidated metadata so reopening costs a single metadata GET
     if (v3) ZarrStore.consolidateV3(path) else ZarrStore.consolidate(path)
@@ -628,21 +724,36 @@ object AnnZarrWriter {
     }.toIndexedSeq)
     obsCols.foreach { cn =>
       require(newObs.columns.contains(cn), s"append obs frame missing column '$cn'")
-      require(ZarrStore.isArray(path, s"obs/$cn"),
-        s"obs/$cn: categorical obs columns are not appendable")
-      val kind = ZarrStore.openArray(path, s"obs/$cn").kind
-      val add: IndexedSeq[Any] = kind match {
-        case 'O' => rows.map(r => String.valueOf(r.getAs[Any](cn)): Any).toIndexedSeq
-        case 'f' => rows.map(r => r.getAs[Number](cn).doubleValue(): Any).toIndexedSeq
-        case _ => rows.map { r =>
-          (r.getAs[Any](cn) match {
-            case b: Boolean => if (b) 1L else 0L
-            case x: Number => x.longValue()
-            case other => sys.error(s"obs/$cn: element $other")
-          }): Any
-        }.toIndexedSeq
+      if (ZarrStore.isArray(path, s"obs/$cn")) {
+        val kind = ZarrStore.openArray(path, s"obs/$cn").kind
+        val add: IndexedSeq[Any] = kind match {
+          case 'O' => rows.map(r => String.valueOf(r.getAs[Any](cn)): Any).toIndexedSeq
+          case 'f' => rows.map(r => r.getAs[Number](cn).doubleValue(): Any).toIndexedSeq
+          case _ => rows.map { r =>
+            (r.getAs[Any](cn) match {
+              case b: Boolean => if (b) 1L else 0L
+              case x: Number => x.longValue()
+              case other => sys.error(s"obs/$cn: element $other")
+            }): Any
+          }.toIndexedSeq
+        }
+        append1d(s"obs/$cn", add)
+      } else {
+        // categorical group: unseen values append to `categories`
+        // (category-cardinality-sized), codes extend chunk-aligned
+        require(ZarrStore.attrString(path, s"obs/$cn", "encoding-type")
+          .contains("categorical"), s"obs/$cn: unsupported column node")
+        val cats0 = ZarrStore.openArray(path, s"obs/$cn/categories").readFlat()
+          .map(_.asInstanceOf[String])
+        val newVals = rows.map(r =>
+          Option(r.getAs[Any](cn)).map(String.valueOf(_)).orNull)
+        val seen = cats0.toSet
+        val extra = newVals.filter(v => v != null && !seen(v)).distinct.toIndexedSeq
+        if (extra.nonEmpty) append1d(s"obs/$cn/categories", extra.map(x => x: Any))
+        val idx = (cats0 ++ extra).zipWithIndex.toMap
+        append1d(s"obs/$cn/codes",
+          newVals.map(v => (if (v == null) -1L else idx(v).toLong): Any).toIndexedSeq)
       }
-      append1d(s"obs/$cn", add)
     }
 
     // ---- indptr: boundary + new chunks (shifted by the prior nnz)
@@ -741,8 +852,12 @@ object AnnZarrWriter {
       }
     }
     reshape("obs/_index", n0)
-    ZarrStore.children(path, "obs").filterNot(_ == "_index")
-      .foreach(cn => reshape(s"obs/$cn", n0))
+    ZarrStore.children(path, "obs").filterNot(_ == "_index").foreach { cn =>
+      // categorical columns roll back their codes; extra categories a
+      // half-applied batch appended are unreferenced and harmless
+      if (ZarrStore.isArray(path, s"obs/$cn")) reshape(s"obs/$cn", n0)
+      else reshape(s"obs/$cn/codes", n0)
+    }
     reshape("X/indptr", n0 + 1)
     reshape("X/data", nnz0)
     reshape("X/indices", nnz0)

@@ -279,6 +279,88 @@ class ZarrWriterSpec extends AnyFunSuite {
       (for (i <- 0 until 20; j <- 0 until 8 if (i + j) % 3 == 0) yield 1).size)
   }
 
+  test("encoding parity: dense slots stay dense, categorical columns stay categorical") {
+    val p = TestSpark.tmpDir("graft_zenc") + "/enc.zarr"
+    val obs = spark.range(nObs).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      concat(lit("type_"), col("id") % 3).as("cell_type"),
+      (col("id") * 3 % 10 * 0.25).as("score"))
+    val vars = spark.range(nVar).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nVar).select(col("id").as("var_id")))
+      .filter((col("obs_id") * 3 + col("var_id") * 5) % 7 === 0)
+      .withColumn("value", (col("obs_id") * 11 + col("var_id") * 13) % 31 * 0.5)
+    val pca = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(3).select(col("id").as("dim_id")))
+      .filter((col("obs_id") + col("dim_id")) % 2 === 0) // zeros stay implicit
+      .withColumn("value", (col("obs_id") + col("dim_id") * 7) % 13 * 0.5)
+    AnnZarrWriter.write(AnnDataset(obs, vars, x, obsm = Map("X_pca" -> pca)), p,
+      chunkElems = 256, denseSlots = Set("obsm/X_pca"),
+      categoricalCols = Set("obs/cell_type"))
+    // store-level encodings are what anndata-python would have written
+    assert(ZarrStore.attrString(p, "obsm/X_pca", "encoding-type").contains("array"))
+    val za = ZarrStore.openArray(p, "obsm/X_pca")
+    assert(za.rank == 2 && za.shape == Seq(nObs.toLong, 3L))
+    assert(ZarrStore.attrString(p, "obs/cell_type", "encoding-type")
+      .contains("categorical"))
+    assert(ZarrStore.openArray(p, "obs/cell_type/codes").dtype == "<i8")
+    assert(ZarrStore.attrString(p, "X", "encoding-type").contains("csr_matrix"))
+    // reopen: dense slot reads the FULL grid (implicit zeros included)
+    val ds = AnnZarr.open(spark, p)
+    val pcaDf = ds.obsm("X_pca")
+    assert(pcaDf.count() == nObs.toLong * 3)
+    val gotSum = pcaDf.agg(sum("value")).head().getDouble(0)
+    val expSum = (for (i <- 0L until nObs; k <- 0L until 3 if (i + k) % 2 == 0)
+      yield (i + k * 7) % 13 * 0.5).sum
+    assert(math.abs(gotSum - expSum) < 1e-6)
+    val probe = pcaDf.filter(col("obs_id") === 3 && col("var_id") === 0)
+      .head().getDouble(2)
+    assert(probe == 0.0, "implicit zero must read as fill")
+    // categorical column decodes back to the original strings
+    val types = ds.obs.orderBy("obs_id").collect()
+    types.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("cell_type") == s"type_${i % 3}")
+    }
+  }
+
+  test("appendRows extends categorical columns (new category + null)") {
+    val p = TestSpark.tmpDir("graft_zcat") + "/cat.zarr"
+    val obs0 = spark.range(40).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      concat(lit("t"), col("id") % 2).as("grade"))
+    val vars = spark.range(6).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x0 = spark.range(40).select(col("id").as("obs_id"),
+      (col("id") % 6).as("var_id"), (col("id") % 5 * 0.5).as("value"))
+    AnnZarrWriter.write(AnnDataset(obs0, vars, x0), p,
+      chunkElems = 64, frameChunkLen = 16, categoricalCols = Set("obs/grade"))
+    val codes0 = new java.io.File(s"$p/obs/grade/codes/0")
+    val m0 = codes0.lastModified()
+    Thread.sleep(1100)
+    // append introduces a NEW category t9 and a null
+    val obs1 = spark.range(10).select(col("id").as("obs_id"),
+      concat(lit("d"), col("id")).as("obs_name"),
+      when(col("id") === 7, lit(null).cast("string"))
+        .when(col("id") % 3 === 0, lit("t9"))
+        .otherwise(concat(lit("t"), col("id") % 2)).as("grade"))
+    val x1 = spark.range(10).select(col("id").as("obs_id"),
+      (col("id") % 6).as("var_id"), lit(2.5).as("value"))
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    assert(codes0.lastModified() == m0, "full codes chunk rewritten by append")
+    val ds = AnnZarr.open(spark, p)
+    val got = ds.obs.orderBy("obs_id").collect()
+    assert(got.length == 50)
+    (0 until 40).foreach(i => assert(got(i).getAs[String]("grade") == s"t${i % 2}"))
+    (0 until 10).foreach { i =>
+      val expect = if (i == 7) null
+        else if (i % 3 == 0) "t9" else s"t${i % 2}"
+      assert(got(40 + i).getAs[String]("grade") == expect, s"row ${40 + i}")
+    }
+    val cats = ZarrStore.openArray(p, "obs/grade/categories").readFlat()
+    assert(cats == IndexedSeq("t0", "t1", "t9"))
+  }
+
   test("raw slot and empty-x slot write and reopen") {
     val base = buildDataset()
     val rawVars = spark.range(30).select(col("id").as("var_id"),
