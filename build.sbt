@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNPREFIXED: the round driver
+// parses graft.Bench's one-line JSON from captured stdout, and sbt's
+// default LoggedOutput strategy would wrap it as "[info] {...}" —
+// every round's BENCH artifact recorded "parsed": null because of it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -386,6 +386,20 @@ object AnnQueries {
         .orderBy("grade")
     }),
 
+    // v3 SHARDED append: a24's closed forms on a sharding_indexed store
+    // — appendRows re-encodes the boundary SHARD (committed prefix +
+    // new gzip'd inner chunks + fresh crc32c index) and emits new whole
+    // shards; pre-boundary shards are untouched (spec-pinned mtimes) —
+    // the long-running-ingest shape for the object-count-bounded layout
+    "a28_zarr_v3_append" -> ((spark, _) => {
+      val path = appendedZarrV3(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      ds.x.join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+        .orderBy("batch")
+    }),
+
     // native multi-member COLLECTION open: three .zarr members (one v3
     // sharded) registered in the catalog, opened as ONE union through
     // ArtifactStore.open with `_source_path` provenance — the
@@ -544,6 +558,34 @@ object AnnQueries {
       val (obs0, x0) = slice(0, 160)
       graft.zarr.AnnZarrWriter.write(
         graft.artifact.AnnDataset(obs0, vars, x0), p, chunkElems = 256)
+      val (obs1, x1) = slice(160, 240)
+      graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p)
+      p
+    })
+
+  /** a28 fixture: a24's two-pass closed forms on a v3 SHARDED store —
+    * 160 rows written (64-elem inner chunks, 4 per shard), 80 appended
+    * via the format-routed [[graft.zarr.AnnZarrWriter.appendRows]].
+    */
+  private def appendedZarrV3(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_v3_append", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "grow3.zarr").toString
+      def slice(lo: Long, hi: Long) = (
+        spark.range(hi - lo).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id") + lo).as("obs_name"),
+          ((col("id") + lo) % 6).cast("long").as("batch")),
+        spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(32).select(col("id").as("var_id")))
+          .filter(((col("obs_id") + lo) * 5 + col("var_id") * 3) % 7 === 0)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 11 + col("var_id") * 29) % 53 * 0.5))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val (obs0, x0) = slice(0, 160)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs0, vars, x0), p, chunkElems = 64,
+        v3 = true, shardFactor = 4)
       val (obs1, x1) = slice(160, 240)
       graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p)
       p
@@ -899,6 +941,13 @@ object AnnQueries {
 
     // a17 closed forms built write-then-append
     "a24_zarr_append" ->
+      """SELECT i % 6 AS batch, count(*) AS nnz,
+        |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(32) s(j)
+        |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a24 closed forms on a v3 sharded store, grown via appendRows
+    "a28_zarr_v3_append" ->
       """SELECT i % 6 AS batch, count(*) AS nnz,
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)

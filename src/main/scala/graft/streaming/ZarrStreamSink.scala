@@ -17,7 +17,12 @@ import graft.zarr.{AnnZarrWriter, ZarrStore}
   * O(store). The batch analog is the reference's append-style
   * collection growth (`collection.py`); the zarr container is what
   * makes the streaming flavor possible at all (a single-file HDF5 sink
-  * would rewrite or lock the file per batch).
+  * would rewrite or lock the file per batch). Routing by store format
+  * is transparent: appendRows/truncateTo dispatch on the store's zarr
+  * version, so the same stream can feed a v2 store or a v3
+  * `sharding_indexed` store (boundary shard re-encoded, new shards
+  * emitted whole — the object-count-bounded layout a long-running
+  * ingest needs at scale).
   *
   * Exactly-once effect without a transactional sink, via two ledger
   * objects at the store root:

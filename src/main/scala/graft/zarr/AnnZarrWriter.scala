@@ -451,43 +451,60 @@ object AnnZarrWriter {
           writeBytes(rootC, s"$relC/indices/$obj", zlibEncode(ib.array()))
         } else {
           // one SHARD per array: gzip'd inner chunks + crc32c'd index
-          def shardBytes(pack: (Int, Int) => Array[Byte]): Array[Byte] = {
-            val nInner = ((objElemsC + chunkC - 1) / chunkC).toInt
-            val body = new java.io.ByteArrayOutputStream()
-            val index = ByteBuffer.allocate(16 * nInner + 4).order(ByteOrder.LITTLE_ENDIAN)
-            var i = 0
-            while (i < nInner) {
-              val lo = i * chunkC
-              if (lo >= m) { index.putLong(-1L); index.putLong(-1L) } // beyond nnz
-              else {
-                val encd = encodeChunk(pack(lo, math.min(chunkC, m - lo)), v3 = true)
-                index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
-                body.write(encd)
-              }
-              i += 1
-            }
-            val idx = index.array()
-            val crc = ZCodec.crc32c(idx, 0, 16 * nInner)
-            ByteBuffer.wrap(idx, 16 * nInner, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
-            body.write(idx)
-            body.toByteArray
-          }
-          writeBytes(rootC, s"$relC/data/c/$obj", shardBytes { (lo, len) =>
-            val bb = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-            var k = 0
-            while (k < len) { bb.putDouble(dataV(lo + k)); k += 1 }
-            bb.array() // zero-padded to the full inner chunk
-          })
-          writeBytes(rootC, s"$relC/indices/c/$obj", shardBytes { (lo, len) =>
-            val bb = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-            var k = 0
-            while (k < len) { bb.putLong(indV(lo + k)); k += 1 }
-            bb.array()
-          })
+          writeBytes(rootC, s"$relC/data/c/$obj",
+            shardBytes(objElemsC.toInt, chunkC, m, packDoubles(dataV, chunkC)))
+          writeBytes(rootC, s"$relC/indices/c/$obj",
+            shardBytes(objElemsC.toInt, chunkC, m, packLongs(indV, chunkC)))
         }
       }
     ptrB.unpersist()
   }
+
+  /** One `sharding_indexed` shard object: the committed prefix (`m` of
+    * `objElems` element slots) as gzip'd inner chunks of `chunkElems`,
+    * followed by the crc32c'd u64 (offset, nbytes) index the codec's
+    * `index_codecs` declare; inner chunks beyond `m` get the absent
+    * (-1, -1) entry. `pack(lo, len)` returns one inner chunk's raw
+    * little-endian bytes, zero-padded to the full inner chunk.
+    */
+  private def shardBytes(objElems: Int, chunkElems: Int, m: Int,
+                         pack: (Int, Int) => Array[Byte]): Array[Byte] = {
+    val nInner = (objElems + chunkElems - 1) / chunkElems
+    val body = new java.io.ByteArrayOutputStream()
+    val index = ByteBuffer.allocate(16 * nInner + 4).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nInner) {
+      val lo = i * chunkElems
+      if (lo >= m) { index.putLong(-1L); index.putLong(-1L) } // beyond nnz
+      else {
+        val encd = encodeChunk(pack(lo, math.min(chunkElems, m - lo)), v3 = true)
+        index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
+        body.write(encd)
+      }
+      i += 1
+    }
+    val idx = index.array()
+    val crc = ZCodec.crc32c(idx, 0, 16 * nInner)
+    ByteBuffer.wrap(idx, 16 * nInner, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
+    body.write(idx)
+    body.toByteArray
+  }
+
+  private def packDoubles(vals: Array[Double], chunkElems: Int): (Int, Int) => Array[Byte] =
+    (lo, len) => {
+      val bb = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+      var k = 0
+      while (k < len) { bb.putDouble(vals(lo + k)); k += 1 }
+      bb.array() // zero-padded to the full inner chunk
+    }
+
+  private def packLongs(vals: Array[Long], chunkElems: Int): (Int, Int) => Array[Byte] =
+    (lo, len) => {
+      val bb = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+      var k = 0
+      while (k < len) { bb.putLong(vals(lo + k)); k += 1 }
+      bb.array()
+    }
 
   // ------------------------------------------------------------------ uns
 
@@ -616,15 +633,22 @@ object AnnZarrWriter {
 
   // --------------------------------------------------------------- append
 
-  /** Append rows to an existing (writer-produced, v2) AnnData-on-zarr
-    * store IN PLACE — the zarr answer to incremental ingest: because
-    * chunks are independent store objects, EVERY array (obs frame
-    * columns, `X/indptr`, `X/data`, `X/indices`) extends by rewriting
-    * only its boundary chunk plus the new chunks; all earlier chunk
-    * objects are untouched (asserted by spec via mtimes + a written-
-    * object count). Consolidated metadata is PATCHED for the changed
-    * nodes, not re-walked. A microbatch therefore costs O(batch) store
-    * operations, independent of how large the store has grown.
+  /** Append rows to an existing (writer-produced) AnnData-on-zarr store
+    * IN PLACE — the zarr answer to incremental ingest: because chunks
+    * are independent store objects, EVERY array (obs frame columns,
+    * `X/indptr`, `X/data`, `X/indices`) extends by rewriting only its
+    * boundary chunk plus the new chunks; all earlier chunk objects are
+    * untouched (asserted by spec via mtimes + a written-object count).
+    * Consolidated metadata is PATCHED for the changed nodes, not
+    * re-walked. A microbatch therefore costs O(batch) store operations,
+    * independent of how large the store has grown.
+    *
+    * Serves BOTH writer flavors: v2 (zlib chunk objects) and v3 with
+    * `sharding_indexed` csr slots — there the boundary SHARD is
+    * re-encoded (committed prefix + new elements as gzip'd inner
+    * chunks + a fresh crc32c'd index) and new whole shards are emitted,
+    * so a long-running ingest keeps the 1-object-per-shard store layout
+    * without ever touching pre-boundary shards.
     *
     * `newObs` must carry the store's obs columns (obs_id local 0..n-1);
     * `newX` is COO with local obs_id. Obs-aligned aux slots (layers /
@@ -633,21 +657,29 @@ object AnnZarrWriter {
     * h5ad append rewrites the file.
     *
     * Crash behavior: shapes are only ever EXTENDED and boundary-chunk
-    * rewrites preserve the committed prefix, so a half-applied append
-    * is fully undone by [[truncateTo]] (the streaming sink's pending-
-    * marker protocol does exactly that on restart).
+    * (or boundary-shard) rewrites preserve the committed prefix, so a
+    * half-applied append is fully undone by [[truncateTo]] (the
+    * streaming sink's pending-marker protocol does exactly that on
+    * restart).
     */
   def appendRows(newObs: DataFrame, newX: DataFrame, path: String): Unit = {
-    require(ZarrStore.format(path) == 2, s"$path: appendRows serves v2 stores")
+    val v3 = ZarrStore.format(path) == 3
     Seq("layers", "obsm", "obsp", "raw").foreach { s =>
       require(!ZarrStore.isGroup(path, s),
         s"$path: cannot append rows with obs-aligned slot '$s' present")
     }
     val dataZ = ZarrStore.openArray(path, "X/data")
     val indZ = ZarrStore.openArray(path, "X/indices")
-    require(dataZ.compressor == "zlib" && indZ.compressor == "zlib",
-      s"$path: appendRows requires the writer's zlib chunk encoding")
-    val chunkElems = dataZ.chunks.head
+    if (v3)
+      require(dataZ.compressor == "sharding" && indZ.compressor == "sharding" &&
+        dataZ.codecs.contains(ZCodec.GzipC) && indZ.codecs.contains(ZCodec.GzipC),
+        s"$path: v3 appendRows requires the writer's sharded gzip csr encoding")
+    else
+      require(dataZ.compressor == "zlib" && indZ.compressor == "zlib",
+        s"$path: appendRows requires the writer's zlib chunk encoding")
+    val chunkElems = dataZ.chunks.head // v3: the INNER chunk length
+    // store-object granularity: chunk objects (v2) / shard objects (v3)
+    val objElems = dataZ.shard.map(_.shardShape.head).getOrElse(chunkElems)
     val nnz0 = dataZ.shape.head
     val n0 = ZarrStore.openArray(path, "X/indptr").shape.head - 1
     val nCols = {
@@ -677,11 +709,11 @@ object AnnZarrWriter {
     def append1d(rel: String, add: IndexedSeq[Any]): Unit = {
       val za = ZarrStore.openArray(path, rel)
       require(za.kind != 'O' || za.vlenUtf8, s"$rel: unsupported encoding")
+      require(za.shard.isEmpty, s"$rel: 1-D axis arrays are written unsharded")
       val cl = za.chunks.head
       val aN0 = za.shape.head
       val aN1 = aN0 + add.length
-      writeJson(path, s"$rel/.zarray", zarray(Seq(aN1), Seq(cl), za.dtype, za.vlenUtf8))
-      changedMeta += s"$rel/.zarray"
+      changedMeta += ZarrStore.patchShape(path, rel, Seq(aN1))
       if (add.isEmpty) return
       val cb = (aN0 / cl).toInt // boundary chunk id
       val base = cb.toLong * cl
@@ -711,7 +743,7 @@ object AnnZarrWriter {
             case other => throw new UnsupportedOperationException(
               s"$rel: element ${if (other == null) "null" else other.getClass.getName}")
           })
-        writeBytes(path, s"$rel/$c", zlibEncode(raw))
+        writeBytes(path, s"$rel/${chunkKey1d(c, v3)}", encodeChunk(raw, v3))
         c += 1
       }
     }
@@ -761,31 +793,27 @@ object AnnZarrWriter {
 
     // ---- X group shape gains the appended rows
     zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
-      s""""shape":[${n0 + nAdd},$nCols]}"""))
-    changedMeta += "X/.zattrs"
+      s""""shape":[${n0 + nAdd},$nCols]}"""), v3)
+    changedMeta += (if (v3) "X" else "X/.zattrs")
 
-    // ---- data/indices: metadata grows; ONLY boundary + new chunks write
-    writeJson(path, "X/data/.zarray", zarray(Seq(nnz1), Seq(chunkElems), "<f8", vlen = false))
-    writeJson(path, "X/indices/.zarray", zarray(Seq(nnz1), Seq(chunkElems), "<i8", vlen = false))
-    changedMeta += "X/data/.zarray"
-    changedMeta += "X/indices/.zarray"
+    // ---- data/indices: metadata grows; ONLY boundary + new objects write
+    changedMeta += ZarrStore.patchShape(path, "X/data", Seq(nnz1))
+    changedMeta += ZarrStore.patchShape(path, "X/indices", Seq(nnz1))
     if (nnzAdd > 0) {
-      val cb = (nnz0 / chunkElems).toInt // boundary chunk id
-      val boundaryOff = (nnz0 % chunkElems).toInt
+      val cb = (nnz0 / objElems).toInt // boundary OBJECT (chunk / shard) id
+      val boundaryOff = (nnz0 % objElems).toInt
+      // committed prefix of the boundary object — for v3 decoded through
+      // the shard index's ranged inner-chunk reads, for v2 one chunk GET
       val (bndData, bndInd) =
         if (boundaryOff == 0) (Array.empty[Double], Array.empty[Long])
         else {
-          val db = ByteBuffer.wrap(dataZ.readChunk(Seq(cb)).get)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          val ib = ByteBuffer.wrap(indZ.readChunk(Seq(cb)).get)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          (Array.tabulate(boundaryOff)(k => db.getDouble(k * 8)),
-            Array.tabulate(boundaryOff)(k => ib.getLong(k * 8)))
+          val base = cb.toLong * objElems
+          (dataZ.readDoubles(base, nnz0), indZ.readLongs(base, nnz0))
         }
       val ptrB = spark.sparkContext.broadcast(addPtr)
       val bndB = spark.sparkContext.broadcast((bndData, bndInd))
-      val rootC = path; val chunkC = chunkElems
-      val nnz0C = nnz0; val nnz1C = nnz1; val cbC = cb
+      val rootC = path; val chunkC = chunkElems; val objC = objElems
+      val nnz0C = nnz0; val nnz1C = nnz1; val cbC = cb; val v3C = v3
       val elems = newX
         .select(col("obs_id").cast("long").as("r"), col("var_id").cast("long").as("c"),
           col("value").cast("double").as("v"))
@@ -794,15 +822,16 @@ object AnnZarrWriter {
       elems.toDF().rdd
         .map { row =>
           val e = nnz0C + ptrB.value(row.getLong(0).toInt) + row.getLong(3)
-          ((e / chunkC).toInt, (e, row.getLong(1), row.getDouble(2)))
+          ((e / objC).toInt, (e, row.getLong(1), row.getDouble(2)))
         }
         .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
-        .foreach { case (chunk, it) =>
-          val base = chunk.toLong * chunkC
-          val dataV = new Array[Double](chunkC)
-          val indV = new Array[Long](chunkC)
-          // the boundary chunk keeps its existing prefix
-          if (chunk == cbC) {
+        .foreach { case (obj, it) =>
+          val base = obj.toLong * objC
+          val m1 = math.min(objC.toLong, nnz1C - base).toInt // slots live after append
+          val dataV = new Array[Double](m1)
+          val indV = new Array[Long](m1)
+          // the boundary object keeps its existing prefix
+          if (obj == cbC) {
             val (bd, bi) = bndB.value
             var k = 0
             while (k < bd.length) { dataV(k) = bd(k); indV(k) = bi(k); k += 1 }
@@ -813,43 +842,50 @@ object AnnZarrWriter {
             dataV(k) = v; indV(k) = j; seen += 1
           }
           val lo = math.max(base, nnz0C)
-          val hi = math.min(base + chunkC, nnz1C)
+          val hi = math.min(base + objC, nnz1C)
           require(seen == (hi - lo).toInt,
-            s"X append chunk $chunk: $seen of ${hi - lo} new elements")
-          val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-          dataV.foreach(db.putDouble)
-          val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-          indV.foreach(ib.putLong)
-          writeBytes(rootC, s"X/data/$chunk", zlibEncode(db.array()))
-          writeBytes(rootC, s"X/indices/$chunk", zlibEncode(ib.array()))
+            s"X append object $obj: $seen of ${hi - lo} new elements")
+          if (!v3C) {
+            val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+            dataV.foreach(db.putDouble) // allocate() zero-fills the edge padding
+            val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+            indV.foreach(ib.putLong)
+            writeBytes(rootC, s"X/data/$obj", zlibEncode(db.array()))
+            writeBytes(rootC, s"X/indices/$obj", zlibEncode(ib.array()))
+          } else {
+            // boundary shard re-encoded whole (prefix + new inner
+            // chunks + fresh index); later shards are brand new
+            writeBytes(rootC, s"X/data/c/$obj",
+              shardBytes(objC, chunkC, m1, packDoubles(dataV, chunkC)))
+            writeBytes(rootC, s"X/indices/c/$obj",
+              shardBytes(objC, chunkC, m1, packLongs(indV, chunkC)))
+          }
         }
       ptrB.unpersist(); bndB.unpersist()
     }
-    // O(changed nodes) metadata patch — a full consolidate() re-walk
+    // O(changed nodes) metadata patch — a full consolidate re-walk
     // would LIST every chunk directory, O(store) per microbatch
-    ZarrStore.patchConsolidated(path, changedMeta.toSeq)
+    if (v3) ZarrStore.patchConsolidatedV3(path, changedMeta.toSeq)
+    else ZarrStore.patchConsolidated(path, changedMeta.toSeq)
   }
 
-  /** Roll a (writer-produced, v2) store back to `n0` obs rows and
-    * `nnz0` X elements — the crash-recovery half of the streaming
-    * sink's pending-marker protocol. [[appendRows]] only ever EXTENDS
-    * array shapes and its boundary-chunk rewrites preserve the
-    * committed prefix, so shrinking the declared shapes (and patching
-    * consolidated metadata) is a complete undo: chunk objects beyond
-    * the declared shape are unreachable to readers. Assumes atomic
-    * whole-object PUTs (true on object stores; a local filesystem can
-    * expose a half-written chunk mid-crash).
+  /** Roll a (writer-produced) store back to `n0` obs rows and `nnz0` X
+    * elements — the crash-recovery half of the streaming sink's
+    * pending-marker protocol, for both writer flavors. [[appendRows]]
+    * only ever EXTENDS array shapes and its boundary-chunk (or
+    * boundary-shard) rewrites preserve the committed prefix, so
+    * shrinking the declared shapes (and patching consolidated
+    * metadata) is a complete undo: chunk objects — and shard index
+    * entries — beyond the declared shape are unreachable to readers.
+    * Assumes atomic whole-object PUTs (true on object stores; a local
+    * filesystem can expose a half-written chunk mid-crash).
     */
   def truncateTo(path: String, n0: Long, nnz0: Long): Unit = {
-    require(ZarrStore.format(path) == 2, s"$path: truncateTo serves v2 stores")
+    val v3 = ZarrStore.format(path) == 3
     val changed = scala.collection.mutable.ArrayBuffer[String]()
     def reshape(rel: String, n: Long): Unit = {
       val za = ZarrStore.openArray(path, rel)
-      if (za.shape.head != n) {
-        writeJson(path, s"$rel/.zarray",
-          zarray(Seq(n), Seq(za.chunks.head), za.dtype, za.vlenUtf8))
-        changed += s"$rel/.zarray"
-      }
+      if (za.shape.head != n) changed += ZarrStore.patchShape(path, rel, Seq(n))
     }
     reshape("obs/_index", n0)
     ZarrStore.children(path, "obs").filterNot(_ == "_index").foreach { cn =>
@@ -863,8 +899,9 @@ object AnnZarrWriter {
     reshape("X/indices", nnz0)
     val nCols = ZarrStore.attrs(path, "X").get.get("shape").get(1).asLong
     zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix",""" +
-      s""""encoding-version":"0.1.0","shape":[$n0,$nCols]}"""))
-    changed += "X/.zattrs"
-    ZarrStore.patchConsolidated(path, changed.toSeq)
+      s""""encoding-version":"0.1.0","shape":[$n0,$nCols]}"""), v3)
+    changed += (if (v3) "X" else "X/.zattrs")
+    if (v3) ZarrStore.patchConsolidatedV3(path, changed.toSeq)
+    else ZarrStore.patchConsolidated(path, changed.toSeq)
   }
 }

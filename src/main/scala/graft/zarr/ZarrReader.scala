@@ -487,6 +487,47 @@ object ZarrStore {
     }
   }
 
+  /** Rewrite the declared shape of an array node's metadata object IN
+    * PLACE (either format) — the O(1) metadata step of the append /
+    * truncate paths. Returns the consolidated-metadata patch key for
+    * the rewritten object (v2: the `.zarray` file key; v3: the node
+    * path, matching [[patchConsolidatedV3]]'s keying).
+    */
+  def patchShape(root: String, rel: String, shape: Seq[Long]): String = {
+    val v3 = format(root) == 3
+    val key = if (v3) s"$rel/zarr.json" else s"$rel/.zarray"
+    val node = readBytes(root, key).map(mapper.readTree).getOrElse(
+      sys.error(s"$root/$key: no array metadata to patch")).asInstanceOf[ObjectNode]
+    val arr = node.putArray("shape")
+    shape.foreach(arr.add)
+    val o = fs(root).create(new Path(root, key), true)
+    try o.write(mapper.writeValueAsBytes(node)) finally o.close()
+    if (v3) rel else key
+  }
+
+  /** Patch v3 consolidated metadata IN PLACE for the given NODE paths
+    * (each node's `zarr.json` is re-read; absent nodes are removed) —
+    * the v3 twin of [[patchConsolidated]], same O(changed nodes)
+    * contract (a [[consolidateV3]] re-walk LISTs every directory).
+    */
+  def patchConsolidatedV3(root: String, nodes: Seq[String]): Unit = {
+    readBytes(root, "zarr.json").map(mapper.readTree) match {
+      case Some(rn: ObjectNode) if rn.has("consolidated_metadata") &&
+        !rn.get("consolidated_metadata").isNull =>
+        val md = rn.get("consolidated_metadata").get("metadata").asInstanceOf[ObjectNode]
+        nodes.filter(_.nonEmpty).distinct.foreach { n =>
+          readBytes(root, s"$n/zarr.json") match {
+            case Some(b) => md.set[ObjectNode](n, mapper.readTree(b))
+            case None => md.remove(n)
+          }
+        }
+        val o = fs(root).create(new Path(root, "zarr.json"), true)
+        try o.write(mapper.writeValueAsBytes(rn)) finally o.close()
+        invalidate(root)
+      case _ => consolidateV3(root)
+    }
+  }
+
   /** v3 consolidation: rewrite the root `zarr.json` with
     * `consolidated_metadata` covering every descendant node — same
     * one-GET reopen contract as v2's `.zmetadata`.

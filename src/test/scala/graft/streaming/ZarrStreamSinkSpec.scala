@@ -24,14 +24,15 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
       .parquet(s"$dir/src")
   }
 
-  private def emptyStore(path: String): Unit =
+  private def emptyStore(path: String, v3: Boolean = false): Unit =
     graft.zarr.AnnZarrWriter.write(AnnDataset(
       spark.range(0).select(col("id").as("obs_id"),
         concat(lit("c"), col("id")).as("obs_name"), lit(0L).as("grp")),
       spark.range(8).select(col("id").as("var_id"),
         concat(lit("g"), col("id")).as("var_name")),
       spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
-        col("id").cast("double").as("value"))), path, chunkElems = 64)
+        col("id").cast("double").as("value"))), path, chunkElems = 64,
+      v3 = v3, shardFactor = 2)
 
   private def runStream(dir: String, store: String, ckpt: String): Unit = {
     val schema = spark.read.parquet(s"$dir/src").schema
@@ -63,6 +64,26 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     val perGrp = ds.obs.groupBy("grp").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perGrp == Map(0L -> 15L, 1L -> 15L, 2L -> 15L, 3L -> 15L))
+  }
+
+  test("format routing: the same stream feeds a v3 sharding_indexed store") {
+    val dir = TestSpark.tmpDir("graft_zss4")
+    stageSource(dir)
+    val store = s"$dir/grow3.zarr"
+    emptyStore(store, v3 = true)
+    assert(graft.zarr.ZarrStore.format(store) == 3)
+    runStream(dir, store, s"$dir/ckpt")
+    val (nnz, sumV, nObs) = storeStats(store)
+    assert(nObs == 60 && nnz == 180)
+    val expect = (for (d <- 0 until 60; k <- 0 until 3)
+      yield (d + k * 2) % 7 * 0.5).sum
+    assert(math.abs(sumV - expect) < 1e-9)
+    // the grown store kept its sharded layout (shape 180 = 1 full 128-
+    // slot shard + 1 boundary shard; X data under the c/ key prefix)
+    val za = graft.zarr.ZarrStore.openArray(store, "X/data")
+    assert(za.compressor == "sharding" && za.shape == Seq(180L))
+    assert(new java.io.File(s"$store/X/data/c")
+      .listFiles().count(!_.getName.endsWith(".crc")) == 2)
   }
 
   test("pending marker rolls back a half-applied batch before ingest") {

@@ -279,6 +279,104 @@ class ZarrWriterSpec extends AnyFunSuite {
       (for (i <- 0 until 20; j <- 0 until 8 if (i + j) % 3 == 0) yield 1).size)
   }
 
+  test("appendRows on a v3 sharded store: boundary shard re-encoded, O(batch)") {
+    val p = TestSpark.tmpDir("graft_za3") + "/grow3.zarr"
+    val mk = (lo: Long, hi: Long) => (
+      spark.range(hi - lo).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id") + lo).as("obs_name"),
+        ((col("id") + lo) % 5).as("grp")),
+      spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nVar).select(col("id").as("var_id")))
+        .filter(((col("obs_id") + lo) * 3 + col("var_id") * 5) % 7 === 0)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 11 + col("var_id") * 13) % 31 * 0.5))
+    val (obs0, x0) = mk(0, 90)
+    val vars = spark.range(nVar).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    // 32-elem inner chunks x4 per shard; small frame chunks so the obs
+    // axis spans several chunk objects before the append
+    AnnZarrWriter.write(AnnDataset(obs0, vars, x0), p,
+      chunkElems = 32, v3 = true, shardFactor = 4, frameChunkLen = 64)
+    val nnz0 = ZarrStore.openArray(p, "X/data").shape.head
+    assert(nnz0 > 256, "fixture must span >2 full shards before the append")
+    def files(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else if (f.getName.endsWith(".crc")) Nil
+          else Seq(f))
+      walk(new java.io.File(p)).map(f =>
+        f.getPath.stripPrefix(p + "/") -> f.lastModified()).toMap
+    }
+    val before = files()
+    Thread.sleep(1100)
+    val (obs1, x1) = mk(90, nObs)
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    val after = files()
+    val touched = after.keySet.filter(k => !before.contains(k) || before(k) != after(k))
+    // pre-boundary SHARD objects and full 1-D chunks are untouched
+    Seq("X/data/c/0", "X/data/c/1", "X/indices/c/0", "X/indices/c/1",
+      "obs/_index/c/0", "obs/grp/c/0", "X/indptr/c/0")
+      .foreach(k => assert(!touched.contains(k), s"$k rewritten by append"))
+    // a batch writes: per-node zarr.json + root (consolidated patch) +
+    // boundary/new chunk and shard objects — O(batch), never O(store)
+    touched.foreach { k =>
+      assert(k.endsWith("zarr.json") ||
+        k.split('/').last.toIntOption.exists(_ >= 1), s"unexpected write: $k")
+    }
+    assert(touched.size <= 24, s"append wrote ${touched.size} objects: $touched")
+    // merged store equals a from-scratch write of all 150 rows
+    val ds = AnnZarr.open(spark, p)
+    val obs = ds.obs.orderBy("obs_id").collect()
+    assert(obs.length == nObs)
+    obs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("obs_name") == s"c$i")
+      assert(r.getAs[Long]("grp") == i % 5)
+    }
+    val got = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (for {
+      i <- 0L until nObs; j <- 0L until nVar if xmask(i, j)
+    } yield (i, j, xval(i, j))).toArray
+    assert(got.sameElements(expected))
+  }
+
+  test("truncateTo rolls back a v3 sharded store (crash-recovery contract)") {
+    val p = TestSpark.tmpDir("graft_ztr3") + "/grow3.zarr"
+    val obs0 = spark.range(50).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"), (col("id") % 3).as("grp"))
+    val x0 = spark.range(50).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(8).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 4 === 0)
+      .withColumn("value", (col("obs_id") * 2 + col("var_id")) % 5 * 0.5)
+    val vars = spark.range(8).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    AnnZarrWriter.write(graft.artifact.AnnDataset(obs0, vars, x0), p,
+      chunkElems = 16, v3 = true, shardFactor = 2, frameChunkLen = 16)
+    def snap() = {
+      val ds = AnnZarr.open(spark, p)
+      (ds.obs.orderBy("obs_id").collect().map(_.toString).toSeq,
+        ds.x.orderBy("obs_id", "var_id").collect().map(_.toString).toSeq)
+    }
+    val committed = snap()
+    val nnz0 = ZarrStore.openArray(p, "X/data").shape.head
+    val obs1 = spark.range(20).select(col("id").as("obs_id"),
+      concat(lit("d"), col("id")).as("obs_name"), (col("id") % 3).as("grp"))
+    val x1 = spark.range(20).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(8).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 3 === 0)
+      .withColumn("value", lit(9.0))
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    assert(snap() != committed)
+    AnnZarrWriter.truncateTo(p, 50, nnz0)
+    assert(snap() == committed)
+    // still appendable after the rollback (boundary shard re-extends)
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    val ds = AnnZarr.open(spark, p)
+    assert(ds.obs.count() == 70)
+    assert(ds.x.filter(col("value") === 9.0).count() ==
+      (for (i <- 0 until 20; j <- 0 until 8 if (i + j) % 3 == 0) yield 1).size)
+  }
+
   test("encoding parity: dense slots stay dense, categorical columns stay categorical") {
     val p = TestSpark.tmpDir("graft_zenc") + "/enc.zarr"
     val obs = spark.range(nObs).select(col("id").as("obs_id"),
