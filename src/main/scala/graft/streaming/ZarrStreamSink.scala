@@ -85,9 +85,17 @@ object ZarrStreamSink {
   /** Start the stream: each microbatch's distinct `obs_name`s become
     * appended rows (ids assigned in name order within the batch), their
     * elements land as new X chunks. Caller owns the query lifecycle.
+    *
+    * `assertNewNames = true` enforces the batch contract (an obs_name
+    * must not span two microbatches) by semi-joining each batch's
+    * names against the store's obs frame through the DSv2 reader — a
+    * distributed, column-pruned scan of the name chunks, but still
+    * O(store)/trigger, so it is an opt-in validation mode; the default
+    * trusts the source's grouping and stays O(batch).
     */
   def streamAppendZarr(stream: DataFrame, path: String, obsCols: Seq[String],
-                       checkpointDir: String): StreamingQuery =
+                       checkpointDir: String,
+                       assertNewNames: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -101,6 +109,16 @@ object ZarrStreamSink {
               .distinct()
               .withColumn("obs_id",
                 row_number().over(Window.orderBy("obs_name")).cast("long") - 1)
+            if (assertNewNames) {
+              val spark = batch.sparkSession
+              val clash = spark.read.format("zarr").option("slot", "obs")
+                .load(path).select("obs_name")
+                .join(obs.select("obs_name"), "obs_name")
+                .limit(1).collect()
+              require(clash.isEmpty, s"batch $batchId: obs_name " +
+                s"'${clash.headOption.map(_.getString(0)).getOrElse("")}' is " +
+                "already in the store — an obs_name must not span two microbatches")
+            }
             val x = batch
               .join(obs.select("obs_name", "obs_id"), "obs_name")
               .select(col("obs_id"), col("var_id").cast("long").as("var_id"),

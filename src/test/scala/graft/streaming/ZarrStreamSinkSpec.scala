@@ -113,6 +113,38 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(ds.x.filter(col("value") === 99.0).count() == 0)
   }
 
+  test("assertNewNames enforces the one-batch-per-obs_name contract") {
+    val dir = TestSpark.tmpDir("graft_zss5")
+    stageSource(dir)
+    val store = s"$dir/grow.zarr"
+    emptyStore(store)
+    val schema = spark.read.parquet(s"$dir/src").schema
+    // clean ingest under strict mode: all names are new, stream passes
+    val q = ZarrStreamSink.streamAppendZarr(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/src"),
+      store, Seq("grp"), s"$dir/ckptS", assertNewNames = true)
+    try q.processAllAvailable() finally q.stop()
+    assert(storeStats(store)._3 == 60)
+    // a later file re-offers an ALREADY-INGESTED name (d0) under a new
+    // batch id — strict mode must refuse it
+    spark.range(1).select(lit("d0").as("obs_name"), lit(0L).as("grp"),
+        lit(1L).as("var_id"), lit(3.5).as("value"))
+      .write.mode("append").parquet(s"$dir/src")
+    val q2 = ZarrStreamSink.streamAppendZarr(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/src"),
+      store, Seq("grp"), s"$dir/ckptS", assertNewNames = true)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(err).exists(m => m != null && m.contains("already in the store")))
+    // nothing was double-appended
+    assert(storeStats(store)._3 == 60)
+  }
+
   test("redelivery is a no-op: same batch ids against the ledger") {
     val dir = TestSpark.tmpDir("graft_zss2")
     stageSource(dir)
