@@ -400,6 +400,20 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // DENSE-X append: rows append to a dense `array` chunk grid by
+    // chunk-row band — tasks merge the boundary band's existing objects
+    // with new elements and write new bands (the streaming-embedding-
+    // matrix ingest shape); the reopened FULL grid (implicit zeros
+    // included) aggregates per batch
+    "a29_zarr_dense_append" -> ((spark, _) => {
+      val path = appendedZarrDense(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      ds.x.join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy("batch")
+    }),
+
     // native multi-member COLLECTION open: three .zarr members (one v3
     // sharded) registered in the catalog, opened as ONE union through
     // ArtifactStore.open with `_source_path` provenance — the
@@ -587,6 +601,34 @@ object AnnQueries {
         graft.artifact.AnnDataset(obs0, vars, x0), p, chunkElems = 64,
         v3 = true, shardFactor = 4)
       val (obs1, x1) = slice(160, 240)
+      graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p)
+      p
+    })
+
+  /** a29 fixture: a DENSE 240x4 X (mask (i+k)%3==0, value
+    * ((i*7+k*5)%17)*0.5, batch i%6) built in TWO passes — 140 rows
+    * written via `denseSlots`, 100 rows appended by chunk-row band.
+    */
+  private def appendedZarrDense(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_dense_append", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "dense.zarr").toString
+      def slice(lo: Long, hi: Long) = (
+        spark.range(hi - lo).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id") + lo).as("obs_name"),
+          ((col("id") + lo) % 6).cast("long").as("batch")),
+        spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(4).select(col("id").as("var_id")))
+          .filter((col("obs_id") + lo + col("var_id")) % 3 === 0)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 7 + col("var_id") * 5) % 17 * 0.5))
+      val vars = spark.range(4).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val (obs0, x0) = slice(0, 140)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs0, vars, x0), p, chunkElems = 256,
+        denseSlots = Set("X"))
+      val (obs1, x1) = slice(140, 240)
       graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p)
       p
     })
@@ -952,6 +994,15 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dense grid grown by row-band append; full-grid read with zeros
+    "a29_zarr_dense_append" ->
+      """SELECT i % 6 AS batch, count(*) AS n,
+        |       CAST(sum(CASE WHEN (i + k) % 3 = 0
+        |                     THEN ((i*7 + k*5) % 17) * 0.5 ELSE 0 END)
+        |         AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(4) s(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // a17 closed forms through the v3 sharded sink
     "a23_zarr_v3_sink_roundtrip" ->

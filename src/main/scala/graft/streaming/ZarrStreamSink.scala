@@ -124,7 +124,11 @@ object ZarrStreamSink {
               .select(col("obs_id"), col("var_id").cast("long").as("var_id"),
                 col("value").cast("double").as("value"))
             val n0 = ZarrStore.openArray(path, "obs/_index").shape.head
-            val nnz0 = ZarrStore.openArray(path, "X/data").shape.head
+            // csr stores roll back X by element count; a dense X grid
+            // rolls back by rows, so its marker just carries n0
+            val nnz0 =
+              if (ZarrStore.isArray(path, "X")) n0
+              else ZarrStore.openArray(path, "X/data").shape.head
             writeObject(path, PendingName, s"$batchId,$n0,$nnz0")
             AnnZarrWriter.appendRows(obs, x, path)
             recordBatch(path, batchId)

@@ -648,7 +648,11 @@ object AnnZarrWriter {
     * re-encoded (committed prefix + new elements as gzip'd inner
     * chunks + a fresh crc32c'd index) and new whole shards are emitted,
     * so a long-running ingest keeps the 1-object-per-shard store layout
-    * without ever touching pre-boundary shards.
+    * without ever touching pre-boundary shards. A store whose X was
+    * written DENSE (`denseSlots`) appends by chunk-row band instead:
+    * tasks merge the boundary band's existing objects with their new
+    * elements and write new bands — the streaming-embedding-matrix
+    * ingest shape, same O(batch) contract.
     *
     * `newObs` must carry the store's obs columns (obs_id local 0..n-1);
     * `newX` is COO with local obs_id. Obs-aligned aux slots (layers /
@@ -668,40 +672,18 @@ object AnnZarrWriter {
       require(!ZarrStore.isGroup(path, s),
         s"$path: cannot append rows with obs-aligned slot '$s' present")
     }
-    val dataZ = ZarrStore.openArray(path, "X/data")
-    val indZ = ZarrStore.openArray(path, "X/indices")
-    if (v3)
-      require(dataZ.compressor == "sharding" && indZ.compressor == "sharding" &&
-        dataZ.codecs.contains(ZCodec.GzipC) && indZ.codecs.contains(ZCodec.GzipC),
-        s"$path: v3 appendRows requires the writer's sharded gzip csr encoding")
-    else
-      require(dataZ.compressor == "zlib" && indZ.compressor == "zlib",
-        s"$path: appendRows requires the writer's zlib chunk encoding")
-    val chunkElems = dataZ.chunks.head // v3: the INNER chunk length
-    // store-object granularity: chunk objects (v2) / shard objects (v3)
-    val objElems = dataZ.shard.map(_.shardShape.head).getOrElse(chunkElems)
-    val nnz0 = dataZ.shape.head
-    val n0 = ZarrStore.openArray(path, "X/indptr").shape.head - 1
-    val nCols = {
-      val a = ZarrStore.attrs(path, "X").get.get("shape")
-      a.get(1).asLong
-    }
+    // X is either the writer's csr group or (denseSlots) a dense 2-D
+    // array node — appends route to the matching extend strategy
+    val denseX = ZarrStore.isArray(path, "X")
+    val n0 = ZarrStore.openArray(path, "obs/_index").shape.head
     // node set computed up front — the cached consolidated metadata
     // stays authoritative (pre-append) until the final patch
     val obsCols = ZarrStore.children(path, "obs").filterNot(_ == "_index")
     val changedMeta = scala.collection.mutable.ArrayBuffer[String]()
 
-    // ---- new rows: counts, then global element positions
     val spark = newX.sparkSession
     val rows = newObs.orderBy("obs_id").collect()
     val nAdd = rows.length.toLong
-    val perRow = newX.groupBy(col("obs_id")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
-    val addPtr = new Array[Long](nAdd.toInt + 1)
-    (0 until nAdd.toInt).foreach(i =>
-      addPtr(i + 1) = addPtr(i) + perRow.getOrElse(i.toLong, 0L))
-    val nnzAdd = addPtr.last
-    val nnz1 = nnz0 + nnzAdd
 
     /** Chunk-aligned 1-D extend: reads the boundary chunk's committed
       * prefix, writes boundary + new chunks ONLY — O(add), not O(n).
@@ -787,6 +769,86 @@ object AnnZarrWriter {
           newVals.map(v => (if (v == null) -1L else idx(v).toLong): Any).toIndexedSeq)
       }
     }
+
+    if (denseX) {
+      // ---- dense X: the row-band extend. New rows land in the
+      // boundary chunk-row band plus new bands; a task whose object
+      // already exists (boundary band only) merges the OLD chunk's
+      // decoded content with its new elements — pre-boundary bands are
+      // never touched, and absent objects keep fill-zero semantics.
+      val za = ZarrStore.openArray(path, "X")
+      require(za.rank == 2 && za.shard.isEmpty && za.kind == 'f' &&
+        za.compressor == (if (v3) "gzip" else "zlib"),
+        s"$path: dense X append serves the writer's unsharded float grid")
+      val Seq(cr, cc) = za.chunks.map(identity)
+      val nCols = za.shape(1)
+      val gridCols = ((nCols + cc - 1) / cc).toInt
+      changedMeta += ZarrStore.patchShape(path, "X", Seq(n0 + nAdd, nCols))
+      if (nAdd > 0) {
+        val rootC = path; val v3C = v3; val zaC = za
+        val n0C = n0; val crC = cr; val ccC = cc; val gridColsC = gridCols
+        newX
+          .select(col("obs_id").cast("long").as("r"),
+            col("var_id").cast("long").as("c"),
+            col("value").cast("double").as("v"))
+          .rdd
+          .map { row =>
+            val r = n0C + row.getLong(0); val c = row.getLong(1)
+            require(row.getLong(0) >= 0, s"dense append obs_id ${row.getLong(0)}")
+            (((r / crC) * gridColsC + c / ccC).toInt, (r, c, row.getDouble(2)))
+          }
+          .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
+          .foreach { case (obj, it) =>
+            val gr = obj / gridColsC; val gc = obj % gridColsC
+            require(gr.toLong * crC + crC > n0C,
+              s"dense append wrote into committed row band $gr")
+            val buf = new Array[Double](crC * ccC) // zero-filled = fill_value
+            // boundary band: merge the committed rows already in store
+            zaC.readChunk(Seq(gr, gc)).foreach { old =>
+              val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
+              var k = 0
+              while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
+            }
+            it.foreach { case (r, c, v) =>
+              buf(((r - gr.toLong * crC) * ccC + (c - gc.toLong * ccC)).toInt) = v
+            }
+            val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
+            buf.foreach(bb.putDouble)
+            val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
+            writeBytes(rootC, s"X/$key", encodeChunk(bb.array(), v3C))
+          }
+      }
+      if (v3) ZarrStore.patchConsolidatedV3(path, changedMeta.toSeq)
+      else ZarrStore.patchConsolidated(path, changedMeta.toSeq)
+      return
+    }
+
+    // ---- csr X: element-extend
+    val dataZ = ZarrStore.openArray(path, "X/data")
+    val indZ = ZarrStore.openArray(path, "X/indices")
+    if (v3)
+      require(dataZ.compressor == "sharding" && indZ.compressor == "sharding" &&
+        dataZ.codecs.contains(ZCodec.GzipC) && indZ.codecs.contains(ZCodec.GzipC),
+        s"$path: v3 appendRows requires the writer's sharded gzip csr encoding")
+    else
+      require(dataZ.compressor == "zlib" && indZ.compressor == "zlib",
+        s"$path: appendRows requires the writer's zlib chunk encoding")
+    val chunkElems = dataZ.chunks.head // v3: the INNER chunk length
+    // store-object granularity: chunk objects (v2) / shard objects (v3)
+    val objElems = dataZ.shard.map(_.shardShape.head).getOrElse(chunkElems)
+    val nnz0 = dataZ.shape.head
+    val nCols = {
+      val a = ZarrStore.attrs(path, "X").get.get("shape")
+      a.get(1).asLong
+    }
+    // new rows: counts, then global element positions
+    val perRow = newX.groupBy(col("obs_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
+    val addPtr = new Array[Long](nAdd.toInt + 1)
+    (0 until nAdd.toInt).foreach(i =>
+      addPtr(i + 1) = addPtr(i) + perRow.getOrElse(i.toLong, 0L))
+    val nnzAdd = addPtr.last
+    val nnz1 = nnz0 + nnzAdd
 
     // ---- indptr: boundary + new chunks (shifted by the prior nnz)
     append1d("X/indptr", addPtr.toIndexedSeq.tail.map(v => (v + nnz0): Any))
@@ -894,13 +956,21 @@ object AnnZarrWriter {
       if (ZarrStore.isArray(path, s"obs/$cn")) reshape(s"obs/$cn", n0)
       else reshape(s"obs/$cn/codes", n0)
     }
-    reshape("X/indptr", n0 + 1)
-    reshape("X/data", nnz0)
-    reshape("X/indices", nnz0)
-    val nCols = ZarrStore.attrs(path, "X").get.get("shape").get(1).asLong
-    zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix",""" +
-      s""""encoding-version":"0.1.0","shape":[$n0,$nCols]}"""), v3)
-    changed += (if (v3) "X" else "X/.zattrs")
+    if (ZarrStore.isArray(path, "X")) {
+      // dense X: only the declared row extent shrinks — boundary-band
+      // rewrites preserved committed-row values, later bands unreachable
+      val za = ZarrStore.openArray(path, "X")
+      if (za.shape.head != n0)
+        changed += ZarrStore.patchShape(path, "X", Seq(n0, za.shape(1)))
+    } else {
+      reshape("X/indptr", n0 + 1)
+      reshape("X/data", nnz0)
+      reshape("X/indices", nnz0)
+      val nCols = ZarrStore.attrs(path, "X").get.get("shape").get(1).asLong
+      zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix",""" +
+        s""""encoding-version":"0.1.0","shape":[$n0,$nCols]}"""), v3)
+      changed += (if (v3) "X" else "X/.zattrs")
+    }
     if (v3) ZarrStore.patchConsolidatedV3(path, changed.toSeq)
     else ZarrStore.patchConsolidated(path, changed.toSeq)
   }

@@ -340,6 +340,53 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("appendRows on a dense-X store: row-band merge, pre-boundary bands untouched") {
+    val p = TestSpark.tmpDir("graft_zad") + "/dense.zarr"
+    val nV = 8
+    def dmask(i: Long, k: Long) = (i + k) % 3 == 0
+    def dval(i: Long, k: Long) = ((i * 7 + k * 5) % 17) * 0.5
+    val mk = (lo: Long, hi: Long) => (
+      spark.range(hi - lo).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id") + lo).as("obs_name"),
+        ((col("id") + lo) % 5).as("grp")),
+      spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+        .filter((col("obs_id") + lo + col("var_id")) % 3 === 0)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 7 + col("var_id") * 5) % 17 * 0.5))
+    val (obs0, x0) = mk(0, 50)
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    // chunkElems 64 with 8 cols -> 8-row bands: 50 rows = bands 0..6
+    AnnZarrWriter.write(AnnDataset(obs0, vars, x0), p,
+      chunkElems = 64, frameChunkLen = 32, denseSlots = Set("X"))
+    val za0 = ZarrStore.openArray(p, "X")
+    assert(za0.chunks == Seq(8, 8) && za0.shape == Seq(50L, nV.toLong))
+    val band0 = new java.io.File(s"$p/X/0.0")
+    val m0 = band0.lastModified()
+    Thread.sleep(1100)
+    val (obs1, x1) = mk(50, 90)
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    assert(band0.lastModified() == m0, "pre-boundary dense band rewritten")
+    // merged grid equals a from-scratch dense write of 90 rows —
+    // including implicit zeros and the committed rows of the boundary
+    // band (rows 48-49 must survive the band-6 merge)
+    val ds = AnnZarr.open(spark, p)
+    assert(ds.obs.count() == 90)
+    val x = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(x.length == 90 * nV)
+    x.foreach { case (i, k, v) =>
+      val expect = if (dmask(i, k)) dval(i, k) else 0.0
+      assert(v == expect, s"($i,$k): got $v expected $expect")
+    }
+    // truncateTo rolls the dense store back by rows
+    AnnZarrWriter.truncateTo(p, 50, 50)
+    val back = AnnZarr.open(spark, p)
+    assert(back.obs.count() == 50)
+    assert(back.x.count() == 50 * nV)
+  }
+
   test("truncateTo rolls back a v3 sharded store (crash-recovery contract)") {
     val p = TestSpark.tmpDir("graft_ztr3") + "/grow3.zarr"
     val obs0 = spark.range(50).select(col("id").as("obs_id"),
