@@ -330,34 +330,81 @@ object AnnZarrWriter {
   private def writeDense(root: String, rel: String, coo: DataFrame,
                          rowCol: String, colCol: String,
                          nRows: Long, nCols: Long, chunkElems: Int,
-                         v3: Boolean): Unit = {
+                         v3: Boolean, shardFactor: Int = 1): Unit = {
     val spark = coo.sparkSession
     val cc = math.max(1L, math.min(nCols, 4096L)).toInt
     val cr = math.max(1L, math.min(if (nRows == 0) 1L else nRows,
       math.max(1, chunkElems / cc).toLong)).toInt
-    arrayMeta(root, rel, Seq(nRows, nCols), Seq(cr, cc), "<f8",
-      vlen = false, attrs = enc("array", "0.2.0"), v3 = v3)
+    // v3 shards along the ROW axis: one store object = `shardFactor`
+    // chunk-row bands — a 10^8-row embedding matrix keeps ranged-GET
+    // selectivity per band while cutting object count shardFactor×
+    val sharded = v3 && shardFactor > 1
+    require(!sharded || cr.toLong * shardFactor <= Int.MaxValue,
+      s"$rel: dense shard rows overflow")
+    if (sharded)
+      arrayMeta(root, rel, Seq(nRows, nCols), Seq(cr * shardFactor, cc), "<f8",
+        vlen = false, attrs = enc("array", "0.2.0"), v3 = true,
+        inner = Some(Seq(cr, cc)))
+    else
+      arrayMeta(root, rel, Seq(nRows, nCols), Seq(cr, cc), "<f8",
+        vlen = false, attrs = enc("array", "0.2.0"), v3 = v3)
     if (nRows == 0 || nCols == 0) return
     val gridCols = ((nCols + cc - 1) / cc).toInt
     val rootC = root; val relC = rel; val v3C = v3
+    val objRows = if (sharded) cr * shardFactor else cr
+    val shardedC = sharded; val sfC = shardFactor
     coo.select(col(rowCol).cast("long").as("r"), col(colCol).cast("long").as("c"),
         col("value").cast("double").as("v"))
       .rdd
       .map { row =>
         val r = row.getLong(0); val c = row.getLong(1)
-        (((r / cr) * gridCols + c / cc).toInt, (r, c, row.getDouble(2)))
+        (((r / objRows) * gridCols + c / cc).toInt, (r, c, row.getDouble(2)))
       }
       .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
       .foreach { case (obj, it) =>
         val gr = obj / gridCols; val gc = obj % gridCols
-        val buf = new Array[Double](cr * cc) // zero-filled = fill_value
-        it.foreach { case (r, c, v) =>
-          buf(((r - gr.toLong * cr) * cc + (c - gc.toLong * cc)).toInt) = v
+        if (!shardedC) {
+          val buf = new Array[Double](cr * cc) // zero-filled = fill_value
+          it.foreach { case (r, c, v) =>
+            buf(((r - gr.toLong * cr) * cc + (c - gc.toLong * cc)).toInt) = v
+          }
+          val bb = ByteBuffer.allocate(cr * cc * 8).order(ByteOrder.LITTLE_ENDIAN)
+          buf.foreach(bb.putDouble)
+          val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
+          writeBytes(rootC, s"$relC/$key", encodeChunk(bb.array(), v3C))
+        } else {
+          // one SHARD object: row bands as gzip'd inner chunks (bands
+          // with no element stay ABSENT — fill-zero on read), then the
+          // crc32c'd index in C order over the (shardFactor x 1) grid
+          val baseRow = gr.toLong * cr * sfC
+          val bands = new Array[Array[Double]](sfC)
+          it.foreach { case (r, c, v) =>
+            val band = ((r - baseRow) / cr).toInt
+            if (bands(band) == null) bands(band) = new Array[Double](cr * cc)
+            bands(band)(((r - baseRow - band.toLong * cr) * cc +
+              (c - gc.toLong * cc)).toInt) = v
+          }
+          val body = new java.io.ByteArrayOutputStream()
+          val index = ByteBuffer.allocate(16 * sfC + 4).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < sfC) {
+            val b = bands(i)
+            if (b == null) { index.putLong(-1L); index.putLong(-1L) }
+            else {
+              val bb = ByteBuffer.allocate(cr * cc * 8).order(ByteOrder.LITTLE_ENDIAN)
+              b.foreach(bb.putDouble)
+              val encd = gzipEncode(bb.array())
+              index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
+              body.write(encd)
+            }
+            i += 1
+          }
+          val idx = index.array()
+          val crc = ZCodec.crc32c(idx, 0, 16 * sfC)
+          ByteBuffer.wrap(idx, 16 * sfC, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
+          body.write(idx)
+          writeBytes(rootC, s"$relC/c/$gr/$gc", body.toByteArray)
         }
-        val bb = ByteBuffer.allocate(cr * cc * 8).order(ByteOrder.LITTLE_ENDIAN)
-        buf.foreach(bb.putDouble)
-        val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
-        writeBytes(rootC, s"$relC/$key", encodeChunk(bb.array(), v3C))
       }
   }
 
@@ -381,6 +428,12 @@ object AnnZarrWriter {
                        v3: Boolean, shardFactor: Int,
                        ptrChunkLen: Int = 65536): Unit = {
     val spark = coo.sparkSession
+    // indptr is built driver-side by the axis-metadata contract (same
+    // in-memory axis-frame semantics as the reference's accessor); the
+    // guard makes the 10^9-row failure mode a clear error, not an OOM —
+    // beyond it, shard the store (multiple members) instead
+    require(nRows < Int.MaxValue - 1,
+      s"$rel: $nRows rows exceed the driver-side indptr contract")
     val perRow = coo.groupBy(col(rowCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
     val indptr = new Array[Long](nRows.toInt + 1)
@@ -579,7 +632,8 @@ object AnnZarrWriter {
     def writeMatrix(rel: String, m: DataFrame, rowCol: String, colCol: String,
                     nR: Long, nC: Long): Unit =
       if (denseSlots.contains(rel))
-        writeDense(path, rel, m, rowCol, colCol, nR, nC, chunkElems, v3)
+        writeDense(path, rel, m, rowCol, colCol, nR, nC, chunkElems, v3,
+          if (v3) shardFactor else 1)
       else
         writeCsr(path, rel, m, rowCol, colCol, nR, nC, chunkElems, v3,
           shardFactor, frameChunkLen)
@@ -773,20 +827,28 @@ object AnnZarrWriter {
     if (denseX) {
       // ---- dense X: the row-band extend. New rows land in the
       // boundary chunk-row band plus new bands; a task whose object
-      // already exists (boundary band only) merges the OLD chunk's
-      // decoded content with its new elements — pre-boundary bands are
-      // never touched, and absent objects keep fill-zero semantics.
+      // already exists (the boundary only) merges the OLD content with
+      // its new elements — pre-boundary objects are never touched, and
+      // absent objects/bands keep fill-zero semantics. On a v3 ROW-
+      // SHARDED grid the store object is a whole shard: the boundary
+      // shard's committed inner bands are re-read, merged, and the
+      // shard is re-encoded with a fresh index; later shards are new.
       val za = ZarrStore.openArray(path, "X")
-      require(za.rank == 2 && za.shard.isEmpty && za.kind == 'f' &&
-        za.compressor == (if (v3) "gzip" else "zlib"),
-        s"$path: dense X append serves the writer's unsharded float grid")
+      require(za.rank == 2 && za.kind == 'f' &&
+        (if (za.shard.isDefined) za.codecs.contains(ZCodec.GzipC)
+         else za.compressor == (if (v3) "gzip" else "zlib")),
+        s"$path: dense X append serves the writer's float chunk grid")
+      require(za.shard.forall(_.shardShape(1) == za.chunks(1)),
+        s"$path: dense shards must be row-banded (writer layout)")
       val Seq(cr, cc) = za.chunks.map(identity)
+      val sf = za.shard.map(_.shardShape.head / cr).getOrElse(1)
       val nCols = za.shape(1)
       val gridCols = ((nCols + cc - 1) / cc).toInt
       changedMeta += ZarrStore.patchShape(path, "X", Seq(n0 + nAdd, nCols))
       if (nAdd > 0) {
         val rootC = path; val v3C = v3; val zaC = za
         val n0C = n0; val crC = cr; val ccC = cc; val gridColsC = gridCols
+        val sfC = sf; val objRows = cr * sf
         newX
           .select(col("obs_id").cast("long").as("r"),
             col("var_id").cast("long").as("c"),
@@ -795,27 +857,74 @@ object AnnZarrWriter {
           .map { row =>
             val r = n0C + row.getLong(0); val c = row.getLong(1)
             require(row.getLong(0) >= 0, s"dense append obs_id ${row.getLong(0)}")
-            (((r / crC) * gridColsC + c / ccC).toInt, (r, c, row.getDouble(2)))
+            (((r / objRows) * gridColsC + c / ccC).toInt, (r, c, row.getDouble(2)))
           }
           .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
           .foreach { case (obj, it) =>
             val gr = obj / gridColsC; val gc = obj % gridColsC
-            require(gr.toLong * crC + crC > n0C,
-              s"dense append wrote into committed row band $gr")
-            val buf = new Array[Double](crC * ccC) // zero-filled = fill_value
-            // boundary band: merge the committed rows already in store
-            zaC.readChunk(Seq(gr, gc)).foreach { old =>
-              val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
-              var k = 0
-              while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
+            val objRowsT = crC * sfC
+            require(gr.toLong * objRowsT + objRowsT > n0C,
+              s"dense append wrote into committed row object $gr")
+            if (sfC == 1) {
+              val buf = new Array[Double](crC * ccC) // zero-filled = fill_value
+              // boundary band: merge the committed rows already in store
+              zaC.readChunk(Seq(gr, gc)).foreach { old =>
+                val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
+                var k = 0
+                while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
+              }
+              it.foreach { case (r, c, v) =>
+                buf(((r - gr.toLong * crC) * ccC + (c - gc.toLong * ccC)).toInt) = v
+              }
+              val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
+              buf.foreach(bb.putDouble)
+              val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
+              writeBytes(rootC, s"X/$key", encodeChunk(bb.array(), v3C))
+            } else {
+              // boundary/new SHARD: committed inner bands re-read
+              // through the shard index (pre-rewrite), merged in place
+              val baseRow = gr.toLong * objRowsT
+              val bands = new Array[Array[Double]](sfC)
+              var b = 0
+              while (b < sfC) {
+                val bandRow = baseRow + b.toLong * crC
+                if (bandRow < n0C) // committed band — may hold data
+                  zaC.readChunk(Seq(gr * sfC + b, gc)).foreach { old =>
+                    val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
+                    val buf = new Array[Double](crC * ccC)
+                    var k = 0
+                    while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
+                    bands(b) = buf
+                  }
+                b += 1
+              }
+              it.foreach { case (r, c, v) =>
+                val band = ((r - baseRow) / crC).toInt
+                if (bands(band) == null) bands(band) = new Array[Double](crC * ccC)
+                bands(band)(((r - baseRow - band.toLong * crC) * ccC +
+                  (c - gc.toLong * ccC)).toInt) = v
+              }
+              val body = new java.io.ByteArrayOutputStream()
+              val index = ByteBuffer.allocate(16 * sfC + 4).order(ByteOrder.LITTLE_ENDIAN)
+              var i = 0
+              while (i < sfC) {
+                val band = bands(i)
+                if (band == null) { index.putLong(-1L); index.putLong(-1L) }
+                else {
+                  val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
+                  band.foreach(bb.putDouble)
+                  val encd = gzipEncode(bb.array())
+                  index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
+                  body.write(encd)
+                }
+                i += 1
+              }
+              val idx = index.array()
+              val crc = ZCodec.crc32c(idx, 0, 16 * sfC)
+              ByteBuffer.wrap(idx, 16 * sfC, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
+              body.write(idx)
+              writeBytes(rootC, s"X/c/$gr/$gc", body.toByteArray)
             }
-            it.foreach { case (r, c, v) =>
-              buf(((r - gr.toLong * crC) * ccC + (c - gc.toLong * ccC)).toInt) = v
-            }
-            val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
-            buf.foreach(bb.putDouble)
-            val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
-            writeBytes(rootC, s"X/$key", encodeChunk(bb.array(), v3C))
           }
       }
       if (v3) ZarrStore.patchConsolidatedV3(path, changedMeta.toSeq)

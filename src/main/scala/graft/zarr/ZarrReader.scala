@@ -408,9 +408,21 @@ object ZarrStore {
 
   /** (offset, nbytes) pairs of a shard's inner-chunk index; None when the
     * shard object itself is absent (every inner chunk is fill_value).
+    *
+    * `ver` versions the cache entry — callers pass the array's declared
+    * leading extent, which grows on every in-place append. The boundary
+    * shard's bytes change exactly when the shape does, so an EXECUTOR
+    * JVM that cached the old index (and is never reached by the
+    * driver's [[invalidate]]) misses cleanly when a post-append plan
+    * ships it the new shape, instead of serving stale offsets. The one
+    * sequence this cannot distinguish is a crash-recovery rollback
+    * (truncateTo) REAPPLIED to the same extent with different bytes —
+    * same-JVM readers are covered by invalidate; long-lived remote
+    * executors should be recycled after a recovery event.
     */
-  def shardIndex(root: String, key: String, nInner: Int, sh: ShardInfo): Option[Array[Long]] = {
-    val cacheKey = s"$root/$key"
+  def shardIndex(root: String, key: String, nInner: Int, sh: ShardInfo,
+                 ver: Long = -1L): Option[Array[Long]] = {
+    val cacheKey = s"$root/$key#$ver"
     shardIdxCache.synchronized {
       if (shardIdxCache.containsKey(cacheKey)) return shardIdxCache.get(cacheKey)
     }
@@ -626,7 +638,7 @@ final case class ZArray(root: String, rel: String, shape: Seq[Long],
     val nInner = ips.product
     val flat = iw.zip(ips).foldLeft(0) { case (acc, (w, n)) => acc * n + w }
     val key = s"$rel/${chunkKey(sc)}"
-    ZarrStore.shardIndex(root, key, nInner, sh).flatMap { ix =>
+    ZarrStore.shardIndex(root, key, nInner, sh, shape.head).flatMap { ix =>
       val off = ix(2 * flat)
       val len = ix(2 * flat + 1)
       if (off == -1L && len == -1L) None // 2^64-1: inner chunk absent

@@ -340,6 +340,41 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("v3 dense slot writes row-banded shards; absent bands read as fill") {
+    val p = TestSpark.tmpDir("graft_zds") + "/dense3.zarr"
+    val nR = 100; val nC = 8
+    val obs = spark.range(nR).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(nC).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    // rows 24..39 contribute NO elements -> two whole inner bands absent
+    val x = spark.range(nR).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nC).select(col("id").as("var_id")))
+      .filter((col("obs_id") < 24 || col("obs_id") >= 40) &&
+        (col("obs_id") + col("var_id")) % 2 === 0)
+      .withColumn("value", (col("obs_id") * 3 + col("var_id")) % 11 * 0.5)
+    // chunkElems 64, nC 8 -> 8-row bands; shardFactor 4 -> 32-row shards
+    AnnZarrWriter.write(AnnDataset(obs, vars, x), p, chunkElems = 64,
+      v3 = true, shardFactor = 4, denseSlots = Set("X"))
+    val za = ZarrStore.openArray(p, "X")
+    assert(za.compressor == "sharding")
+    assert(za.chunks == Seq(8, 8) && za.shard.get.shardShape == Seq(32, 8))
+    // store objects = row-banded shards: ceil(100/32) = 4
+    val objs = new java.io.File(s"$p/X/c").listFiles()
+      .flatMap(_.listFiles()).count(!_.getName.endsWith(".crc"))
+    assert(objs == 4, s"expected 4 shard objects, got $objs")
+    // full grid (implicit zeros + absent bands) round-trips exactly
+    val ds = AnnZarr.open(spark, p)
+    val got = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == nR * nC)
+    got.foreach { case (i, k, v) =>
+      val expect = if ((i < 24 || i >= 40) && (i + k) % 2 == 0)
+        (i * 3 + k) % 11 * 0.5 else 0.0
+      assert(v == expect, s"($i,$k): got $v expected $expect")
+    }
+  }
+
   test("appendRows on a dense-X store: row-band merge, pre-boundary bands untouched") {
     val p = TestSpark.tmpDir("graft_zad") + "/dense.zarr"
     val nV = 8
@@ -385,6 +420,52 @@ class ZarrWriterSpec extends AnyFunSuite {
     val back = AnnZarr.open(spark, p)
     assert(back.obs.count() == 50)
     assert(back.x.count() == 50 * nV)
+  }
+
+  test("appendRows on a v3 SHARDED dense store: boundary shard re-encoded") {
+    val p = TestSpark.tmpDir("graft_zad3") + "/dense3.zarr"
+    val nV = 8
+    def dmask(i: Long, k: Long) = (i + k) % 3 == 0
+    def dval(i: Long, k: Long) = ((i * 7 + k * 5) % 17) * 0.5
+    val mk = (lo: Long, hi: Long) => (
+      spark.range(hi - lo).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id") + lo).as("obs_name")),
+      spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+        .filter((col("obs_id") + lo + col("var_id")) % 3 === 0)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 7 + col("var_id") * 5) % 17 * 0.5))
+    val (obs0, x0) = mk(0, 50)
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    // 8-row bands x4 per shard = 32-row shards; 50 rows -> shards 0, 1
+    AnnZarrWriter.write(AnnDataset(obs0, vars, x0), p, chunkElems = 64,
+      v3 = true, shardFactor = 4, frameChunkLen = 32, denseSlots = Set("X"))
+    val za0 = ZarrStore.openArray(p, "X")
+    assert(za0.shard.get.shardShape == Seq(32, 8) && za0.shape == Seq(50L, 8L))
+    val shard0 = new java.io.File(s"$p/X/c/0/0")
+    val m0 = shard0.lastModified()
+    Thread.sleep(1100)
+    val (obs1, x1) = mk(50, 90)
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    // shard 0 (rows 0-31, fully committed) untouched; boundary shard 1
+    // (rows 32-63: 32-49 committed, 50-63 new) re-encoded; shard 2 new
+    assert(shard0.lastModified() == m0, "pre-boundary dense shard rewritten")
+    assert(new java.io.File(s"$p/X/c/2/0").exists)
+    val ds = AnnZarr.open(spark, p)
+    assert(ds.obs.count() == 90)
+    val x = ds.x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(x.length == 90 * nV)
+    x.foreach { case (i, k, v) =>
+      val expect = if (dmask(i, k)) dval(i, k) else 0.0
+      assert(v == expect, s"($i,$k): got $v expected $expect")
+    }
+    // rollback by declared rows, then re-append cleanly
+    AnnZarrWriter.truncateTo(p, 50, 50)
+    assert(AnnZarr.open(spark, p).x.count() == 50 * nV)
+    AnnZarrWriter.appendRows(obs1, x1, p)
+    assert(AnnZarr.open(spark, p).x.count() == 90 * nV)
   }
 
   test("truncateTo rolls back a v3 sharded store (crash-recovery contract)") {
