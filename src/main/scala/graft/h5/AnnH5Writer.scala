@@ -21,8 +21,13 @@ import graft.artifact.AnnDataset
   *
   * Layout choices mirror h5py `libver="earliest"`: v0 superblock,
   * v1 object headers, old-style symbol-table groups, global-heap
-  * vlen UTF-8 strings, deflate-chunked X. X is written as
-  * `csr_matrix` (the COO form is sparse-natural) and STREAMED:
+  * vlen UTF-8 strings, deflate-chunked X. Matrix slots default to
+  * `csr_matrix` (the COO form is sparse-natural); slots named in
+  * `denseSlots` write as dense rank-2 chunked `array` datasets and
+  * frame columns in `categoricalCols` as `categorical` groups —
+  * encoding parity with anndata's write registry, so a store written
+  * here re-opens with the encodings h5py/anndata would have produced.
+  * The csr stream is STREAMED:
   * `x.orderBy(obs_id, var_id).toLocalIterator` feeds fixed-size
   * chunk buffers that are deflated and flushed as they fill, so
   * driver memory is bounded by one chunk + the axis-sized indptr —
@@ -172,6 +177,8 @@ object AnnH5Writer {
   private def i64ArrayAttr(name: String, vs: Seq[Long]): Attr =
     () => attrMsg(name, dtFixed(8), dataspace(Seq(vs.length.toLong)),
       vs.toArray.flatMap(u64))
+  private def boolAttr(name: String, v: Boolean): Attr =
+    () => attrMsg(name, dtBoolEnum, dsScalar, Array[Byte](if (v) 1 else 0))
   private def encAttrs(gh: GHeap, t: String, v: String): Seq[Attr] =
     Seq(strAttr(gh, "encoding-type", t), strAttr(gh, "encoding-version", v))
 
@@ -297,7 +304,7 @@ object AnnH5Writer {
     * (they are positional); remaining columns keep their order.
     */
   private def writeFrame(out: Out, gh: GHeap, df: DataFrame, rowId: String,
-                         idCol: String): Long = {
+                         idCol: String, catCols: Set[String] = Set.empty): Long = {
     // the axis id surfaces as _index; if the frame has no name column,
     // the positional row id itself becomes the index (stringified)
     val base = if (df.columns.contains(idCol)) df
@@ -309,6 +316,21 @@ object AnnH5Writer {
       val attrs = encAttrs(gh, if (f.dataType == StringType) "string-array" else "array", "0.2.0")
       val name = if (f.name == idCol) "_index" else f.name
       val addr = f.dataType match {
+        case _ if catCols.contains(f.name) && f.name != idCol =>
+          // `categorical` group (codes + categories) — the encoding
+          // anndata writes for pandas category columns; a plain string
+          // array would silently change the store on a round-trip
+          val sVals = rows.map(r => Option(r.get(i)).map(_.toString).orNull)
+          val cats = sVals.filter(_ != null).distinct.sorted
+          val idx = cats.zipWithIndex.toMap
+          val catsDs = vlenStrDataset(out, gh, cats.toSeq,
+            encAttrs(gh, "string-array", "0.2.0"))
+          val codesDs = contiguous(out, gh, dtFixed(8),
+            Seq(rows.length.toLong),
+            sVals.flatMap(v => u64(if (v == null) -1L else idx(v).toLong)),
+            encAttrs(gh, "array", "0.2.0"))
+          group(out, gh, Seq("categories" -> catsDs, "codes" -> codesDs),
+            encAttrs(gh, "categorical", "0.2.0") :+ boolAttr("ordered", false))
         case StringType => vlenStrDataset(out, gh, strVals(i).toSeq, attrs)
         case DoubleType => contiguous(out, gh, dtFloat(8), Seq(rows.length.toLong),
           rows.flatMap(r => u64(java.lang.Double.doubleToLongBits(
@@ -381,6 +403,76 @@ object AnnH5Writer {
     * datasets (`numeric-scalar`/`string`), arrays as 1-D contiguous
     * datasets, mappings as `dict` groups (recursive).
     */
+  /** One COO frame → DENSE rank-2 deflate-chunked `array` dataset,
+    * streamed by full-width row band: elements arrive sorted by
+    * (row, col), each `(bandRows × nCols)` chunk buffer zero-fills,
+    * deflates, and flushes — driver memory stays one band. Every band
+    * is written (even all-zero ones), matching what h5py produces for
+    * a dense in-memory array; the reference preserves dense encodings
+    * on write (anndata's registry), and forcing csr would silently
+    * change the store (`_anndata_accessor.py:516-700` read side).
+    */
+  private def writeDense2d(out: Out, gh: GHeap, coo: DataFrame,
+                           rowCol: String, colCol: String,
+                           nRows: Long, nCols: Long, chunkElems: Int): Long = {
+    require(nCols > 0 && nCols <= Int.MaxValue / 8, s"dense nCols $nCols")
+    val attrs = encAttrs(gh, "array", "0.2.0") // register BEFORE gh.flush()
+    val cc = nCols.toInt
+    val cr = math.max(1, chunkElems / cc)
+    val nBands = math.max(1L, (nRows + cr - 1) / cr).toInt
+    require(nBands <= 1024,
+      s"dense write needs multi-level b-tree ($nBands bands); raise chunkElems")
+    val buf = new Array[Byte](cr * cc * 8)
+    val chunks = mutable.ArrayBuffer.empty[(Long, Int, Long)] // rowOff, size, addr
+    def flushBand(): Unit = {
+      val d = new Deflater(4)
+      d.setInput(buf); d.finish()
+      val outB = new Array[Byte](buf.length + buf.length / 1000 + 128)
+      var n = 0
+      while (!d.finished()) n += d.deflate(outB, n, outB.length - n)
+      d.end()
+      val addr = out.write(java.util.Arrays.copyOf(outB, n))
+      chunks += ((chunks.size.toLong * cr, n, addr))
+      java.util.Arrays.fill(buf, 0.toByte)
+    }
+    val it = coo.select(col(rowCol).cast("long"), col(colCol).cast("long"),
+        col("value").cast("double"))
+      .orderBy(col(rowCol), col(colCol)).toLocalIterator()
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    while (it.hasNext) {
+      val r = it.next()
+      val i = r.getLong(0); val j = r.getLong(1)
+      require(i >= 0 && i < nRows && j >= 0 && j < nCols, s"dense element ($i,$j)")
+      while (i / cr > chunks.size) flushBand() // skipped bands are all-zero
+      bb.putDouble(((i - chunks.size.toLong * cr) * cc + j).toInt * 8, r.getDouble(2))
+    }
+    while (chunks.size < nBands) flushBand()
+    // v1 chunk b-tree, rank-2 keys: (rowOff, colOff, elemDim=0)
+    val node = {
+      val b = mutable.ArrayBuffer.empty[Byte]
+      b ++= "TREE".getBytes(UTF_8)
+      b ++= Array[Byte](1, 0); b ++= u16(chunks.size)
+      b ++= u64(Undef); b ++= u64(Undef)
+      chunks.foreach { case (rowOff, size, addr) =>
+        b ++= u32(size); b ++= u32(0)
+        b ++= u64(rowOff); b ++= u64(0); b ++= u64(0)
+        b ++= u64(addr)
+      }
+      b ++= u32(0); b ++= u32(0)
+      b ++= u64(nBands.toLong * cr); b ++= u64(nCols); b ++= u64(0)
+      b.toArray
+    }
+    val bt = out.write(node)
+    gh.flush()
+    val layout = Array[Byte](3, 2, 3) ++ u64(bt) ++ u32(cr) ++ u32(cc) ++ u32(8)
+    val filters = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0) ++
+      (u16(1) ++ u16(0) ++ u16(0) ++ u16(1) ++ u32(4) ++ u32(0)) // deflate
+    objectHeader(out, Seq(
+      0x0001 -> dataspace(Seq(nRows, nCols)), 0x0003 -> dtFloat(8),
+      0x0008 -> layout, 0x000B -> filters) ++
+      attrs.map(a => 0x000C -> a()))
+  }
+
   private def writeUns(out: Out, gh: GHeap, v: graft.artifact.UnsValue): Long = {
     import graft.artifact.UnsValue._
     v match {
@@ -436,17 +528,27 @@ object AnnH5Writer {
     * `raw` (own var frame + X). Single-writer by design (the
     * reference's h5py write is too).
     */
-  def write(ds: AnnDataset, path: String, chunkElems: Int = 65536): Unit = {
+  def write(ds: AnnDataset, path: String, chunkElems: Int = 65536,
+            denseSlots: Set[String] = Set.empty,
+            categoricalCols: Set[String] = Set.empty): Unit = {
     val raf = new RandomAccessFile(path, "rw")
     try {
       val out = new Out(raf)
       val gh = new GHeap(out)
-      val obs = writeFrame(out, gh, ds.obs, "obs_id", "obs_name")
-      val vars = writeFrame(out, gh, ds.vars, "var_id", "var_name")
+      def catsFor(rel: String): Set[String] =
+        categoricalCols.collect { case s if s.startsWith(rel + "/") =>
+          s.stripPrefix(rel + "/") }
+      def writeMatrix(rel: String, m: DataFrame, rowCol: String,
+                      colCol: String, nR: Long, nC: Long): Long =
+        if (denseSlots.contains(rel))
+          writeDense2d(out, gh, m, rowCol, colCol, nR, nC, chunkElems)
+        else writeCsr(out, gh, m, rowCol, colCol, nR, nC, chunkElems)
+      val obs = writeFrame(out, gh, ds.obs, "obs_id", "obs_name", catsFor("obs"))
+      val vars = writeFrame(out, gh, ds.vars, "var_id", "var_name", catsFor("var"))
 
       val nObs = ds.obs.count()
       val nVar = ds.vars.count()
-      val x = writeCsr(out, gh, ds.x, "obs_id", "var_id", nObs, nVar, chunkElems)
+      val x = writeMatrix("X", ds.x, "obs_id", "var_id", nObs, nVar)
 
       var links = Seq("X" -> x, "obs" -> obs, "var" -> vars)
       if (ds.obsm.nonEmpty) {
@@ -454,13 +556,13 @@ object AnnH5Writer {
           val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
           val dims = m.agg(coalesce(max(col(dimCol)), lit(-1L)))
             .collect().head.getLong(0) + 1
-          name -> writeCsr(out, gh, m, "obs_id", dimCol, nObs, dims, chunkElems)
+          name -> writeMatrix(s"obsm/$name", m, "obs_id", dimCol, nObs, dims)
         }
         links :+= "obsm" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
       }
       if (ds.layers.nonEmpty) {
         val slots = ds.layers.toSeq.sortBy(_._1).map { case (name, l) =>
-          name -> writeCsr(out, gh, l, "obs_id", "var_id", nObs, nVar, chunkElems)
+          name -> writeMatrix(s"layers/$name", l, "obs_id", "var_id", nObs, nVar)
         }
         links :+= "layers" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
       }
@@ -469,29 +571,30 @@ object AnnH5Writer {
           val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
           val dims = m.agg(coalesce(max(col(dimCol)), lit(-1L)))
             .collect().head.getLong(0) + 1
-          name -> writeCsr(out, gh, m, "var_id", dimCol, nVar, dims, chunkElems)
+          name -> writeMatrix(s"varm/$name", m, "var_id", dimCol, nVar, dims)
         }
         links :+= "varm" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
       }
       if (ds.obsp.nonEmpty) {
         val slots = ds.obsp.toSeq.sortBy(_._1).map { case (name, m) =>
-          name -> writeCsr(out, gh, m, "obs_id", "obs_id_2", nObs, nObs, chunkElems)
+          name -> writeMatrix(s"obsp/$name", m, "obs_id", "obs_id_2", nObs, nObs)
         }
         links :+= "obsp" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
       }
       if (ds.uns.nonEmpty)
         links :+= "uns" -> writeUns(out, gh, graft.artifact.UnsValue.Mapping(ds.uns))
       ds.raw.foreach { r =>
-        val rawVar = writeFrame(out, gh, r.vars, "var_id", "var_name")
+        val rawVar = writeFrame(out, gh, r.vars, "var_id", "var_name",
+          catsFor("raw/var"))
         val nRawVar = r.vars.count()
-        val rawX = writeCsr(out, gh, r.x, "obs_id", "var_id", nObs, nRawVar, chunkElems)
+        val rawX = writeMatrix("raw/X", r.x, "obs_id", "var_id", nObs, nRawVar)
         var rawLinks = Seq("X" -> rawX, "var" -> rawVar)
         if (r.varm.nonEmpty) {
           val slots = r.varm.toSeq.sortBy(_._1).map { case (name, m) =>
             val dimCol = if (m.columns.contains("dim_id")) "dim_id" else "var_id"
             val dims = m.agg(coalesce(max(col(dimCol)), lit(-1L)))
               .collect().head.getLong(0) + 1
-            name -> writeCsr(out, gh, m, "var_id", dimCol, nRawVar, dims, chunkElems)
+            name -> writeMatrix(s"raw/varm/$name", m, "var_id", dimCol, nRawVar, dims)
           }
           rawLinks :+= "varm" -> group(out, gh, slots, encAttrs(gh, "dict", "0.1.0"))
         }

@@ -400,6 +400,20 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // h5ad write-side ENCODING parity (the HDF5 twin of a25): a dense
+    // rank-2 chunked obsm slot + a categorical obs column written into
+    // a real .h5ad, reopened through the native reader — the encodings
+    // h5py/anndata would have produced, not csr/string degradations
+    "a30_h5ad_encoding_roundtrip" -> ((spark, _) => {
+      val path = writtenH5adEncoded(spark)
+      val ds = graft.h5.AnnH5.open(spark, path)
+      ds.obsm("X_pca")
+        .join(ds.obs.select("obs_id", "cell_type"), "obs_id")
+        .groupBy("cell_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy("cell_type")
+    }),
+
     // DENSE-X append: rows append to a dense `array` chunk grid by
     // chunk-row band — tasks merge the boundary band's existing objects
     // with new elements and write new bands (the streaming-embedding-
@@ -602,6 +616,35 @@ object AnnQueries {
         v3 = true, shardFactor = 4)
       val (obs1, x1) = slice(160, 240)
       graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p)
+      p
+    })
+
+  /** a30 fixture: a25's closed forms written into a real .h5ad —
+    * dense 240x4 obsm/X_pca (rank-2 deflate-chunked dataset),
+    * categorical obs/cell_type (codes + categories group).
+    */
+  private def writtenH5adEncoded(spark: SparkSession): String =
+    written.getOrElseUpdate("h5ad_encoded", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "enc.h5ad").toString
+      val obs = spark.range(240).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"),
+        concat(lit("type_"), col("id") % 5).as("cell_type"))
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(32).select(col("id").as("var_id")))
+        .filter((col("obs_id") * 5 + col("var_id") * 3) % 7 === 0)
+        .withColumn("value", (col("obs_id") * 11 + col("var_id") * 29) % 53 * 0.5)
+      val pca = spark.range(240).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(4).select(col("id").as("dim_id")))
+        .filter((col("obs_id") + col("dim_id")) % 3 === 0)
+        .withColumn("value", (col("obs_id") * 7 + col("dim_id") * 5) % 17 * 0.5)
+      graft.h5.AnnH5Writer.write(
+        graft.artifact.AnnDataset(obs, vars, x, obsm = Map("X_pca" -> pca)),
+        p, chunkElems = 512,
+        denseSlots = Set("obsm/X_pca"),
+        categoricalCols = Set("obs/cell_type"))
       p
     })
 
@@ -994,6 +1037,15 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the h5ad twin of a25: same closed forms, HDF5 container
+    "a30_h5ad_encoding_roundtrip" ->
+      """SELECT 'type_' || (i % 5) AS cell_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN (i + k) % 3 = 0
+        |                     THEN ((i*7 + k*5) % 17) * 0.5 ELSE 0 END)
+        |         AS DOUBLE) AS sum_value
+        |FROM range(240) t(i), range(4) s(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dense grid grown by row-band append; full-grid read with zeros
     "a29_zarr_dense_append" ->

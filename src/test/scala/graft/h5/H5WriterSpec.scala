@@ -155,4 +155,52 @@ class H5WriterSpec extends AnyFunSuite {
     assert(ds.uns("mask") == Arr(Seq(true, false, true)))
     assert(ds.uns("empty") == Arr(Nil))
   }
+
+  test("encoding parity: dense slots and categorical columns as anndata writes them") {
+    val obs = spark.range(nObs).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      concat(lit("type_"), col("id") % 3).as("cell_type"))
+    val vars = spark.range(nVar).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nVar).select(col("id").as("var_id")))
+      .filter((col("obs_id") * 3 + col("var_id") * 11) % 4 === 0)
+      .withColumn("value", (col("obs_id") * 13 + col("var_id") * 7) % 41 * 0.5)
+    // dense 120x3 X_pca with implicit zeros and two all-zero row bands
+    val pca = spark.range(nObs).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(3).select(col("id").as("dim_id")))
+      .filter((col("obs_id") < 40 || col("obs_id") >= 80) &&
+        (col("obs_id") + col("dim_id")) % 2 === 0)
+      .withColumn("value", (col("obs_id") + col("dim_id") * 7) % 13 * 0.5)
+    val p = java.nio.file.Files.createTempFile("graft_w3", ".h5ad").toString
+    AnnH5Writer.write(AnnDataset(obs, vars, x, obsm = Map("X_pca" -> pca)), p,
+      chunkElems = 60, // 20-row bands for the 3-wide dense slot
+      denseSlots = Set("obsm/X_pca"), categoricalCols = Set("obs/cell_type"))
+    // store-level encodings match anndata's write registry
+    val f = H5File.open(p)
+    try {
+      val pcaDs = f.dataset("obsm/X_pca")
+      assert(pcaDs.dims.toSeq == Seq(nObs.toLong, 3L))
+      assert(f.attrString(pcaDs, "encoding-type").contains("array"))
+      val ct = f.group("obs/cell_type")
+      assert(f.attrString(ct, "encoding-type").contains("categorical"))
+    } finally f.close()
+    // reopen: dense slot reads the FULL grid (implicit zeros + the
+    // all-zero bands), categorical decodes to the original strings
+    val ds = AnnH5.open(spark, p)
+    val pcaDf = ds.obsm("X_pca")
+    assert(pcaDf.count() == nObs.toLong * 3)
+    val gotSum = pcaDf.agg(sum("value")).head().getDouble(0)
+    val expSum = (for (i <- 0L until nObs; k <- 0L until 3
+      if (i < 40 || i >= 80) && (i + k) % 2 == 0)
+      yield (i + k * 7) % 13 * 0.5).sum
+    assert(math.abs(gotSum - expSum) < 1e-6)
+    val probe = pcaDf.filter(col("obs_id") === 50 && col("var_id") === 0)
+      .head().getDouble(2)
+    assert(probe == 0.0, "all-zero band must read as fill")
+    val types = ds.obs.orderBy("obs_id").collect()
+    types.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("cell_type") == s"type_${i % 3}")
+    }
+  }
 }
