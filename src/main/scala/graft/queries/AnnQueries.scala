@@ -428,6 +428,26 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // aux-slot APPEND: a store carrying a csr layer and a dense obsm
+    // extends ALL obs-aligned slots with the appended rows (each routed
+    // to the same boundary-object strategy as X) — the full-AnnData
+    // incremental-ingest shape; aggregates join the layer against the
+    // grown obs axis
+    "a31_zarr_aux_append" -> ((spark, _) => {
+      val path = appendedZarrAux(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, path)
+      val logAgg = ds.layers("log")
+        .join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("layer_nnz"),
+          sum(col("value")).as("layer_sum"))
+      val pcaAgg = ds.obsm("X_pca")
+        .join(ds.obs.select("obs_id", "batch"), "obs_id")
+        .groupBy("batch")
+        .agg(sum(col("value")).as("pca_sum"))
+      logAgg.join(pcaAgg, "batch").orderBy("batch")
+    }),
+
     // native multi-member COLLECTION open: three .zarr members (one v3
     // sharded) registered in the catalog, opened as ONE union through
     // ArtifactStore.open with `_source_path` provenance — the
@@ -645,6 +665,49 @@ object AnnQueries {
         p, chunkElems = 512,
         denseSlots = Set("obsm/X_pca"),
         categoricalCols = Set("obs/cell_type"))
+      p
+    })
+
+  /** a31 fixture: 140 rows written with a csr layers/log (mask
+    * (i+j)%4==1, value ((i*5+j*3)%13)*0.25 over 32 vars) and a DENSE
+    * 240x4 obsm/X_pca (mask (i+k)%2==0, value ((i*7+k*11)%19)*0.5),
+    * then 100 rows appended across ALL slots; batch = i%6.
+    */
+  private def appendedZarrAux(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_aux_append", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "aux.zarr").toString
+      def slice(lo: Long, hi: Long) = {
+        val obs = spark.range(hi - lo).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id") + lo).as("obs_name"),
+          ((col("id") + lo) % 6).cast("long").as("batch"))
+        val x = spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(32).select(col("id").as("var_id")))
+          .filter(((col("obs_id") + lo) * 5 + col("var_id") * 3) % 7 === 0)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 11 + col("var_id") * 29) % 53 * 0.5)
+        val log = spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(32).select(col("id").as("var_id")))
+          .filter((col("obs_id") + lo + col("var_id")) % 4 === 1)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 5 + col("var_id") * 3) % 13 * 0.25)
+        val pca = spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(4).select(col("id").as("dim_id")))
+          .filter((col("obs_id") + lo + col("dim_id")) % 2 === 0)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 7 + col("dim_id") * 11) % 19 * 0.5)
+        (obs, x, log, pca)
+      }
+      val vars = spark.range(32).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val (obs0, x0, log0, pca0) = slice(0, 140)
+      graft.zarr.AnnZarrWriter.write(
+        graft.artifact.AnnDataset(obs0, vars, x0,
+          layers = Map("log" -> log0), obsm = Map("X_pca" -> pca0)),
+        p, chunkElems = 256, denseSlots = Set("obsm/X_pca"))
+      val (obs1, x1, log1, pca1) = slice(140, 240)
+      graft.zarr.AnnZarrWriter.appendRows(obs1, x1, p,
+        newLayers = Map("log" -> log1), newObsm = Map("X_pca" -> pca1))
       p
     })
 
@@ -1037,6 +1100,23 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // all obs-aligned slots grown by append: csr layer (sparse rows)
+    // + dense obsm (full grid incl. zeros), joined per batch
+    "a31_zarr_aux_append" ->
+      """WITH lg AS (
+        |  SELECT i % 6 AS batch, count(*) AS layer_nnz,
+        |         CAST(sum(((i*5 + j*3) % 13) * 0.25) AS DOUBLE) AS layer_sum
+        |  FROM range(240) t(i), range(32) s(j)
+        |  WHERE (i + j) % 4 = 1 GROUP BY 1),
+        |pc AS (
+        |  SELECT i % 6 AS batch,
+        |         CAST(sum(CASE WHEN (i + k) % 2 = 0
+        |                       THEN ((i*7 + k*11) % 19) * 0.5 ELSE 0 END)
+        |           AS DOUBLE) AS pca_sum
+        |  FROM range(240) t(i), range(4) s(k) GROUP BY 1)
+        |SELECT lg.batch, layer_nnz, layer_sum, pca_sum
+        |FROM lg JOIN pc ON lg.batch = pc.batch ORDER BY 1""".stripMargin,
 
     // the h5ad twin of a25: same closed forms, HDF5 container
     "a30_h5ad_encoding_roundtrip" ->

@@ -709,26 +709,36 @@ object AnnZarrWriter {
     * ingest shape, same O(batch) contract.
     *
     * `newObs` must carry the store's obs columns (obs_id local 0..n-1);
-    * `newX` is COO with local obs_id. Obs-aligned aux slots (layers /
-    * obsm / obsp / raw) would be invalidated by a row append and must
-    * be absent. The HDF5 container cannot offer this shape at all — an
-    * h5ad append rewrites the file.
+    * `newX` is COO with local obs_id. Obs-aligned aux slots extend
+    * WITH the rows: a store carrying `layers` / `obsm` requires the
+    * batch to provide matching COO frames for every slot (each routed
+    * to the same csr element-extend or dense row-band strategy as X);
+    * `obsp` (obs×obs — a row append would invalidate its columns too)
+    * and `raw` remain append-incompatible. The HDF5 container cannot
+    * offer this shape at all — an h5ad append rewrites the file.
     *
     * Crash behavior: shapes are only ever EXTENDED and boundary-chunk
     * (or boundary-shard) rewrites preserve the committed prefix, so a
     * half-applied append is fully undone by [[truncateTo]] (the
     * streaming sink's pending-marker protocol does exactly that on
-    * restart).
+    * restart — aux csr extents roll back through the committed
+    * indptr(n0) value, which boundary rewrites preserve).
     */
-  def appendRows(newObs: DataFrame, newX: DataFrame, path: String): Unit = {
+  def appendRows(newObs: DataFrame, newX: DataFrame, path: String,
+                 newLayers: Map[String, DataFrame] = Map.empty,
+                 newObsm: Map[String, DataFrame] = Map.empty): Unit = {
     val v3 = ZarrStore.format(path) == 3
-    Seq("layers", "obsm", "obsp", "raw").foreach { s =>
+    Seq("obsp", "raw").foreach { s =>
       require(!ZarrStore.isGroup(path, s),
         s"$path: cannot append rows with obs-aligned slot '$s' present")
     }
-    // X is either the writer's csr group or (denseSlots) a dense 2-D
-    // array node — appends route to the matching extend strategy
-    val denseX = ZarrStore.isArray(path, "X")
+    def slotNames(grp: String): Set[String] =
+      if (ZarrStore.isGroup(path, grp)) ZarrStore.children(path, grp).toSet
+      else Set.empty
+    require(slotNames("layers") == newLayers.keySet,
+      s"$path: layers batch ${newLayers.keySet} != store ${slotNames("layers")}")
+    require(slotNames("obsm") == newObsm.keySet,
+      s"$path: obsm batch ${newObsm.keySet} != store ${slotNames("obsm")}")
     val n0 = ZarrStore.openArray(path, "obs/_index").shape.head
     // node set computed up front — the cached consolidated metadata
     // stays authoritative (pre-append) until the final patch
@@ -824,153 +834,153 @@ object AnnZarrWriter {
       }
     }
 
-    if (denseX) {
-      // ---- dense X: the row-band extend. New rows land in the
-      // boundary chunk-row band plus new bands; a task whose object
-      // already exists (the boundary only) merges the OLD content with
-      // its new elements — pre-boundary objects are never touched, and
-      // absent objects/bands keep fill-zero semantics. On a v3 ROW-
-      // SHARDED grid the store object is a whole shard: the boundary
-      // shard's committed inner bands are re-read, merged, and the
-      // shard is re-encoded with a fresh index; later shards are new.
-      val za = ZarrStore.openArray(path, "X")
+    /** Dense row-band extend of slot `rel`: new rows land in the
+      * boundary chunk-row band plus new bands; a task whose object
+      * already exists (the boundary only) merges the OLD content with
+      * its new elements — pre-boundary objects are never touched, and
+      * absent objects/bands keep fill-zero semantics. On a v3 ROW-
+      * SHARDED grid the store object is a whole shard: the boundary
+      * shard's committed inner bands are re-read, merged, and the
+      * shard is re-encoded with a fresh index; later shards are new.
+      */
+    def appendDenseSlot(rel: String, coo: DataFrame, colCol: String): Unit = {
+      val za = ZarrStore.openArray(path, rel)
       require(za.rank == 2 && za.kind == 'f' &&
         (if (za.shard.isDefined) za.codecs.contains(ZCodec.GzipC)
          else za.compressor == (if (v3) "gzip" else "zlib")),
-        s"$path: dense X append serves the writer's float chunk grid")
+        s"$path/$rel: dense append serves the writer's float chunk grid")
       require(za.shard.forall(_.shardShape(1) == za.chunks(1)),
-        s"$path: dense shards must be row-banded (writer layout)")
+        s"$path/$rel: dense shards must be row-banded (writer layout)")
       val Seq(cr, cc) = za.chunks.map(identity)
       val sf = za.shard.map(_.shardShape.head / cr).getOrElse(1)
       val nCols = za.shape(1)
       val gridCols = ((nCols + cc - 1) / cc).toInt
-      changedMeta += ZarrStore.patchShape(path, "X", Seq(n0 + nAdd, nCols))
-      if (nAdd > 0) {
-        val rootC = path; val v3C = v3; val zaC = za
-        val n0C = n0; val crC = cr; val ccC = cc; val gridColsC = gridCols
-        val sfC = sf; val objRows = cr * sf
-        newX
-          .select(col("obs_id").cast("long").as("r"),
-            col("var_id").cast("long").as("c"),
-            col("value").cast("double").as("v"))
-          .rdd
-          .map { row =>
-            val r = n0C + row.getLong(0); val c = row.getLong(1)
-            require(row.getLong(0) >= 0, s"dense append obs_id ${row.getLong(0)}")
-            (((r / objRows) * gridColsC + c / ccC).toInt, (r, c, row.getDouble(2)))
-          }
-          .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
-          .foreach { case (obj, it) =>
-            val gr = obj / gridColsC; val gc = obj % gridColsC
-            val objRowsT = crC * sfC
-            require(gr.toLong * objRowsT + objRowsT > n0C,
-              s"dense append wrote into committed row object $gr")
-            if (sfC == 1) {
-              val buf = new Array[Double](crC * ccC) // zero-filled = fill_value
-              // boundary band: merge the committed rows already in store
-              zaC.readChunk(Seq(gr, gc)).foreach { old =>
-                val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
-                var k = 0
-                while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
-              }
-              it.foreach { case (r, c, v) =>
-                buf(((r - gr.toLong * crC) * ccC + (c - gc.toLong * ccC)).toInt) = v
-              }
-              val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
-              buf.foreach(bb.putDouble)
-              val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
-              writeBytes(rootC, s"X/$key", encodeChunk(bb.array(), v3C))
-            } else {
-              // boundary/new SHARD: committed inner bands re-read
-              // through the shard index (pre-rewrite), merged in place
-              val baseRow = gr.toLong * objRowsT
-              val bands = new Array[Array[Double]](sfC)
-              var b = 0
-              while (b < sfC) {
-                val bandRow = baseRow + b.toLong * crC
-                if (bandRow < n0C) // committed band — may hold data
-                  zaC.readChunk(Seq(gr * sfC + b, gc)).foreach { old =>
-                    val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
-                    val buf = new Array[Double](crC * ccC)
-                    var k = 0
-                    while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
-                    bands(b) = buf
-                  }
-                b += 1
-              }
-              it.foreach { case (r, c, v) =>
-                val band = ((r - baseRow) / crC).toInt
-                if (bands(band) == null) bands(band) = new Array[Double](crC * ccC)
-                bands(band)(((r - baseRow - band.toLong * crC) * ccC +
-                  (c - gc.toLong * ccC)).toInt) = v
-              }
-              val body = new java.io.ByteArrayOutputStream()
-              val index = ByteBuffer.allocate(16 * sfC + 4).order(ByteOrder.LITTLE_ENDIAN)
-              var i = 0
-              while (i < sfC) {
-                val band = bands(i)
-                if (band == null) { index.putLong(-1L); index.putLong(-1L) }
-                else {
-                  val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
-                  band.foreach(bb.putDouble)
-                  val encd = gzipEncode(bb.array())
-                  index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
-                  body.write(encd)
-                }
-                i += 1
-              }
-              val idx = index.array()
-              val crc = ZCodec.crc32c(idx, 0, 16 * sfC)
-              ByteBuffer.wrap(idx, 16 * sfC, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
-              body.write(idx)
-              writeBytes(rootC, s"X/c/$gr/$gc", body.toByteArray)
+      changedMeta += ZarrStore.patchShape(path, rel, Seq(n0 + nAdd, nCols))
+      if (nAdd == 0) return
+      val rootC = path; val v3C = v3; val zaC = za; val relC = rel
+      val n0C = n0; val crC = cr; val ccC = cc; val gridColsC = gridCols
+      val sfC = sf; val objRows = cr * sf
+      coo
+        .select(col("obs_id").cast("long").as("r"),
+          col(colCol).cast("long").as("c"),
+          col("value").cast("double").as("v"))
+        .rdd
+        .map { row =>
+          val r = n0C + row.getLong(0); val c = row.getLong(1)
+          require(row.getLong(0) >= 0, s"dense append obs_id ${row.getLong(0)}")
+          (((r / objRows) * gridColsC + c / ccC).toInt, (r, c, row.getDouble(2)))
+        }
+        .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
+        .foreach { case (obj, it) =>
+          val gr = obj / gridColsC; val gc = obj % gridColsC
+          val objRowsT = crC * sfC
+          require(gr.toLong * objRowsT + objRowsT > n0C,
+            s"dense append wrote into committed row object $gr")
+          if (sfC == 1) {
+            val buf = new Array[Double](crC * ccC) // zero-filled = fill_value
+            // boundary band: merge the committed rows already in store
+            zaC.readChunk(Seq(gr, gc)).foreach { old =>
+              val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
+              var k = 0
+              while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
             }
+            it.foreach { case (r, c, v) =>
+              buf(((r - gr.toLong * crC) * ccC + (c - gc.toLong * ccC)).toInt) = v
+            }
+            val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
+            buf.foreach(bb.putDouble)
+            val key = if (v3C) s"c/$gr/$gc" else s"$gr.$gc"
+            writeBytes(rootC, s"$relC/$key", encodeChunk(bb.array(), v3C))
+          } else {
+            // boundary/new SHARD: committed inner bands re-read
+            // through the shard index (pre-rewrite), merged in place
+            val baseRow = gr.toLong * objRowsT
+            val bands = new Array[Array[Double]](sfC)
+            var b = 0
+            while (b < sfC) {
+              val bandRow = baseRow + b.toLong * crC
+              if (bandRow < n0C) // committed band — may hold data
+                zaC.readChunk(Seq(gr * sfC + b, gc)).foreach { old =>
+                  val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
+                  val buf = new Array[Double](crC * ccC)
+                  var k = 0
+                  while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
+                  bands(b) = buf
+                }
+              b += 1
+            }
+            it.foreach { case (r, c, v) =>
+              val band = ((r - baseRow) / crC).toInt
+              if (bands(band) == null) bands(band) = new Array[Double](crC * ccC)
+              bands(band)(((r - baseRow - band.toLong * crC) * ccC +
+                (c - gc.toLong * ccC)).toInt) = v
+            }
+            val body = new java.io.ByteArrayOutputStream()
+            val index = ByteBuffer.allocate(16 * sfC + 4).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < sfC) {
+              val band = bands(i)
+              if (band == null) { index.putLong(-1L); index.putLong(-1L) }
+              else {
+                val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
+                band.foreach(bb.putDouble)
+                val encd = gzipEncode(bb.array())
+                index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
+                body.write(encd)
+              }
+              i += 1
+            }
+            val idx = index.array()
+            val crc = ZCodec.crc32c(idx, 0, 16 * sfC)
+            ByteBuffer.wrap(idx, 16 * sfC, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
+            body.write(idx)
+            writeBytes(rootC, s"$relC/c/$gr/$gc", body.toByteArray)
           }
+        }
+    }
+
+    /** csr element-extend of slot `rel`: indptr/data/indices grow by
+      * boundary + new objects only.
+      */
+    def appendCsrSlot(rel: String, coo: DataFrame, colCol: String): Unit = {
+      val dataZ = ZarrStore.openArray(path, s"$rel/data")
+      val indZ = ZarrStore.openArray(path, s"$rel/indices")
+      if (v3)
+        require(dataZ.compressor == "sharding" && indZ.compressor == "sharding" &&
+          dataZ.codecs.contains(ZCodec.GzipC) && indZ.codecs.contains(ZCodec.GzipC),
+          s"$path/$rel: v3 appendRows requires the writer's sharded gzip csr encoding")
+      else
+        require(dataZ.compressor == "zlib" && indZ.compressor == "zlib",
+          s"$path/$rel: appendRows requires the writer's zlib chunk encoding")
+      val chunkElems = dataZ.chunks.head // v3: the INNER chunk length
+      // store-object granularity: chunk objects (v2) / shard objects (v3)
+      val objElems = dataZ.shard.map(_.shardShape.head).getOrElse(chunkElems)
+      val nnz0 = dataZ.shape.head
+      val nCols = {
+        val a = ZarrStore.attrs(path, rel).get.get("shape")
+        a.get(1).asLong
       }
-      if (v3) ZarrStore.patchConsolidatedV3(path, changedMeta.toSeq)
-      else ZarrStore.patchConsolidated(path, changedMeta.toSeq)
-      return
-    }
+      // new rows: counts, then global element positions
+      val perRow = coo.groupBy(col("obs_id")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
+      val addPtr = new Array[Long](nAdd.toInt + 1)
+      (0 until nAdd.toInt).foreach(i =>
+        addPtr(i + 1) = addPtr(i) + perRow.getOrElse(i.toLong, 0L))
+      val nnzAdd = addPtr.last
+      val nnz1 = nnz0 + nnzAdd
 
-    // ---- csr X: element-extend
-    val dataZ = ZarrStore.openArray(path, "X/data")
-    val indZ = ZarrStore.openArray(path, "X/indices")
-    if (v3)
-      require(dataZ.compressor == "sharding" && indZ.compressor == "sharding" &&
-        dataZ.codecs.contains(ZCodec.GzipC) && indZ.codecs.contains(ZCodec.GzipC),
-        s"$path: v3 appendRows requires the writer's sharded gzip csr encoding")
-    else
-      require(dataZ.compressor == "zlib" && indZ.compressor == "zlib",
-        s"$path: appendRows requires the writer's zlib chunk encoding")
-    val chunkElems = dataZ.chunks.head // v3: the INNER chunk length
-    // store-object granularity: chunk objects (v2) / shard objects (v3)
-    val objElems = dataZ.shard.map(_.shardShape.head).getOrElse(chunkElems)
-    val nnz0 = dataZ.shape.head
-    val nCols = {
-      val a = ZarrStore.attrs(path, "X").get.get("shape")
-      a.get(1).asLong
-    }
-    // new rows: counts, then global element positions
-    val perRow = newX.groupBy(col("obs_id")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
-    val addPtr = new Array[Long](nAdd.toInt + 1)
-    (0 until nAdd.toInt).foreach(i =>
-      addPtr(i + 1) = addPtr(i) + perRow.getOrElse(i.toLong, 0L))
-    val nnzAdd = addPtr.last
-    val nnz1 = nnz0 + nnzAdd
+      // indptr: boundary + new chunks (shifted by the prior nnz)
+      append1d(s"$rel/indptr", addPtr.toIndexedSeq.tail.map(v => (v + nnz0): Any))
 
-    // ---- indptr: boundary + new chunks (shifted by the prior nnz)
-    append1d("X/indptr", addPtr.toIndexedSeq.tail.map(v => (v + nnz0): Any))
+      // group shape gains the appended rows
+      zgroup(path, rel, Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
+        s""""shape":[${n0 + nAdd},$nCols]}"""), v3)
+      changedMeta += (if (v3) rel else s"$rel/.zattrs")
 
-    // ---- X group shape gains the appended rows
-    zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
-      s""""shape":[${n0 + nAdd},$nCols]}"""), v3)
-    changedMeta += (if (v3) "X" else "X/.zattrs")
-
-    // ---- data/indices: metadata grows; ONLY boundary + new objects write
-    changedMeta += ZarrStore.patchShape(path, "X/data", Seq(nnz1))
-    changedMeta += ZarrStore.patchShape(path, "X/indices", Seq(nnz1))
-    if (nnzAdd > 0) {
+      // data/indices: metadata grows; ONLY boundary + new objects write
+      changedMeta += ZarrStore.patchShape(path, s"$rel/data", Seq(nnz1))
+      changedMeta += ZarrStore.patchShape(path, s"$rel/indices", Seq(nnz1))
+      if (nnzAdd == 0) return
       val cb = (nnz0 / objElems).toInt // boundary OBJECT (chunk / shard) id
       val boundaryOff = (nnz0 % objElems).toInt
       // committed prefix of the boundary object — for v3 decoded through
@@ -985,8 +995,9 @@ object AnnZarrWriter {
       val bndB = spark.sparkContext.broadcast((bndData, bndInd))
       val rootC = path; val chunkC = chunkElems; val objC = objElems
       val nnz0C = nnz0; val nnz1C = nnz1; val cbC = cb; val v3C = v3
-      val elems = newX
-        .select(col("obs_id").cast("long").as("r"), col("var_id").cast("long").as("c"),
+      val relC = rel
+      val elems = coo
+        .select(col("obs_id").cast("long").as("r"), col(colCol).cast("long").as("c"),
           col("value").cast("double").as("v"))
         .withColumn("rk",
           row_number().over(Window.partitionBy("r").orderBy("c")).cast("long") - 1)
@@ -1015,24 +1026,37 @@ object AnnZarrWriter {
           val lo = math.max(base, nnz0C)
           val hi = math.min(base + objC, nnz1C)
           require(seen == (hi - lo).toInt,
-            s"X append object $obj: $seen of ${hi - lo} new elements")
+            s"$relC append object $obj: $seen of ${hi - lo} new elements")
           if (!v3C) {
             val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
             dataV.foreach(db.putDouble) // allocate() zero-fills the edge padding
             val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
             indV.foreach(ib.putLong)
-            writeBytes(rootC, s"X/data/$obj", zlibEncode(db.array()))
-            writeBytes(rootC, s"X/indices/$obj", zlibEncode(ib.array()))
+            writeBytes(rootC, s"$relC/data/$obj", zlibEncode(db.array()))
+            writeBytes(rootC, s"$relC/indices/$obj", zlibEncode(ib.array()))
           } else {
             // boundary shard re-encoded whole (prefix + new inner
             // chunks + fresh index); later shards are brand new
-            writeBytes(rootC, s"X/data/c/$obj",
+            writeBytes(rootC, s"$relC/data/c/$obj",
               shardBytes(objC, chunkC, m1, packDoubles(dataV, chunkC)))
-            writeBytes(rootC, s"X/indices/c/$obj",
+            writeBytes(rootC, s"$relC/indices/c/$obj",
               shardBytes(objC, chunkC, m1, packLongs(indV, chunkC)))
           }
         }
       ptrB.unpersist(); bndB.unpersist()
+    }
+
+    // ---- route every obs-aligned matrix slot to its extend strategy
+    def routeSlot(rel: String, coo: DataFrame, colCol: String): Unit =
+      if (ZarrStore.isArray(path, rel)) appendDenseSlot(rel, coo, colCol)
+      else appendCsrSlot(rel, coo, colCol)
+    routeSlot("X", newX, "var_id")
+    newLayers.toSeq.sortBy(_._1).foreach { case (nm, df) =>
+      routeSlot(s"layers/$nm", df, "var_id")
+    }
+    newObsm.toSeq.sortBy(_._1).foreach { case (nm, df) =>
+      val dimCol = if (df.columns.contains("dim_id")) "dim_id" else "var_id"
+      routeSlot(s"obsm/$nm", df, dimCol)
     }
     // O(changed nodes) metadata patch — a full consolidate re-walk
     // would LIST every chunk directory, O(store) per microbatch
@@ -1065,20 +1089,33 @@ object AnnZarrWriter {
       if (ZarrStore.isArray(path, s"obs/$cn")) reshape(s"obs/$cn", n0)
       else reshape(s"obs/$cn/codes", n0)
     }
-    if (ZarrStore.isArray(path, "X")) {
-      // dense X: only the declared row extent shrinks — boundary-band
-      // rewrites preserved committed-row values, later bands unreachable
-      val za = ZarrStore.openArray(path, "X")
-      if (za.shape.head != n0)
-        changed += ZarrStore.patchShape(path, "X", Seq(n0, za.shape(1)))
-    } else {
-      reshape("X/indptr", n0 + 1)
-      reshape("X/data", nnz0)
-      reshape("X/indices", nnz0)
-      val nCols = ZarrStore.attrs(path, "X").get.get("shape").get(1).asLong
-      zgroup(path, "X", Some(s"""{"encoding-type":"csr_matrix",""" +
-        s""""encoding-version":"0.1.0","shape":[$n0,$nCols]}"""), v3)
-      changed += (if (v3) "X" else "X/.zattrs")
+    def rollMatrix(rel: String, nnzCommitted: => Long): Unit =
+      if (ZarrStore.isArray(path, rel)) {
+        // dense grid: only the declared row extent shrinks — boundary-
+        // band rewrites preserved committed-row values, later bands
+        // unreachable
+        val za = ZarrStore.openArray(path, rel)
+        if (za.shape.head != n0)
+          changed += ZarrStore.patchShape(path, rel, Seq(n0, za.shape(1)))
+      } else {
+        val nnzC = nnzCommitted
+        reshape(s"$rel/indptr", n0 + 1)
+        reshape(s"$rel/data", nnzC)
+        reshape(s"$rel/indices", nnzC)
+        val nCols = ZarrStore.attrs(path, rel).get.get("shape").get(1).asLong
+        zgroup(path, rel, Some(s"""{"encoding-type":"csr_matrix",""" +
+          s""""encoding-version":"0.1.0","shape":[$n0,$nCols]}"""), v3)
+        changed += (if (v3) rel else s"$rel/.zattrs")
+      }
+    rollMatrix("X", nnz0)
+    // aux slots roll back through the COMMITTED indptr(n0) value, which
+    // boundary-chunk rewrites preserve even across a half-applied batch
+    Seq("layers", "obsm").foreach { grp =>
+      if (ZarrStore.isGroup(path, grp))
+        ZarrStore.children(path, grp).foreach { nm =>
+          rollMatrix(s"$grp/$nm",
+            ZarrStore.openArray(path, s"$grp/$nm/indptr").readLongs(n0, n0 + 1).head)
+        }
     }
     if (v3) ZarrStore.patchConsolidatedV3(path, changed.toSeq)
     else ZarrStore.patchConsolidated(path, changed.toSeq)

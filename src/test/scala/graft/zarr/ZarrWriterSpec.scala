@@ -240,6 +240,71 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(got.sameElements(expected))
   }
 
+  test("appendRows extends obs-aligned aux slots: csr layer + dense obsm") {
+    val p = TestSpark.tmpDir("graft_zax") + "/aux.zarr"
+    val nV = 8
+    def lval(i: Long, j: Long) = ((i * 5 + j * 3) % 13) * 0.25
+    def pval(i: Long, k: Long) = ((i * 7 + k * 11) % 19) * 0.5
+    val mk = (lo: Long, hi: Long) => {
+      val obs = spark.range(hi - lo).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id") + lo).as("obs_name"))
+      val x = spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+        .filter((col("obs_id") + lo + col("var_id")) % 3 === 0)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 7 + col("var_id") * 5) % 17 * 0.5)
+      val log = spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+        .filter((col("obs_id") + lo + col("var_id")) % 4 === 1)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 5 + col("var_id") * 3) % 13 * 0.25)
+      val pca = spark.range(hi - lo).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(3).select(col("id").as("dim_id")))
+        .filter((col("obs_id") + lo + col("dim_id")) % 2 === 0)
+        .withColumn("value",
+          ((col("obs_id") + lo) * 7 + col("dim_id") * 11) % 19 * 0.5)
+      (obs, x, log, pca)
+    }
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val (obs0, x0, log0, pca0) = mk(0, 50)
+    AnnZarrWriter.write(AnnDataset(obs0, vars, x0,
+      layers = Map("log" -> log0), obsm = Map("X_pca" -> pca0)), p,
+      chunkElems = 64, frameChunkLen = 32, denseSlots = Set("obsm/X_pca"))
+    val nnz0 = ZarrStore.openArray(p, "X/data").shape.head
+    val (obs1, x1, log1, pca1) = mk(50, 90)
+    // batch must cover every obs-aligned slot — a missing one refuses
+    intercept[IllegalArgumentException] {
+      AnnZarrWriter.appendRows(obs1, x1, p, newLayers = Map("log" -> log1))
+    }
+    AnnZarrWriter.appendRows(obs1, x1, p,
+      newLayers = Map("log" -> log1), newObsm = Map("X_pca" -> pca1))
+    val ds = AnnZarr.open(spark, p)
+    assert(ds.obs.count() == 90)
+    // csr layer merged exactly
+    val gotLog = ds.layers("log").orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expLog = (for {
+      i <- 0L until 90; j <- 0L until nV if (i + j) % 4 == 1
+    } yield (i, j, lval(i, j))).toArray
+    assert(gotLog.sameElements(expLog))
+    // dense obsm reads the FULL 90x3 grid with merged boundary band
+    val gotPca = ds.obsm("X_pca").orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(gotPca.length == 90 * 3)
+    gotPca.foreach { case (i, k, v) =>
+      val expect = if ((i + k) % 2 == 0) pval(i, k) else 0.0
+      assert(v == expect, s"pca($i,$k): got $v expected $expect")
+    }
+    // truncateTo rolls every slot back (aux csr extents via indptr(n0))
+    AnnZarrWriter.truncateTo(p, 50, nnz0)
+    val back = AnnZarr.open(spark, p)
+    assert(back.obs.count() == 50)
+    assert(back.layers("log").count() ==
+      (for (i <- 0 until 50; j <- 0 until nV if (i + j) % 4 == 1) yield 1).size)
+    assert(back.obsm("X_pca").count() == 50 * 3)
+  }
+
   test("truncateTo undoes a half-applied append (crash-recovery contract)") {
     val p = TestSpark.tmpDir("graft_ztr") + "/grow.zarr"
     val obs0 = spark.range(50).select(col("id").as("obs_id"),
