@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.artifact.{AnnBridge, AnnDataset, ArtifactStore}
 import graft.catalog.Catalog
@@ -428,6 +428,41 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // SpatialData-on-zarr SINK: one write() lays out tables/ (anndata,
+    // executor-parallel) + points/ (distributed parquet + NGFF attrs) +
+    // images//labels/ (NGFF multiscales, stride pyramid, chunk-parallel
+    // writes) under spatialdata_attrs — reopened through the native
+    // reader, one typed row per element kind
+    "a33_spatial_zarr_sink" -> ((spark, _) => {
+      val path = writtenSpatialZarr(spark)
+      val sd = graft.zarr.SpatialZarr.open(spark, path)
+      def row(slot: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .select(lit(slot).as("slot"), col("n"), col("sum_value"))
+      val t = sd.tables("table")
+      Seq(
+        row("image_l0", sd.images("cells").coo(spark, 0)),
+        row("image_l1", sd.images("cells").coo(spark, 1)),
+        row("labels", sd.labels("segmentation").coo(spark, 0)),
+        row("points", sd.points("transcripts")
+          .select((col("x") + col("y")).as("value"))),
+        row("table_x", t.x))
+        .reduce(_ unionByName _).orderBy("slot")
+    }),
+
+    // MuData-on-zarr SINK: one writeMu call lays out mod/rna + mod/adt
+    // with the MuData root encoding (what mudata-python produces),
+    // root-consolidated so the whole container reopens in 1-2 metadata
+    // GETs — the write twin of a08's h5mu read
+    "a32_mudata_zarr_sink" -> ((spark, _) => {
+      val path = writtenMuZarr(spark)
+      val mods = graft.zarr.AnnZarr.openMu(spark, path)
+      mods.toSeq.sortBy(_._1).map { case (nm, ds) =>
+        ds.x.agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+          .select(lit(nm).as("modality"), col("nnz"), col("sum_value"))
+      }.reduce(_ unionByName _).orderBy("modality")
+    }),
+
     // aux-slot APPEND: a store carrying a csr layer and a dense obsm
     // extends ALL obs-aligned slots with the appended rows (each routed
     // to the same boundary-object strategy as X) — the full-AnnData
@@ -665,6 +700,75 @@ object AnnQueries {
         p, chunkElems = 512,
         denseSlots = Set("obsm/X_pca"),
         categoricalCols = Set("obs/cell_type"))
+      p
+    })
+
+  /** a33 fixture: a writer-produced SpatialData container — table
+    * 100x10 (mask (i+j)%3==0, value ((i*2+j)%7)*0.5), 800 points
+    * (x=(p*37%640)*0.25, y=(p*53%480)*0.25, gene g(p%25)), image
+    * (2,32,32) u1 value (c*31+y*7+x*3)%256 with a 2-stride level 1,
+    * labels (32,32) i4 value (y//8)*4+(x//8).
+    */
+  private def writtenSpatialZarr(spark: SparkSession): String =
+    written.getOrElseUpdate("spatial_zarr", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "sd.zarr").toString
+      val obs = spark.range(100).select(col("id").as("obs_id"),
+        concat(lit("cell"), col("id")).as("obs_name"))
+      val vars = spark.range(10).select(col("id").as("var_id"),
+        concat(lit("gene"), col("id")).as("var_name"))
+      val x = spark.range(100).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(10).select(col("id").as("var_id")))
+        .filter((col("obs_id") + col("var_id")) % 3 === 0)
+        .withColumn("value", (col("obs_id") * 2 + col("var_id")) % 7 * 0.5)
+      val pts = spark.range(800).select(
+        (col("id") * 37 % 640 * 0.25).as("x"),
+        (col("id") * 53 % 480 * 0.25).as("y"),
+        concat(lit("g"), col("id") % 25).as("gene"))
+      val img = spark.range(2).select(col("id").as("c"))
+        .crossJoin(spark.range(32).select(col("id").as("y")))
+        .crossJoin(spark.range(32).select(col("id").as("x")))
+        .withColumn("value", (col("c") * 31 + col("y") * 7 + col("x") * 3) % 256)
+      val seg = spark.range(32).select(col("id").as("y"))
+        .crossJoin(spark.range(32).select(col("id").as("x")))
+        .withColumn("value",
+          floor(col("y") / 8).cast("long") * 4 + floor(col("x") / 8).cast("long"))
+      graft.zarr.SpatialZarrWriter.write(spark, p,
+        tables = Map("table" -> graft.artifact.AnnDataset(obs, vars, x)),
+        points = Map("transcripts" -> pts),
+        images = Map("cells" -> graft.zarr.SpatialZarrWriter.ImageSpec(
+          img, Seq("c", "y", "x"), Seq(2L, 32L, 32L), Seq(1, 16, 16),
+          dtype = "|u1", levels = 2)),
+        labels = Map("segmentation" -> graft.zarr.SpatialZarrWriter.ImageSpec(
+          seg, Seq("y", "x"), Seq(32L, 32L), Seq(16, 16), dtype = "<i4")))
+      p
+    })
+
+  /** a32 fixture: two modalities — rna 180x24, mask (i*3+j)%5==0,
+    * value ((i*7+j*11)%31)*0.5; adt 180x8, all cells,
+    * value ((i*13+j*3)%23)*0.25 — in one writeMu container.
+    */
+  private def writtenMuZarr(spark: SparkSession): String =
+    written.getOrElseUpdate("mu_zarr", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "mu.zarr").toString
+      def mod(nV: Int, mask: (Column, Column) => Column,
+              value: (Column, Column) => Column) = {
+        val obs = spark.range(180).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id")).as("obs_name"))
+        val vars = spark.range(nV).select(col("id").as("var_id"),
+          concat(lit("g"), col("id")).as("var_name"))
+        val x = spark.range(180).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+          .filter(mask(col("obs_id"), col("var_id")))
+          .withColumn("value", value(col("obs_id"), col("var_id")))
+        graft.artifact.AnnDataset(obs, vars, x)
+      }
+      graft.zarr.AnnZarrWriter.writeMu(Map(
+        "rna" -> mod(24, (i, j) => (i * 3 + j) % 5 === 0,
+          (i, j) => (i * 7 + j * 11) % 31 * 0.5),
+        "adt" -> mod(8, (_, _) => lit(true),
+          (i, j) => (i * 13 + j * 3) % 23 * 0.25)), p, chunkElems = 512)
       p
     })
 
@@ -1100,6 +1204,44 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // writer-produced container: one row per element kind; level 1 is
+    // the 2-stride of level 0 (2*y, 2*x)
+    "a33_spatial_zarr_sink" ->
+      """WITH rows AS (
+        |  SELECT 'image_l0' AS slot, count(*) AS n,
+        |         CAST(sum((c*31 + y*7 + x*3) % 256) AS DOUBLE) AS sum_value
+        |  FROM range(2) a(c), range(32) b(y), range(32) d(x)
+        |  UNION ALL
+        |  SELECT 'image_l1', count(*),
+        |         CAST(sum((c*31 + 2*y*7 + 2*x*3) % 256) AS DOUBLE)
+        |  FROM range(2) a(c), range(16) b(y), range(16) d(x)
+        |  UNION ALL
+        |  SELECT 'labels', count(*),
+        |         CAST(sum((y // 8) * 4 + (x // 8)) AS DOUBLE)
+        |  FROM range(32) b(y), range(32) d(x)
+        |  UNION ALL
+        |  SELECT 'points', count(*),
+        |         CAST(sum((p*37 % 640)*0.25 + (p*53 % 480)*0.25) AS DOUBLE)
+        |  FROM range(800) t(p)
+        |  UNION ALL
+        |  SELECT 'table_x', count(*),
+        |         CAST(sum(((i*2 + j) % 7) * 0.5) AS DOUBLE)
+        |  FROM range(100) t(i), range(10) s(j) WHERE (i + j) % 3 = 0)
+        |SELECT slot, CAST(n AS BIGINT) AS n, sum_value
+        |FROM rows ORDER BY slot""".stripMargin,
+
+    // two modalities in one container, per-modality X aggregates
+    "a32_mudata_zarr_sink" ->
+      """SELECT 'adt' AS modality, count(*) AS nnz,
+        |       CAST(sum(((i*13 + j*3) % 23) * 0.25) AS DOUBLE) AS sum_value
+        |FROM range(180) t(i), range(8) s(j)
+        |UNION ALL
+        |SELECT 'rna', count(*),
+        |       CAST(sum(((i*7 + j*11) % 31) * 0.5) AS DOUBLE)
+        |FROM range(180) t(i), range(24) s(j)
+        |WHERE (i*3 + j) % 5 = 0
+        |ORDER BY modality""".stripMargin,
 
     // all obs-aligned slots grown by append: csr layer (sparse rows)
     // + dense obsm (full grid incl. zeros), joined per batch

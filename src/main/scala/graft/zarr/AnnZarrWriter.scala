@@ -42,14 +42,14 @@ object AnnZarrWriter {
 
   private lazy val conf = new Configuration() // per-JVM, like ZarrStore's
 
-  private def writeBytes(root: String, rel: String, bytes: Array[Byte]): Unit = {
+  private[zarr] def writeBytes(root: String, rel: String, bytes: Array[Byte]): Unit = {
     val p = new Path(root, rel)
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
   }
 
-  private def writeJson(root: String, rel: String, json: String): Unit =
+  private[zarr] def writeJson(root: String, rel: String, json: String): Unit =
     writeBytes(root, rel, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private def jstr(s: String): String =
@@ -682,6 +682,36 @@ object AnnZarrWriter {
       writeMatrix("raw/X", r.x, "obs_id", "var_id", nObs, nRawVar)
     }
     // consolidated metadata so reopening costs a single metadata GET
+    if (v3) ZarrStore.consolidateV3(path) else ZarrStore.consolidate(path)
+  }
+
+  /** Write a MuData-on-zarr store: one AnnData group per modality under
+    * `mod/`, the root carrying the MuData encoding — what mudata-python
+    * produces and [[AnnZarr.openMu]] / the reference's MuData curator
+    * consume. Each modality routes through [[write]] (same
+    * executor-parallel sinks, `v3`/`denseSlots`/`categoricalCols`
+    * options are per-store); consolidation happens ONCE at the root so
+    * reopening the whole container costs 1–2 metadata GETs.
+    */
+  def writeMu(mods: Map[String, AnnDataset], path: String,
+              chunkElems: Int = 65536, v3: Boolean = false,
+              shardFactor: Int = 16, frameChunkLen: Int = 65536,
+              denseSlots: Set[String] = Set.empty,
+              categoricalCols: Set[String] = Set.empty): Unit = {
+    require(mods.nonEmpty, "writeMu needs at least one modality")
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(new Path(path), true)
+    ZarrStore.invalidate(path)
+    zgroup(path, "", Some(enc("MuData", "0.1.0")), v3)
+    zgroup(path, "mod", Some(enc("dict", "0.1.0")), v3)
+    def scoped(m: String, s: Set[String]): Set[String] =
+      s.collect { case k if k.startsWith(m + "/") => k.stripPrefix(m + "/") }
+    mods.toSeq.sortBy(_._1).foreach { case (m, ds) =>
+      write(ds, s"$path/mod/$m", chunkElems, v3, shardFactor, frameChunkLen,
+        scoped(m, denseSlots), scoped(m, categoricalCols))
+    }
+    // per-modality write() consolidated each subtree; the root pass
+    // folds everything into ONE container-level metadata object
     if (v3) ZarrStore.consolidateV3(path) else ZarrStore.consolidate(path)
   }
 

@@ -85,6 +85,71 @@ class SpatialZarrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-tabular"))
   }
 
+  test("writer round-trip: tables + points + stride pyramid reopen exactly") {
+    val p = TestSpark.tmpDir("graft_sdw") + "/sd.zarr"
+    val nO = 60; val nV = 6
+    val obs = spark.range(nO).select(col("id").as("obs_id"),
+      concat(lit("cell"), col("id")).as("obs_name"),
+      (col("id") % 4).as("n_spots"))
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("gene"), col("id")).as("var_name"))
+    val x = spark.range(nO).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 3 === 0)
+      .withColumn("value", (col("obs_id") * 2 + col("var_id")) % 7 * 0.5)
+    val pts = spark.range(500).select(
+      (col("id") * 37 % 640 * 0.25).as("x"),
+      (col("id") * 53 % 480 * 0.25).as("y"),
+      concat(lit("g"), col("id") % 25).as("gene"))
+    // (c,y,x) = (2,32,32) image, 2 stride levels, chunks (1,16,16)
+    val img = spark.range(2).select(col("id").as("c"))
+      .crossJoin(spark.range(32).select(col("id").as("y")))
+      .crossJoin(spark.range(32).select(col("id").as("x")))
+      .withColumn("value", (col("c") * 31 + col("y") * 7 + col("x") * 3) % 256)
+    val seg = spark.range(32).select(col("id").as("y"))
+      .crossJoin(spark.range(32).select(col("id").as("x")))
+      .withColumn("value",
+        floor(col("y") / 8).cast("long") * 4 + floor(col("x") / 8).cast("long"))
+    SpatialZarrWriter.write(spark, p,
+      tables = Map("table" -> graft.artifact.AnnDataset(obs, vars, x)),
+      points = Map("transcripts" -> pts),
+      images = Map("cells" -> SpatialZarrWriter.ImageSpec(
+        img, Seq("c", "y", "x"), Seq(2L, 32L, 32L), Seq(1, 16, 16),
+        dtype = "|u1", levels = 2)),
+      labels = Map("segmentation" -> SpatialZarrWriter.ImageSpec(
+        seg, Seq("y", "x"), Seq(32L, 32L), Seq(16, 16),
+        dtype = "<i4")))
+    assert(SpatialZarr.isSpatial(p))
+    // whole-container reopen plans from ONE consolidated metadata GET
+    ZarrStore.invalidate(p)
+    val before = ZarrStore.metaReads(p)
+    val sd = SpatialZarr.open(spark, p)
+    assert(sd.tables.keySet == Set("table") &&
+      sd.points.keySet == Set("transcripts") &&
+      sd.images.keySet == Set("cells") && sd.labels.keySet == Set("segmentation"))
+    val t = sd.tables("table")
+    assert(t.obs.count() == nO)
+    assert(t.x.agg(sum("value")).head().getDouble(0) ==
+      (for (i <- 0 until nO; j <- 0 until nV if (i + j) % 3 == 0)
+        yield (i * 2 + j) % 7 * 0.5).sum)
+    assert(sd.points("transcripts").count() == 500)
+    val pyr = sd.images("cells")
+    assert(pyr.nLevels == 2 && pyr.shape(1) == Seq(2L, 16L, 16L))
+    // level 1 is the 2-stride of level 0 — exact closed form
+    val l1 = pyr.coo(spark, 1).filter(col("c") === 1 && col("y") === 3 && col("x") === 5)
+      .head().getDouble(3)
+    assert(l1 == (1 * 31 + 6 * 7 + 10 * 3) % 256)
+    val l0sum = pyr.coo(spark, 0).agg(sum("value")).head().getDouble(0)
+    assert(l0sum == (for (c <- 0 until 2; y <- 0 until 32; x <- 0 until 32)
+      yield ((c * 31 + y * 7 + x * 3) % 256).toDouble).sum)
+    val segSum = sd.labels("segmentation").coo(spark, 0)
+      .agg(sum("value")).head().getDouble(0)
+    assert(segSum == (for (y <- 0 until 32; x <- 0 until 32)
+      yield ((y / 8) * 4 + (x / 8)).toDouble).sum)
+    assert(ZarrStore.metaReads(p) - before == 1,
+      "open must plan from the consolidated root")
+  }
+
   test("labels element: int decode, block structure") {
     val sd = SpatialZarr.open(spark, root)
     val lab = sd.labels("segmentation")

@@ -106,6 +106,31 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(mods("rna").obs.count() == nObs)
   }
 
+  test("writeMu: one-call MuData container, root-consolidated reopen") {
+    val p = TestSpark.tmpDir("graft_zmu2") + "/mu.zarr"
+    val rna = buildDataset()
+    val adt = AnnDataset(
+      spark.range(10).select(col("id").as("obs_id"), concat(lit("c"), col("id")).as("obs_name")),
+      spark.range(4).select(col("id").as("var_id"), concat(lit("p"), col("id")).as("var_name")),
+      Seq((0L, 1L, 2.5), (3L, 2L, 1.0)).toDF("obs_id", "var_id", "value"))
+    AnnZarrWriter.writeMu(Map("rna" -> rna, "adt" -> adt), p, chunkElems = 128)
+    assert(ZarrStore.attrString(p, "", "encoding-type").contains("MuData"))
+    // whole-container reopen costs the consolidated-root metadata GETs
+    ZarrStore.invalidate(p)
+    val before = ZarrStore.metaReads(p)
+    val mods = AnnZarr.openMu(spark, p)
+    assert(mods.keySet == Set("adt", "rna"))
+    assert(mods("adt").x.count() == 2)
+    val got = mods("rna").x.orderBy("obs_id", "var_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (for {
+      i <- 0L until nObs; j <- 0L until nVar if xmask(i, j)
+    } yield (i, j, xval(i, j))).toArray
+    assert(got.sameElements(expected))
+    assert(ZarrStore.metaReads(p) - before <= 2,
+      "openMu should plan from the root consolidated metadata")
+  }
+
   test("v3 sharded sink: zarr.json nodes, shard objects, one-GET reopen") {
     val p = TestSpark.tmpDir("graft_zw3") + "/rt3.zarr"
     // 32-elem inner chunks x4 per shard -> several shard objects for nnz
