@@ -535,6 +535,58 @@ object AnnH5Writer {
     try {
       val out = new Out(raf)
       val gh = new GHeap(out)
+      val root = writeAnnData(out, gh, ds, chunkElems, denseSlots, categoricalCols)
+      superblock(out, root)
+    } finally raf.close()
+  }
+
+  /** Write a MuData `.h5mu` container: one AnnData group per modality
+    * under `mod/`, the root carrying the MuData encoding — what
+    * mudata-python's `write_h5mu` lays out and [[AnnH5.openMu]]
+    * consumes. `denseSlots`/`categoricalCols` qualify per modality
+    * (e.g. `"rna/obsm/X_pca"`). Same single-writer contract as
+    * [[write]] (inherent to the one-file container).
+    */
+  def writeMu(mods: Map[String, AnnDataset], path: String,
+              chunkElems: Int = 65536,
+              denseSlots: Set[String] = Set.empty,
+              categoricalCols: Set[String] = Set.empty): Unit = {
+    require(mods.nonEmpty, "writeMu needs at least one modality")
+    def scoped(m: String, s: Set[String]): Set[String] =
+      s.collect { case k if k.startsWith(m + "/") => k.stripPrefix(m + "/") }
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      val out = new Out(raf)
+      val gh = new GHeap(out)
+      val modLinks = mods.toSeq.sortBy(_._1).map { case (m, ds) =>
+        m -> writeAnnData(out, gh, ds, chunkElems,
+          scoped(m, denseSlots), scoped(m, categoricalCols))
+      }
+      val modGrp = group(out, gh, modLinks, encAttrs(gh, "dict", "0.1.0"))
+      val root = group(out, gh, Seq("mod" -> modGrp),
+        encAttrs(gh, "MuData", "0.1.0"))
+      superblock(out, root)
+    } finally raf.close()
+  }
+
+  private def superblock(out: Out, root: Long): Unit = {
+    // superblock v0, patched last (root address + EOF)
+    val sb = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n',
+      0, 0, 0, 0, 0, 8, 8, 0) ++
+      u16(4) ++ u16(16) ++ u32(0) ++
+      u64(0) ++ u64(Undef) ++ u64(out.eof) ++ u64(Undef) ++
+      u64(0) ++ u64(root) ++ u32(0) ++ u32(0) ++ new Array[Byte](16)
+    out.writeAt(0, sb)
+  }
+
+  /** One AnnData object tree (frames, matrix slots, uns, raw) into the
+    * open file; returns the anndata group's header address — [[write]]
+    * roots the file here, [[writeMu]] links one per modality.
+    */
+  private def writeAnnData(out: Out, gh: GHeap, ds: AnnDataset,
+                           chunkElems: Int, denseSlots: Set[String],
+                           categoricalCols: Set[String]): Long = {
+    {
       def catsFor(rel: String): Set[String] =
         categoricalCols.collect { case s if s.startsWith(rel + "/") =>
           s.stripPrefix(rel + "/") }
@@ -601,15 +653,7 @@ object AnnH5Writer {
         links :+= "raw" -> group(out, gh, rawLinks, encAttrs(gh, "raw", "0.1.0"))
       }
 
-      val root = group(out, gh, links, encAttrs(gh, "anndata", "0.1.0"))
-
-      // superblock v0, patched last (root address + EOF)
-      val sb = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n',
-        0, 0, 0, 0, 0, 8, 8, 0) ++
-        u16(4) ++ u16(16) ++ u32(0) ++
-        u64(0) ++ u64(Undef) ++ u64(out.eof) ++ u64(Undef) ++
-        u64(0) ++ u64(root) ++ u32(0) ++ u32(0) ++ new Array[Byte](16)
-      out.writeAt(0, sb)
-    } finally raf.close()
+      group(out, gh, links, encAttrs(gh, "anndata", "0.1.0"))
+    }
   }
 }

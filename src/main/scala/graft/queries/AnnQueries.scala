@@ -428,6 +428,19 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // MuData .h5mu SINK: writeMu lays out mod/rna + mod/adt in ONE real
+    // HDF5 file with the MuData root encoding (what mudata-python's
+    // write_h5mu produces) — reopened through the native openMu; the
+    // write twin of a08's read, same closed forms as a32's zarr flavor
+    "a34_mudata_h5mu_sink" -> ((spark, _) => {
+      val path = writtenMuH5(spark)
+      val mods = graft.h5.AnnH5.openMu(spark, path)
+      mods.toSeq.sortBy(_._1).map { case (nm, ds) =>
+        ds.x.agg(count(lit(1)).as("nnz"), sum(col("value")).as("sum_value"))
+          .select(lit(nm).as("modality"), col("nnz"), col("sum_value"))
+      }.reduce(_ unionByName _).orderBy("modality")
+    }),
+
     // SpatialData-on-zarr SINK: one write() lays out tables/ (anndata,
     // executor-parallel) + points/ (distributed parquet + NGFF attrs) +
     // images//labels/ (NGFF multiscales, stride pyramid, chunk-parallel
@@ -700,6 +713,31 @@ object AnnQueries {
         p, chunkElems = 512,
         denseSlots = Set("obsm/X_pca"),
         categoricalCols = Set("obs/cell_type"))
+      p
+    })
+
+  /** a34 fixture: a32's two modalities written as a real .h5mu. */
+  private def writtenMuH5(spark: SparkSession): String =
+    written.getOrElseUpdate("mu_h5", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "mu.h5mu").toString
+      def mod(nV: Int, mask: (Column, Column) => Column,
+              value: (Column, Column) => Column) = {
+        val obs = spark.range(180).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id")).as("obs_name"))
+        val vars = spark.range(nV).select(col("id").as("var_id"),
+          concat(lit("g"), col("id")).as("var_name"))
+        val x = spark.range(180).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+          .filter(mask(col("obs_id"), col("var_id")))
+          .withColumn("value", value(col("obs_id"), col("var_id")))
+        graft.artifact.AnnDataset(obs, vars, x)
+      }
+      graft.h5.AnnH5Writer.writeMu(Map(
+        "rna" -> mod(24, (i, j) => (i * 3 + j) % 5 === 0,
+          (i, j) => (i * 7 + j * 11) % 31 * 0.5),
+        "adt" -> mod(8, (_, _) => lit(true),
+          (i, j) => (i * 13 + j * 3) % 23 * 0.25)), p, chunkElems = 512)
       p
     })
 
@@ -1204,6 +1242,18 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same closed forms as a32, .h5mu container
+    "a34_mudata_h5mu_sink" ->
+      """SELECT 'adt' AS modality, count(*) AS nnz,
+        |       CAST(sum(((i*13 + j*3) % 23) * 0.25) AS DOUBLE) AS sum_value
+        |FROM range(180) t(i), range(8) s(j)
+        |UNION ALL
+        |SELECT 'rna', count(*),
+        |       CAST(sum(((i*7 + j*11) % 31) * 0.5) AS DOUBLE)
+        |FROM range(180) t(i), range(24) s(j)
+        |WHERE (i*3 + j) % 5 = 0
+        |ORDER BY modality""".stripMargin,
 
     // writer-produced container: one row per element kind; level 1 is
     // the 2-stride of level 0 (2*y, 2*x)

@@ -156,6 +156,32 @@ class H5WriterSpec extends AnyFunSuite {
     assert(ds.uns("empty") == Arr(Nil))
   }
 
+  test("writeMu: .h5mu container, modalities reopen through openMu") {
+    val rna = buildDataset()
+    val adt = graft.artifact.AnnDataset(
+      spark.range(10).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name")),
+      spark.range(4).select(col("id").as("var_id"),
+        concat(lit("p"), col("id")).as("var_name")),
+      Seq((0L, 1L, 2.5), (3L, 2L, 1.0)).toDF("obs_id", "var_id", "value"))
+    val p = java.nio.file.Files.createTempFile("graft_wmu", ".h5mu").toString
+    AnnH5Writer.writeMu(Map("rna" -> rna, "adt" -> adt), p)
+    val f = H5File.open(p)
+    try {
+      assert(f.attrString(f.root, "encoding-type").contains("MuData"))
+      assert(f.group("mod").children.keySet == Set("adt", "rna"))
+    } finally f.close()
+    val mods = AnnH5.openMu(spark, p)
+    assert(mods.keySet == Set("adt", "rna"))
+    assert(mods("adt").x.count() == 2)
+    assert(mods("rna").obs.count() == nObs)
+    val got = mods("rna").x.agg(sum("value")).head().getDouble(0)
+    val expect = (for {
+      i <- 0L until nObs; j <- 0L until nVar if (i * 3 + j * 11) % 4 == 0
+    } yield xval(i, j)).sum
+    assert(math.abs(got - expect) < 1e-6)
+  }
+
   test("encoding parity: dense slots and categorical columns as anndata writes them") {
     val obs = spark.range(nObs).select(col("id").as("obs_id"),
       concat(lit("c"), col("id")).as("obs_name"),
