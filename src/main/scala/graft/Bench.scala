@@ -242,7 +242,9 @@ object Bench {
       "b05_lineitem_stats_exact", "b07_cc_190k_edges", "b08_new_docs_bloom",
       "b10_skewed_dups", "b11_h5ad_native_scan", "b12_zarr_native_scan",
       "b13_zarr_sharded_scan", "a19_zarr_v3_scan", "a23_zarr_v3_sink_roundtrip",
-      "a24_zarr_append", "a20_spatial_table", "c01_validate",
+      "a24_zarr_append", "a28_zarr_v3_append", "a29_zarr_dense_append",
+      "a31_zarr_aux_append", "a33_spatial_zarr_sink",
+      "a20_spatial_table", "c01_validate",
       "c04_cat_violations", "d01_exact_dedup", "d02_token_stats",
       "d05_minhash_lsh", "d06_simhash", "d07_langid", "d09_minhash_portable",
       "d10_simhash_portable", "d11_pii_detect", "d17_dup_clusters",

@@ -43,7 +43,11 @@ import graft.zarr.{AnnZarrWriter, ZarrStore}
   * it is appended as two distinct rows), `var_id`, `value`, plus any
   * obs-level metadata columns (constant per obs_name). The per-batch
   * obs ranking window is global but microbatch-sized, so the
-  * single-partition sort is bounded by the trigger size.
+  * single-partition sort is bounded by the trigger size. The sink
+  * serves bare-X stores (its own bootstrap shape); a store carrying
+  * layers/obsm appends through
+  * [[graft.zarr.AnnZarrWriter.appendRows]] directly, which extends
+  * those slots with the rows.
   */
 object ZarrStreamSink {
 
