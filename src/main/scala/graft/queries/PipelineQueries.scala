@@ -95,6 +95,66 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    "s07_stream_embed_ann" -> ((spark, dir) => {
+      // END-TO-END embedding ingest + search: the embeddings table
+      // streams (3 microbatches) into a DENSE zarr store through the
+      // format-routed sink — each batch is a chunk-row-band append —
+      // then ANN runs over the REOPENED store: rows keyed back to
+      // vec_id through obs_name, cosine top-3 per query via one
+      // var_id-join dot product + per-row norms (the brute-force
+      // verification tier; e05's LSH is the scale path)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val coo = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select(concat(lit("v"), col("vec_id")).as("obs_name"),
+          col("pos").cast("long").as("var_id"),
+          col("col").cast("double").as("value"))
+      val stage = LifecycleQueries.TempRoot.dir("graft_s07src")
+      coo.repartitionByRange(3, col("obs_name")).write
+        .mode("overwrite").parquet(s"$stage/src")
+      val store = s"$stage/emb.zarr"
+      graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
+        spark.range(0).select(col("id").as("obs_id"),
+          concat(lit("v"), col("id")).as("obs_name")),
+        spark.range(dim).select(col("id").as("var_id"),
+          concat(lit("d"), col("id")).as("var_name")),
+        spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
+          col("id").cast("double").as("value"))),
+        store, chunkElems = 4096, denseSlots = Set("X"))
+      val q = graft.streaming.ZarrStreamSink.streamAppendZarr(
+        spark.readStream.schema(coo.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/src"),
+        store, Seq(), s"$stage/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val ds = graft.zarr.AnnZarr.open(spark, store)
+      val rows = ds.x.join(ds.obs.select("obs_id", "obs_name"), "obs_id")
+        .select(regexp_extract(col("obs_name"), "v(\\d+)", 1)
+          .cast("long").as("vec_id"), col("var_id"), col("value"))
+      val norms = rows.groupBy("vec_id")
+        .agg(sqrt(sum(col("value") * col("value"))).as("norm"))
+      val queries = rows.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("var_id"),
+          col("value").as("qv"))
+      val sims = queries
+        .join(rows.select(col("vec_id").as("neighbor_id"), col("var_id"),
+          col("value").as("cv")), "var_id")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("qv") * col("cv")).as("dot"))
+        .join(norms.select(col("vec_id").as("query_id"),
+          col("norm").as("qn")), "query_id")
+        .join(norms.select(col("vec_id").as("neighbor_id"),
+          col("norm").as("cn")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("dot") / (col("qn") * col("cn")), 6).as("sim"))
+      sims.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "m01_multimodal_decode" -> ((spark, dir) => {
       // REAL codec round-trip: encode genuine PNG bytes per doc with
       // javax.imageio (dims planned from md5(text) so the oracle can
@@ -231,6 +291,22 @@ object PipelineQueries {
         |       CAST(sum((doc_id + k) % 9 * 0.5) AS DOUBLE) AS sum_value
         |FROM documents, range(4) t(k)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "s07_stream_embed_ann" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(c.e, q.e), 6) AS sim
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 3),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "s05_stream_interval_join" ->
       """SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,

@@ -333,8 +333,10 @@ object AnnZarrWriter {
                          v3: Boolean, shardFactor: Int = 1): Unit = {
     val spark = coo.sparkSession
     val cc = math.max(1L, math.min(nCols, 4096L)).toInt
-    val cr = math.max(1L, math.min(if (nRows == 0) 1L else nRows,
-      math.max(1, chunkElems / cc).toLong)).toInt
+    // chunk rows are a CONSTANT, never derived from the current row
+    // count: an empty-store bootstrap (the streaming-sink pattern) must
+    // not pin 1-row bands forever — zarr pads/clips edge chunks anyway
+    val cr = math.max(1, chunkElems / cc)
     // v3 shards along the ROW axis: one store object = `shardFactor`
     // chunk-row bands — a 10^8-row embedding matrix keeps ranged-GET
     // selectivity per band while cutting object count shardFactor×

@@ -145,6 +145,34 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(storeStats(store)._3 == 60)
   }
 
+  test("a MuData modality is a plain store: the stream feeds mod/<m> directly") {
+    val dir = TestSpark.tmpDir("graft_zss6")
+    stageSource(dir)
+    val mu = s"$dir/mu.zarr"
+    // bootstrap the container with one static modality + one empty one
+    val static = AnnDataset(
+      spark.range(5).select(col("id").as("obs_id"),
+        concat(lit("s"), col("id")).as("obs_name")),
+      spark.range(4).select(col("id").as("var_id"),
+        concat(lit("p"), col("id")).as("var_name")),
+      spark.range(5).select(col("id").as("obs_id"),
+        (col("id") % 4).as("var_id"), lit(1.5).as("value")))
+    graft.zarr.AnnZarrWriter.writeMu(Map("adt" -> static), mu)
+    emptyStore(s"$mu/mod/rna")
+    // stream into the rna modality; appendRows patches that subtree's
+    // OWN consolidated metadata (the nested store is self-contained)
+    runStream(dir, s"$mu/mod/rna", s"$dir/ckptMu")
+    // the container root's consolidated metadata is a SNAPSHOT (same
+    // semantics as zarr-python): refresh it once after mutating a
+    // nested modality so container-level opens see the new extents
+    graft.zarr.ZarrStore.consolidate(mu)
+    val mods = AnnZarr.openMu(spark, mu)
+    assert(mods.keySet == Set("adt", "rna"))
+    val (nnz, sumV, nObs) = storeStats(s"$mu/mod/rna")
+    assert(nObs == 60 && nnz == 180)
+    assert(mods("adt").x.count() == 5)
+  }
+
   test("redelivery is a no-op: same batch ids against the ledger") {
     val dir = TestSpark.tmpDir("graft_zss2")
     stageSource(dir)
