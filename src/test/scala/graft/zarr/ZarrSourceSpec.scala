@@ -137,6 +137,30 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(math.abs(total - expect) < 1e-6)
   }
 
+  test("writer-produced sharded dense store: DSv2 point lookup stays shard-local") {
+    val p = graft.TestSpark.tmpDir("graft_zsrc3") + "/dense3.zarr"
+    val nR = 96; val nC = 8
+    val obs = spark.range(nR).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(nC).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nR).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nC).select(col("id").as("var_id")))
+      .withColumn("value", (col("obs_id") * 5 + col("var_id") * 3) % 11 * 0.5)
+    // 8-row bands x4 per shard: 96 rows -> 3 shard objects
+    AnnZarrWriter.write(graft.artifact.AnnDataset(obs, vars, x), p,
+      chunkElems = 64, v3 = true, shardFactor = 4, denseSlots = Set("X"))
+    val dsv2 = spark.read.format("zarr").load(p)
+    // pushed bounds prune to ONE inner chunk (= one band of one shard)
+    val cell = dsv2.filter(col("obs_id") === 70 && col("var_id") === 3)
+    assert(cell.rdd.getNumPartitions == 1, "point lookup = one chunk object")
+    assert(cell.head().getDouble(2) == (70 * 5 + 3 * 3) % 11 * 0.5)
+    val total = dsv2.agg(sum("value")).head().getDouble(0)
+    val expect = (for (i <- 0 until nR; j <- 0 until nC)
+      yield ((i * 5 + j * 3) % 11 * 0.5)).sum
+    assert(math.abs(total - expect) < 1e-9)
+  }
+
   test("format-transparent: same scans over the v3 store (sharded csr X)") {
     val v3 = "fixtures/zarr/pbmc_v3.zarr"
     val dsv2 = spark.read.format("zarr").load(v3)
