@@ -677,6 +677,53 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(cats == IndexedSeq("t0", "t1", "t9"))
   }
 
+  test("append equivalence sweep: write+append == one-shot write across flavors") {
+    // the round's centerpiece claim, swept across the flavor matrix:
+    // {csr, dense} x {v2, v3-sharded} x {empty bootstrap, mid-chunk,
+    // chunk-aligned} — the grown store must be INDISTINGUISHABLE from
+    // a one-shot write of all rows (obs frame and full COO alike)
+    val nV = 6
+    val cases = Seq(
+      // (label, v3, shardFactor, dense, chunkElems, frameChunk, n0, n1)
+      ("csr-v2-bootstrap", false, 1, false, 16, 8, 0, 37),
+      ("csr-v2-midchunk", false, 1, false, 64, 16, 33, 70),
+      ("csr-v2-aligned", false, 1, false, 16, 8, 32, 64),
+      ("csr-v3-sharded", true, 4, false, 16, 8, 21, 55),
+      ("csr-v3-bootstrap", true, 2, false, 32, 8, 0, 41),
+      ("dense-v2", false, 1, true, 48, 16, 25, 64),
+      ("dense-v3-sharded", true, 4, true, 48, 16, 19, 58))
+    cases.foreach { case (label, v3, sf, dense, ce, fcl, n0, n1) =>
+      def slice(lo: Long, hi: Long) = (
+        spark.range(hi - lo).select(col("id").as("obs_id"),
+          concat(lit("c"), col("id") + lo).as("obs_name"),
+          ((col("id") + lo) * 3 % 7).as("grp")),
+        spark.range(hi - lo).select(col("id").as("obs_id"))
+          .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+          .filter((col("obs_id") + lo + col("var_id") * 2) % 3 === 0)
+          .withColumn("value",
+            ((col("obs_id") + lo) * 5 + col("var_id") * 7) % 11 * 0.5))
+      val vars = spark.range(nV).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      def snap(p: String) = {
+        val ds = AnnZarr.open(spark, p)
+        (ds.obs.orderBy("obs_id").collect().map(_.toString).toSeq,
+          ds.x.orderBy("obs_id", "var_id").collect().map(_.toString).toSeq)
+      }
+      val dslots: Set[String] = if (dense) Set("X") else Set.empty
+      val grown = TestSpark.tmpDir("graft_zeq") + s"/$label-grown.zarr"
+      val (obs0, x0) = slice(0, n0)
+      AnnZarrWriter.write(AnnDataset(obs0, vars, x0), grown, chunkElems = ce,
+        v3 = v3, shardFactor = sf, frameChunkLen = fcl, denseSlots = dslots)
+      val (obs1, x1) = slice(n0, n1)
+      AnnZarrWriter.appendRows(obs1, x1, grown)
+      val oneShot = TestSpark.tmpDir("graft_zeq") + s"/$label-oneshot.zarr"
+      val (obsA, xA) = slice(0, n1)
+      AnnZarrWriter.write(AnnDataset(obsA, vars, xA), oneShot, chunkElems = ce,
+        v3 = v3, shardFactor = sf, frameChunkLen = fcl, denseSlots = dslots)
+      assert(snap(grown) == snap(oneShot), s"flavor $label diverged")
+    }
+  }
+
   test("raw slot and empty-x slot write and reopen") {
     val base = buildDataset()
     val rawVars = spark.range(30).select(col("id").as("var_id"),
