@@ -428,6 +428,22 @@ object AnnQueries {
         .orderBy("batch")
     }),
 
+    // STORE MIGRATION: the committed v2 fixture rewritten v3-SHARDED
+    // via migrate() — encodings detected from the source (dense slots
+    // stay dense, categorical columns stay categorical), reads and
+    // writes both executor-parallel — then a12's exact query runs on
+    // the MIGRATED store; same oracle, new layout
+    "a35_zarr_migrate_v3" -> ((spark, _) => {
+      val dst = migratedZarrV3(spark)
+      val ds = graft.zarr.AnnZarr.open(spark, dst)
+      ds.subsetObs(col("n_genes") < 25)
+        .subsetVars(col("highly_variable") === 1)
+        .perVarStats
+        .select(col("var_name"), col("n_obs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("var_name")
+    }),
+
     // MuData .h5mu SINK: writeMu lays out mod/rna + mod/adt in ONE real
     // HDF5 file with the MuData root encoding (what mudata-python's
     // write_h5mu produces) — reopened through the native openMu; the
@@ -713,6 +729,18 @@ object AnnQueries {
         p, chunkElems = 512,
         denseSlots = Set("obsm/X_pca"),
         categoricalCols = Set("obs/cell_type"))
+      p
+    })
+
+  /** a35 fixture: the committed pbmc.zarr v2 fixture migrated to a
+    * v3-sharded store (64-elem inner chunks, 4 per shard).
+    */
+  private def migratedZarrV3(spark: SparkSession): String =
+    written.getOrElseUpdate("zarr_migrated", synchronized {
+      val p = java.nio.file.Paths.get(
+        LifecycleQueries.TempRoot.dir("graft_sink"), "migrated3.zarr").toString
+      graft.zarr.AnnZarrWriter.migrate(spark, zarrFixture, p,
+        chunkElems = 64, v3 = true, shardFactor = 4)
       p
     })
 
@@ -1242,6 +1270,14 @@ object AnnQueries {
         |       CAST(sum(((i*11 + j*29) % 53) * 0.5) AS DOUBLE) AS sum_value
         |FROM range(240) t(i), range(32) s(j)
         |WHERE (i*5 + j*3) % 7 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a12's closed forms on the MIGRATED v3 layout
+    "a35_zarr_migrate_v3" ->
+      """SELECT 'gene' || j AS var_name, count(*) AS n_obs,
+        |       CAST(sum(((i*2 + j*13) % 19) * 0.5) AS DOUBLE) AS sum_value
+        |FROM range(300) t(i), range(40) s(j)
+        |WHERE (i*7) % 50 < 25 AND j % 3 = 0 AND (i*5 + j*11) % 23 = 0
+        |GROUP BY j ORDER BY var_name""".stripMargin,
 
     // same closed forms as a32, .h5mu container
     "a34_mudata_h5mu_sink" ->

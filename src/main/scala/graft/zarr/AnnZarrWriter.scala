@@ -687,6 +687,35 @@ object AnnZarrWriter {
     if (v3) ZarrStore.consolidateV3(path) else ZarrStore.consolidate(path)
   }
 
+  /** Migrate an AnnData-on-zarr store to a new layout (typically v2 →
+    * v3-sharded — the 16×-fewer-objects shape) ENCODING-FAITHFULLY:
+    * slots that are dense `array` grids in the source stay dense,
+    * `categorical` frame columns stay categorical — both detected from
+    * the source metadata, so a migration never silently degrades what
+    * [[write]]'s defaults would re-encode as csr/string. Reads and
+    * writes are both executor-parallel; the driver only moves axis
+    * metadata.
+    */
+  def migrate(spark: org.apache.spark.sql.SparkSession, src: String,
+              dst: String, chunkElems: Int = 65536, v3: Boolean = true,
+              shardFactor: Int = 16, frameChunkLen: Int = 65536): Unit = {
+    val ds = AnnZarr.open(spark, src)
+    val slots = Seq("X") ++ ds.layers.keys.map("layers/" + _) ++
+      ds.obsm.keys.map("obsm/" + _) ++ ds.varm.keys.map("varm/" + _) ++
+      ds.obsp.keys.map("obsp/" + _) ++ ds.raw.map(_ => "raw/X").toSeq
+    val dense = slots.filter(r => ZarrStore.isArray(src, r)).toSet
+    def cats(axis: String): Set[String] =
+      if (!ZarrStore.isGroup(src, axis)) Set.empty
+      else ZarrStore.children(src, axis)
+        .filter(c => !ZarrStore.isArray(src, s"$axis/$c") &&
+          ZarrStore.attrString(src, s"$axis/$c", "encoding-type")
+            .contains("categorical"))
+        .map(c => s"$axis/$c").toSet
+    write(ds, dst, chunkElems, v3, shardFactor, frameChunkLen,
+      denseSlots = dense,
+      categoricalCols = cats("obs") ++ cats("var") ++ cats("raw/var"))
+  }
+
   /** Write a MuData-on-zarr store: one AnnData group per modality under
     * `mod/`, the root carrying the MuData encoding — what mudata-python
     * produces and [[AnnZarr.openMu]] / the reference's MuData curator

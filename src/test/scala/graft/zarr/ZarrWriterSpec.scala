@@ -724,6 +724,34 @@ class ZarrWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("migrate: v2 fixture -> v3-sharded, encodings detected and preserved") {
+    val src = Seq("fixtures/zarr/pbmc.zarr", "/root/repo/fixtures/zarr/pbmc.zarr")
+      .find(p => new java.io.File(p).exists).get
+    val dst = TestSpark.tmpDir("graft_zmig") + "/mig3.zarr"
+    AnnZarrWriter.migrate(spark, src, dst, chunkElems = 64, v3 = true,
+      shardFactor = 4)
+    assert(ZarrStore.format(dst) == 3)
+    // the fixture's DENSE layers/log stays a dense grid, its
+    // categorical obs column stays categorical — encodings carried
+    // over from source metadata, not re-derived from the dataframes
+    assert(ZarrStore.isArray(src, "layers/log") ==
+      ZarrStore.isArray(dst, "layers/log"))
+    val srcCats = ZarrStore.children(src, "obs").filter(c =>
+      ZarrStore.attrString(src, s"obs/$c", "encoding-type").contains("categorical"))
+    assert(srcCats.nonEmpty, "fixture must carry a categorical column")
+    srcCats.foreach(c => assert(
+      ZarrStore.attrString(dst, s"obs/$c", "encoding-type").contains("categorical"),
+      s"obs/$c lost its categorical encoding"))
+    // values identical across the migration
+    val a = AnnZarr.open(spark, src)
+    val b = AnnZarr.open(spark, dst)
+    assert(a.x.orderBy("obs_id", "var_id").collect().map(_.toString).toSeq ==
+      b.x.orderBy("obs_id", "var_id").collect().map(_.toString).toSeq)
+    assert(a.obs.orderBy("obs_id").collect().map(_.toString).toSeq ==
+      b.obs.orderBy("obs_id").collect().map(_.toString).toSeq)
+    assert(a.uns == b.uns)
+  }
+
   test("raw slot and empty-x slot write and reopen") {
     val base = buildDataset()
     val rawVars = spark.range(30).select(col("id").as("var_id"),
