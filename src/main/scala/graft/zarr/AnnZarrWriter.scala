@@ -699,6 +699,18 @@ object AnnZarrWriter {
   def migrate(spark: org.apache.spark.sql.SparkSession, src: String,
               dst: String, chunkElems: Int = 65536, v3: Boolean = true,
               shardFactor: Int = 16, frameChunkLen: Int = 65536): Unit = {
+    // write() deletes dst up front while open(src)'s frames are lazy —
+    // an in-place (or nested) migration would destroy the source before
+    // any data is read. Migration must target a fresh path.
+    val srcP = new Path(src); val dstP = new Path(dst)
+    def contains(a: Path, b: Path): Boolean = {
+      var p: Path = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(srcP != dstP && !contains(srcP, dstP) && !contains(dstP, srcP),
+      s"migrate: dst ($dst) must be a fresh path outside src ($src) — " +
+        "in-place migration would delete the source before reading it")
     val ds = AnnZarr.open(spark, src)
     val slots = Seq("X") ++ ds.layers.keys.map("layers/" + _) ++
       ds.obsm.keys.map("obsm/" + _) ++ ds.varm.keys.map("varm/" + _) ++
@@ -942,8 +954,12 @@ object AnnZarrWriter {
             // boundary band: merge the committed rows already in store
             zaC.readChunk(Seq(gr, gc)).foreach { old =>
               val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
+              // only the COMMITTED prefix (rows < n0) survives the merge:
+              // rows >= n0 in the old object are leftovers of a
+              // truncateTo-rolled-back append and must not resurrect.
+              val keepRows = math.min(crC.toLong, math.max(0L, n0C - gr.toLong * crC)).toInt
               var k = 0
-              while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
+              while (k < keepRows * ccC) { buf(k) = bb.getDouble(k * 8); k += 1 }
             }
             it.foreach { case (r, c, v) =>
               buf(((r - gr.toLong * crC) * ccC + (c - gc.toLong * ccC)).toInt) = v
@@ -964,8 +980,11 @@ object AnnZarrWriter {
                 zaC.readChunk(Seq(gr * sfC + b, gc)).foreach { old =>
                   val bb = ByteBuffer.wrap(old).order(ByteOrder.LITTLE_ENDIAN)
                   val buf = new Array[Double](crC * ccC)
+                  // committed prefix only — a band straddling n0 may hold
+                  // rolled-back rows >= n0 that must not resurrect
+                  val keepRows = math.min(crC.toLong, n0C - bandRow).toInt
                   var k = 0
-                  while (k < buf.length) { buf(k) = bb.getDouble(k * 8); k += 1 }
+                  while (k < keepRows * ccC) { buf(k) = bb.getDouble(k * 8); k += 1 }
                   bands(b) = buf
                 }
               b += 1

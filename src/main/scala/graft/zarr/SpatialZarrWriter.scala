@@ -81,11 +81,18 @@ object SpatialZarrWriter {
     val sel = axes.map(a => col(a).cast("long")) :+ col("value").cast("double")
     val gridC = grid; val chunksC = chunks.toArray; val rankC = rank
     val dtypeC = dtype; val pathC = path; val relC = rel
+    val shapeC = shape.toArray
     val es = esize(dtype)
     coo.select(sel: _*)
       .rdd
       .map { row =>
         val coords = Array.tabulate(rankC)(row.getLong)
+        var c = 0
+        while (c < rankC) {
+          require(coords(c) >= 0 && coords(c) < shapeC(c),
+            s"$relC: coordinate ${coords(c)} on axis $c out of [0, ${shapeC(c)})")
+          c += 1
+        }
         var obj = 0
         var i = 0
         while (i < rankC) { obj = obj * gridC(i) + (coords(i) / chunksC(i)).toInt; i += 1 }
@@ -142,8 +149,11 @@ object SpatialZarrWriter {
     zgroup(path, s"$kind/$name", Some(multiscalesAttrs(spec, labels)))
     (0 until spec.levels).foreach { k =>
       val stride = 1L << k
+      // ceil, not floor: stride downsampling keeps coordinates divisible
+      // by 2^k, so an odd extent s yields ceil(s/stride) samples — floor
+      // would place the last kept sample AT the declared extent.
       val lvlShape = spec.axes.zip(spec.shape).map { case (a, s) =>
-        if (a == "c") s else s / stride
+        if (a == "c") s else (s + stride - 1) / stride
       }
       val lvl =
         if (k == 0) spec.coo

@@ -150,6 +150,44 @@ class SpatialZarrSpec extends AnyFunSuite {
       "open must plan from the consolidated root")
   }
 
+  test("pyramid with ODD spatial extents: level shapes are ceil(s/stride)") {
+    // 33x33, 3 levels: stride keeps coords divisible by 2^k, so coord 32
+    // survives to every level — level shapes must be ceil (17, 9), not
+    // floor (16, 8), or the last kept sample lands AT the declared extent
+    val p = TestSpark.tmpDir("graft_sdo") + "/odd.zarr"
+    val img = spark.range(33).select(col("id").as("y"))
+      .crossJoin(spark.range(33).select(col("id").as("x")))
+      .withColumn("value", (col("y") * 7 + col("x") * 3) % 256)
+    SpatialZarrWriter.write(spark, p,
+      images = Map("odd" -> SpatialZarrWriter.ImageSpec(
+        img, Seq("y", "x"), Seq(33L, 33L), Seq(16, 16),
+        dtype = "|u1", levels = 3)))
+    val pyr = SpatialZarr.open(spark, p).images("odd")
+    assert(pyr.shape(1) == Seq(17L, 17L) && pyr.shape(2) == Seq(9L, 9L))
+    // the corner sample (32,32) survives at every level, value intact
+    (1 to 2).foreach { k =>
+      val s = 1L << k
+      val v = pyr.coo(spark, k)
+        .filter(col("y") === 32 / s && col("x") === 32 / s).head().getDouble(2)
+      assert(v == (32 * 7 + 32 * 3) % 256, s"level $k corner")
+    }
+    assert(pyr.coo(spark, 1).count() == 17L * 17)
+  }
+
+  test("writeDenseNd rejects out-of-range coordinates (no silent id corruption)") {
+    val p = TestSpark.tmpDir("graft_sdr") + "/bad.zarr"
+    val img = spark.range(3).select(col("id").as("y"), col("id").as("x"))
+      .withColumn("value", lit(1.0))
+      .union(spark.range(1).select(lit(40L).as("y"), lit(0L).as("x"), lit(2.0)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      SpatialZarrWriter.write(spark, p,
+        images = Map("bad" -> SpatialZarrWriter.ImageSpec(
+          img, Seq("y", "x"), Seq(32L, 32L), Seq(16, 16), dtype = "|u1")))
+    }
+    assert(ex.getMessage.contains("out of") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of")))
+  }
+
   test("labels element: int decode, block structure") {
     val sd = SpatialZarr.open(spark, root)
     val lab = sd.labels("segmentation")

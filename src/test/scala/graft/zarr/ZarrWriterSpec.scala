@@ -558,6 +558,66 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(AnnZarr.open(spark, p).x.count() == 90 * nV)
   }
 
+  test("dense append after truncateTo: rolled-back rows do not resurrect") {
+    // crash-recovery contract: truncateTo is a COMPLETE undo. Append a
+    // dense batch writing 9.0 everywhere, roll it back, then append a
+    // DIFFERENT (all-zero-implicit) batch — the boundary-band merge must
+    // not resurrect the undone 9.0 cells. Exercises both the v2 chunk
+    // branch and the v3 row-sharded branch (band straddling n0).
+    val nV = 8
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    def obsFor(pfx: String, n: Int) = spark.range(n).select(
+      col("id").as("obs_id"), concat(lit(pfx), col("id")).as("obs_name"))
+    val x0 = spark.range(50).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+      .withColumn("value", (col("obs_id") + col("var_id")) % 4 * 1.0)
+    for ((v3, sf, tag) <- Seq((false, 1, "v2"), (true, 4, "v3s"))) {
+      val p = TestSpark.tmpDir(s"graft_ghost$tag") + "/g.zarr"
+      AnnZarrWriter.write(AnnDataset(obsFor("c", 50), vars, x0), p,
+        chunkElems = 64, v3 = v3, shardFactor = sf,
+        frameChunkLen = 32, denseSlots = Set("X"))
+      // batch A: rows 50-69, every cell 9.0 — then undo it
+      val xa = spark.range(20).select(col("id").as("obs_id"))
+        .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+        .withColumn("value", lit(9.0))
+      AnnZarrWriter.appendRows(obsFor("a", 20), xa, p)
+      AnnZarrWriter.truncateTo(p, 50, 50)
+      // batch B: rows 50-69, only var 0 set to 1.0, rest implicit zero
+      val xb = spark.range(20).select(col("id").as("obs_id"),
+        lit(0L).as("var_id"), lit(1.0).as("value"))
+      AnnZarrWriter.appendRows(obsFor("b", 20), xb, p)
+      val got = AnnZarr.open(spark, p).x
+        .filter(col("obs_id") >= 50).orderBy("obs_id", "var_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == 20 * nV, tag)
+      got.foreach { case (i, k, v) =>
+        val expect = if (k == 0) 1.0 else 0.0
+        assert(v == expect, s"$tag ($i,$k): got $v expected $expect — ghost cell")
+      }
+    }
+  }
+
+  test("migrate refuses in-place / nested destinations") {
+    val base = TestSpark.tmpDir("graft_migguard")
+    val p = base + "/src.zarr"
+    val obs = spark.range(5).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(3).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(5).select(col("id").as("obs_id"),
+      lit(0L).as("var_id"), lit(1.0).as("value"))
+    AnnZarrWriter.write(AnnDataset(obs, vars, x), p)
+    for (dst <- Seq(p, p + "/nested.zarr", base)) {
+      val ex = intercept[IllegalArgumentException] {
+        AnnZarrWriter.migrate(spark, p, dst)
+      }
+      assert(ex.getMessage.contains("fresh path"), dst)
+    }
+    // the source store is intact after the refused migrations
+    assert(AnnZarr.open(spark, p).obs.count() == 5)
+  }
+
   test("truncateTo rolls back a v3 sharded store (crash-recovery contract)") {
     val p = TestSpark.tmpDir("graft_ztr3") + "/grow3.zarr"
     val obs0 = spark.range(50).select(col("id").as("obs_id"),
