@@ -102,6 +102,24 @@ object Bench {
     // the warmup region so the timed entries measure per-batch cost only
     initNewDocsKeys(spark)
 
+    // Everything persisted up to here (the 1M-key corpus cache, bridge
+    // ingest) is a deliberate steady-state fixture; everything persisted
+    // AFTER this point is an entry's leftover.
+    val fixtureRddIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+    // Round-11 verdict: entries leaked checkpointed/persisted RDDs into
+    // the shared JVM (b07's CC rounds especially) and later entries paid
+    // the accumulated block-manager pressure — in-suite medians drifted
+    // 3-8x above the fresh-JVM protocol on b07/m03/d10. Sweep each
+    // entry's leftovers (keeping the warmup-region fixture caches) so
+    // every entry starts from the clean state a fresh JVM would give it.
+    def isolate(): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!fixtureRddIds(id)) rdd.unpersist(blocking = true)
+      }
+      System.gc()
+    }
+
     def time(body: => Any): Double = {
       val t0 = System.nanoTime()
       try body catch { case _: Throwable => return -1.0 }
@@ -117,10 +135,12 @@ object Bench {
     // simhash aggregate — round-6 verdict), which is JIT cost, not plan
     // cost, and was polluting run 1 of the median.
     def median3(body: => Any): (Double, Double) = {
-      if (time(body) < 0) return (-1.0, -1.0) // plan-warm (codegen compile)
-      val runs = Seq.fill(3)(time(body))
-      if (runs.exists(_ < 0)) (-1.0, -1.0)
-      else (runs.sorted.apply(1), runs.min)
+      try {
+        if (time(body) < 0) return (-1.0, -1.0) // plan-warm (codegen compile)
+        val runs = Seq.fill(3)(time(body))
+        if (runs.exists(_ < 0)) (-1.0, -1.0)
+        else (runs.sorted.apply(1), runs.min)
+      } finally isolate()
     }
 
     // toRdd.count() evaluates the query's full output schema per row but

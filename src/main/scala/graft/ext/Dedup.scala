@@ -684,6 +684,17 @@ object Dedup {
     * (`lamindb/models/_is_versioned.py:271-336`); here the whole corpus
     * resolves in a handful of distributed rounds.
     */
+  /** Release the persisted blocks behind a localCheckpoint'ed frame.
+    * Dataset.unpersist only uncaches cacheManager entries; a checkpoint
+    * persists at the RDD level, reachable through the LogicalRDD leaf.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -701,6 +712,10 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var done = false
+    // previous round's stepped checkpoint: next round's lazy `labels`
+    // (the jump) reads it during that round's probe, so it can only be
+    // freed AFTER the following probe materializes the jump.
+    var prevStepped: DataFrame = null
     while (!done && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
@@ -725,20 +740,40 @@ object Dedup {
       // only some checkpoint partitions and push the rest into later
       // consumers. Empty edges converge on round 0, no separate isEmpty.
       done = stepped.filter(col("comp") =!= col("old_comp")).count() == 0
+      // the probe materialized `stepped` (and the current lazy `labels`
+      // checkpoint that feeds it) — the round-before-last's stepped is
+      // now dead. Without this, every CC call leaked ~2 checkpointed
+      // RDDs per round into the block manager (round-11 verdict: later
+      // bench entries paid for the accumulated pressure).
+      if (prevStepped != null) { freeCheckpoint(prevStepped); prevStepped = null }
       if (!done) {
         // pointer jump: follow the label one hop (comp is itself a node
         // id). Also a lazy checkpoint: both of next round's consumers
         // read it during next round's probe job, computing the jump join
         // over the ALREADY-cached stepped — no separate eager pass.
+        val oldLabels = labels
         labels = stepped
           .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
           .localCheckpoint(false)
+        // the jump reads only `stepped`; the pre-step labels are dead
+        freeCheckpoint(oldLabels)
+        prevStepped = stepped
+      } else {
+        // converged: stepped equals labels in comp — the pre-step labels
+        // (already materialized) are what we return; drop the duplicate
+        freeCheckpoint(stepped)
       }
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (prevStepped != null) {
+      // maxIters exhausted with a still-lazy final jump: materialize it
+      // so its stepped input can be freed (pathological case only)
+      labels.count()
+      freeCheckpoint(prevStepped)
+    }
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 

@@ -27,9 +27,10 @@ import graft.zarr.{AnnZarrWriter, ZarrStore}
   * Exactly-once effect without a transactional sink, via two ledger
   * objects at the store root:
   *
-  *  - `.graft_batches` — applied batch ids; `foreachBatch` may
-  *    redeliver a batch after failure, and an id already in the ledger
-  *    is skipped.
+  *  - `.graft_batches` — applied batch ids as a CONSTANT-SIZE
+  *    max-contiguous-id + tail-set record (see [[Ledger]]); `foreachBatch`
+  *    may redeliver a batch after failure, and an id already in the
+  *    ledger is skipped.
   *  - `.graft_pending` — written BEFORE appendRows with the batch id
   *    and the pre-append extents `(nObs, nnz)`. A crash mid-append
   *    leaves the marker behind; the next batch (or restart) finds it,
@@ -54,13 +55,38 @@ object ZarrStreamSink {
   private val LedgerName = ".graft_batches"
   private val PendingName = ".graft_pending"
 
-  private def appliedBatches(path: String): Set[Long] = {
-    ZarrStore.readBytes(path, LedgerName) match {
-      case Some(b) => new String(b, java.nio.charset.StandardCharsets.UTF_8)
-        .split('\n').filter(_.nonEmpty).map(_.toLong).toSet
-      case None => Set.empty
+  /** Applied-batch ledger, CONSTANT-SIZE per trigger: `contig` is the
+    * largest id M with every id in [0, M] applied; `tail` holds the few
+    * applied ids above a gap (engine batch ids are monotonic, so the
+    * tail is empty or one element in practice). The round-11 format —
+    * every applied id, re-read and rewritten whole each batch — made a
+    * long-running stream's ledger cost O(applied batches) per trigger
+    * and its size unbounded; this one is one small atomic PUT.
+    */
+  private[streaming] final case class Ledger(contig: Long, tail: Set[Long]) {
+    def contains(id: Long): Boolean = id <= contig || tail(id)
+    def add(id: Long): Ledger = {
+      var c = contig
+      var t = tail + id
+      while (t(c + 1)) { t -= (c + 1); c += 1 }
+      Ledger(c, t)
     }
+    def serialize: String =
+      s"v2 $contig" + tail.toSeq.sorted.map("\n" + _).mkString + "\n"
   }
+
+  private[streaming] def readLedger(path: String): Ledger =
+    ZarrStore.readBytes(path, LedgerName) match {
+      case Some(b) =>
+        val lines = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          .split('\n').filter(_.nonEmpty)
+        if (lines.headOption.exists(_.startsWith("v2 ")))
+          lines.tail.map(_.toLong)
+            .foldLeft(Ledger(lines.head.stripPrefix("v2 ").toLong, Set.empty[Long]))(_ add _)
+        else // round-11 stores: one id per line — fold into the new form
+          lines.map(_.toLong).foldLeft(Ledger(-1L, Set.empty[Long]))(_ add _)
+      case None => Ledger(-1L, Set.empty)
+    }
 
   private def writeObject(path: String, rel: String, content: String): Unit = {
     val out = ZarrStore.fs(path).create(new Path(path, rel), true)
@@ -68,14 +94,11 @@ object ZarrStreamSink {
     finally out.close()
   }
 
-  private def recordBatch(path: String, batchId: Long): Unit = {
-    val prior = ZarrStore.readBytes(path, LedgerName)
-      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")
-    writeObject(path, LedgerName, prior + batchId + "\n")
-  }
+  private def recordBatch(path: String, ledger: Ledger, batchId: Long): Unit =
+    writeObject(path, LedgerName, ledger.add(batchId).serialize)
 
   /** Undo a half-applied append from a previous incarnation, if any. */
-  private def recoverPending(path: String, applied: Set[Long]): Unit =
+  private def recoverPending(path: String, applied: Ledger): Unit =
     ZarrStore.readBytes(path, PendingName).foreach { b =>
       val parts = new String(b, java.nio.charset.StandardCharsets.UTF_8)
         .trim.split(',')
@@ -104,7 +127,7 @@ object ZarrStreamSink {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val applied = appliedBatches(path)
+          val applied = readLedger(path)
           recoverPending(path, applied)
           if (!applied.contains(batchId)) {
             // local obs ids in obs_name order — batches are microbatch-
@@ -135,7 +158,7 @@ object ZarrStreamSink {
               else ZarrStore.openArray(path, "X/data").shape.head
             writeObject(path, PendingName, s"$batchId,$n0,$nnz0")
             AnnZarrWriter.appendRows(obs, x, path)
-            recordBatch(path, batchId)
+            recordBatch(path, applied, batchId)
             ZarrStore.fs(path).delete(new Path(path, PendingName), false)
             ()
           }

@@ -33,8 +33,10 @@ import graft.artifact.{AnnDataset, UnsValue}
   * There is no single-writer bottleneck like the HDF5 container's
   * one-file append ([[graft.h5.AnnH5Writer]] streams through the driver
   * by necessity — inherent to the format, not to the engine). Axis
-  * frames / indptr / uns stay driver-written (axis-metadata-sized by
-  * the same contract as the readers).
+  * frames and indptr also write EXECUTOR-SIDE once they span more than
+  * one chunk ([[writeFrameDistributed]] / [[writeCsrDistributed]] — the
+  * driver holds chunk-level offsets only); single-chunk frames and uns
+  * keep the simple driver path (bounded by one chunk).
   */
 object AnnZarrWriter {
 
@@ -229,18 +231,38 @@ object AnnZarrWriter {
 
   // ------------------------------------------------------------ dataframe
 
+  /** Test probe: axis rows collected driver-side by the small-frame
+    * paths (writeFrame / writeCsr indptr). The distributed paths never
+    * touch it — specs assert it stays 0 for multi-chunk frames.
+    */
+  private[zarr] val driverAxisRowsProbe = new java.util.concurrent.atomic.AtomicLong
+
   /** An axis DataFrame as an anndata `dataframe` group (same column
     * contract as [[graft.h5.AnnH5Writer]]: `rowIdName` is the axis
     * position, `idName` becomes `_index`; a missing name column
     * synthesizes positional labels).
+    *
+    * A frame that spans more than one chunk is written EXECUTOR-SIDE
+    * ([[writeFrameDistributed]]): one shuffle groups rows by their
+    * chunk-aligned object, each task packs + writes that chunk's object
+    * for every column — the driver writes metadata and the (dictionary-
+    * sized) category arrays only. Single-chunk frames keep the simple
+    * driver path: the collect is bounded by one chunk (≤ `chunkLen`
+    * rows), so the 10⁸-row obs frame of a large store never routes
+    * through the driver.
     */
   private def writeFrame(root: String, rel: String, df: DataFrame,
                          rowIdName: String, idName: String, v3: Boolean,
                          chunkLen: Int = 65536,
                          catCols: Set[String] = Set.empty): Long = {
+    val nTotal = df.count()
+    if (nTotal > chunkLen)
+      return writeFrameDistributed(root, rel, df, rowIdName, idName, v3,
+        chunkLen, catCols, nTotal)
     val cols = df.columns.filter(c => c != rowIdName && c != idName)
     val rows = df.orderBy(rowIdName).collect()
     val n = rows.length.toLong
+    driverAxisRowsProbe.addAndGet(n)
     // chunk length is a CONSTANT, never derived from the current row
     // count: a store bootstrapped empty (the streaming-sink pattern)
     // must not inherit degenerate 1-element chunks for the rest of its
@@ -311,6 +333,120 @@ object AnnZarrWriter {
       array1d(root, s"$rel/$cn", dtype, n, chunkLen, enc("array", "0.2.0"), pad, v3)
       }
     }
+    n
+  }
+
+  /** Executor-parallel axis-frame write: same store layout as the
+    * driver path, but every chunk object is packed and written by the
+    * task that owns it. Driver work is metadata-only plus the
+    * category dictionaries (distinct-value-sized by the categorical
+    * contract, like the ML loader's broadcast dictionaries).
+    */
+  private def writeFrameDistributed(root: String, rel: String, df: DataFrame,
+                                    rowIdName: String, idName: String,
+                                    v3: Boolean, chunkLen: Int,
+                                    catCols: Set[String], n: Long): Long = {
+    val cols = df.columns.filter(c => c != rowIdName && c != idName)
+    val hasName = df.columns.contains(idName)
+    zgroup(root, rel,
+      Some(s"""{"_index":"_index","column-order":[${cols.map(jstr).mkString(",")}],""" +
+        s""""encoding-type":"dataframe","encoding-version":"0.2.0"}"""), v3)
+    // per-column plan: normalized select position, dtype, kind
+    // kinds: 'S' string, 'C' categorical (codes), 'F' f8, 'B' bool, 'L' i8
+    val specs: Seq[(String, Char, String)] = cols.map { cn =>
+      if (catCols.contains(cn)) (cn, 'C', "<i8")
+      else df.schema(cn).dataType match {
+        case StringType => (cn, 'S', "|O")
+        case DoubleType | FloatType => (cn, 'F', "<f8")
+        case BooleanType => (cn, 'B', "|b1")
+        case _ => (cn, 'L', "<i8")
+      }
+    }
+    // category dictionaries + metadata, driver-side (dictionary-sized)
+    val catDicts: Map[String, Array[String]] = specs.collect {
+      case (cn, 'C', _) =>
+        cn -> df.select(col(cn).cast("string")).filter(col(cn).isNotNull)
+          .distinct().collect().map(_.getString(0)).sorted
+    }.toMap
+    arrayMeta(root, s"$rel/_index", Seq(n), Seq(chunkLen), "|O",
+      vlen = true, enc("string-array", "0.2.0"), v3)
+    specs.foreach { case (cn, kind, dtype) =>
+      if (kind == 'C') {
+        val cats = catDicts(cn)
+        zgroup(root, s"$rel/$cn", Some("""{"encoding-type":"categorical",""" +
+          """"encoding-version":"0.2.0","ordered":false}"""), v3)
+        array1d(root, s"$rel/$cn/categories", "|O", cats.length.toLong, chunkLen,
+          enc("string-array", "0.2.0"), { c =>
+            val lo = c * chunkLen
+            Array.tabulate(chunkLen)(k =>
+              if (lo + k < cats.length) cats(lo + k) else null)
+          }, v3)
+        arrayMeta(root, s"$rel/$cn/codes", Seq(n), Seq(chunkLen), "<i8",
+          vlen = false, enc("array", "0.2.0"), v3)
+      } else
+        arrayMeta(root, s"$rel/$cn", Seq(n), Seq(chunkLen), dtype,
+          vlen = kind == 'S',
+          enc(if (kind == 'S') "string-array" else "array", "0.2.0"), v3)
+    }
+    // normalized row: _rid, _index, then one slot per column
+    val sel: Seq[org.apache.spark.sql.Column] =
+      col(rowIdName).cast("long").as("_rid") +:
+        (if (hasName) col(idName).cast("string") else col(rowIdName).cast("string")).as("_ix") +:
+        specs.map { case (cn, kind, _) =>
+          kind match {
+            case 'C' | 'S' => col(cn).cast("string").as(cn)
+            case 'F' => col(cn).cast("double").as(cn)
+            case 'B' => col(cn).cast("boolean").as(cn)
+            case _ => col(cn).cast("long").as(cn)
+          }
+        }
+    val spark = df.sparkSession
+    val dictsB = spark.sparkContext.broadcast(
+      catDicts.map { case (k, v) => k -> v.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap })
+    val rootC = root; val relC = rel; val v3C = v3; val nC = n
+    val chunkLenC = chunkLen; val specsC = specs
+    val nChunks = ((n + chunkLen - 1) / chunkLen).toInt
+    df.select(sel: _*)
+      .rdd
+      .map(row => (row.getLong(0) / chunkLenC, row))
+      .groupByKey(math.min(nChunks, math.max(1, spark.sparkContext.defaultParallelism)))
+      .foreach { case (c, it) =>
+        val lo = c * chunkLenC
+        val live = math.min(chunkLenC.toLong, nC - lo).toInt
+        val rows = new Array[Row](live)
+        var seen = 0
+        it.foreach { r => rows((r.getLong(0) - lo).toInt) = r; seen += 1 }
+        require(seen == live, s"$relC chunk $c: $seen of $live rows " +
+          "(axis positions must be contiguous 0..n-1)")
+        val key = chunkKey1d(c, v3C)
+        // _index object
+        writeBytes(rootC, s"$relC/_index/$key", encodeChunk(
+          packVlen(Array.tabulate(chunkLenC)(k =>
+            if (k < live) rows(k).getString(1) else null)), v3C))
+        specsC.zipWithIndex.foreach { case ((cn, kind, dtype), j) =>
+          val f = j + 2 // field offset past _rid, _ix
+          val raw = kind match {
+            case 'S' => packVlen(Array.tabulate(chunkLenC)(k =>
+              if (k < live) rows(k).getString(f) else null))
+            case 'C' =>
+              val dict = dictsB.value(cn)
+              packNum("<i8", Array.tabulate(chunkLenC)(k =>
+                if (k < live) {
+                  val s = rows(k).getString(f)
+                  if (s == null) -1.0 else dict(s).toDouble
+                } else 0.0))
+            case _ => packNum(dtype, Array.tabulate(chunkLenC)(k =>
+              if (k < live && !rows(k).isNullAt(f)) (kind match {
+                case 'F' => rows(k).getDouble(f)
+                case 'B' => if (rows(k).getBoolean(f)) 1.0 else 0.0
+                case _ => rows(k).getLong(f).toDouble
+              }) else 0.0))
+          }
+          val target = if (kind == 'C') s"$relC/$cn/codes/$key" else s"$relC/$cn/$key"
+          writeBytes(rootC, target, encodeChunk(raw, v3C))
+        }
+      }
+    dictsB.unpersist()
     n
   }
 
@@ -430,14 +566,14 @@ object AnnZarrWriter {
                        v3: Boolean, shardFactor: Int,
                        ptrChunkLen: Int = 65536): Unit = {
     val spark = coo.sparkSession
-    // indptr is built driver-side by the axis-metadata contract (same
-    // in-memory axis-frame semantics as the reference's accessor); the
-    // guard makes the 10^9-row failure mode a clear error, not an OOM —
-    // beyond it, shard the store (multiple members) instead
-    require(nRows < Int.MaxValue - 1,
-      s"$rel: $nRows rows exceed the driver-side indptr contract")
+    if (nRows > ptrChunkLen)
+      return writeCsrDistributed(root, rel, coo, rowCol, colCol, nRows, nCols,
+        chunkElems, v3, shardFactor, ptrChunkLen)
+    // single-indptr-chunk store: the simple driver path — the collect is
+    // bounded by one chunk (≤ `ptrChunkLen` rows)
     val perRow = coo.groupBy(col(rowCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
+    driverAxisRowsProbe.addAndGet(nRows)
     val indptr = new Array[Long](nRows.toInt + 1)
     (0 until nRows.toInt).foreach(i => indptr(i + 1) = indptr(i) + perRow.getOrElse(i.toLong, 0L))
     val nnz = indptr.last
@@ -513,6 +649,148 @@ object AnnZarrWriter {
         }
       }
     ptrB.unpersist()
+  }
+
+  /** Executor-parallel csr write for frames whose indptr spans more
+    * than one chunk: the driver holds only CHUNK-LEVEL totals (one long
+    * per `ptrChunkLen` rows — ~15k entries at 10⁹ rows), never a
+    * row-sized array.
+    *
+    *  1. per-row counts (one shuffle on the row key), aggregated to
+    *     per-indptr-chunk totals; the driver prefix-sums those into
+    *     chunk base offsets (and nnz) and broadcasts the small array.
+    *  2. indptr chunk objects: chunk ids cogrouped with their rows —
+    *     each task walks its ≤`ptrChunkLen` indices, filling gaps for
+    *     element-less rows, and writes its own object (all-zero-count
+    *     chunks included: an indptr value is cumulative, never fill).
+    *  3. element positions: row start = chunk base + a within-chunk
+    *     prefix sum (a window PARTITIONED by chunk — bounded state),
+    *     joined back to the elements on the row key they are already
+    *     shuffled on; then the usual group-by-store-object write.
+    */
+  private def writeCsrDistributed(root: String, rel: String, coo: DataFrame,
+                                  rowCol: String, colCol: String,
+                                  nRows: Long, nCols: Long, chunkElems: Int,
+                                  v3: Boolean, shardFactor: Int,
+                                  ptrChunkLen: Int): Unit = {
+    val spark = coo.sparkSession
+    val L = ptrChunkLen
+    val nRowChunks = ((nRows + L - 1) / L).toInt
+    val nPtrChunks = ((nRows + 1 + L - 1) / L).toInt
+    val rowCounts = coo
+      .groupBy(col(rowCol).cast("long").as("r")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // chunk totals -> driver prefix sum (chunk-count-sized)
+    val totals = rowCounts
+      .groupBy((col("r") / L).cast("int").as("pc")).agg(sum("cnt").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val base = new Array[Long](nRowChunks + 1)
+    (0 until nRowChunks).foreach(c => base(c + 1) = base(c) + totals.getOrElse(c, 0L))
+    val nnz = base(nRowChunks)
+
+    zgroup(root, rel, Some(
+      s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0","shape":[$nRows,$nCols]}"""), v3)
+    arrayMeta(root, s"$rel/indptr", Seq(nRows + 1), Seq(L), "<i8",
+      vlen = false, enc("array", "0.2.0"), v3)
+    val rootC = root; val relC = rel; val v3C = v3
+    val nRowsC = nRows; val nnzC = nnz; val LC = L
+    val baseB = spark.sparkContext.broadcast(base)
+    val sc = spark.sparkContext
+    // (2) indptr objects — cogroup so all-zero chunks still get written
+    sc.range(0, nPtrChunks).map(c => (c, ()))
+      .cogroup(rowCounts.rdd.map(r => (r.getLong(0) / LC, (r.getLong(0), r.getLong(1)))),
+        math.min(nPtrChunks, math.max(1, sc.defaultParallelism)))
+      .foreach { case (c, (marker, rows)) =>
+        if (marker.nonEmpty) {
+          val lo = c * LC
+          val hi = math.min(lo + LC, nRowsC + 1)
+          val sorted = rows.toArray.sortBy(_._1)
+          val vals = new Array[Long](LC) // edge padded with 0
+          var cur = baseB.value(math.min(c, baseB.value.length - 1).toInt)
+          var si = 0
+          var idx = lo
+          while (idx < hi) {
+            while (si < sorted.length && sorted(si)._1 < idx) {
+              cur += sorted(si)._2; si += 1
+            }
+            vals((idx - lo).toInt) = if (idx == nRowsC) nnzC else cur
+            idx += 1
+          }
+          val bb = ByteBuffer.allocate(LC * 8).order(ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(bb.putLong)
+          writeBytes(rootC, s"$relC/indptr/${chunkKey1d(c, v3C)}",
+            encodeChunk(bb.array(), v3C))
+        }
+      }
+
+    // data/indices metadata + objects (same layout as the driver path)
+    val objElems = if (v3) chunkElems.toLong * shardFactor else chunkElems.toLong
+    require(objElems <= Int.MaxValue,
+      s"$rel: chunkElems * shardFactor = $objElems exceeds Int.MaxValue")
+    if (v3) {
+      arrayMeta(root, s"$rel/data", Seq(nnz), Seq(objElems.toInt), "<f8",
+        vlen = false, enc("array", "0.2.0"), v3 = true, inner = Some(Seq(chunkElems)))
+      arrayMeta(root, s"$rel/indices", Seq(nnz), Seq(objElems.toInt), "<i8",
+        vlen = false, enc("array", "0.2.0"), v3 = true, inner = Some(Seq(chunkElems)))
+    } else {
+      arrayMeta(root, s"$rel/data", Seq(nnz), Seq(chunkElems), "<f8",
+        vlen = false, enc("array", "0.2.0"), v3 = false)
+      arrayMeta(root, s"$rel/indices", Seq(nnz), Seq(chunkElems), "<i8",
+        vlen = false, enc("array", "0.2.0"), v3 = false)
+    }
+    if (nnz == 0) { rowCounts.unpersist(blocking = false); baseB.unpersist(); return }
+
+    // (3) row starts: chunk base + within-chunk prefix (bounded window)
+    val baseDf = spark.createDataFrame(
+      (0 until nRowChunks).map(c => (c, base(c)))).toDF("pc", "pcbase")
+    val w = Window.partitionBy("pc").orderBy("r")
+    val rowStarts = rowCounts
+      .withColumn("pc", (col("r") / L).cast("int"))
+      .withColumn("local", sum(col("cnt")).over(w) - col("cnt"))
+      .join(broadcast(baseDf), "pc")
+      .select(col("r"), (col("pcbase") + col("local")).as("start"))
+    val nObjects = math.max(1L, (nnz + objElems - 1) / objElems).toInt
+    val elems = coo
+      .select(col(rowCol).cast("long").as("r"), col(colCol).cast("long").as("c"),
+        col("value").cast("double").as("v"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("r").orderBy("c")).cast("long") - 1)
+      .join(rowStarts, "r")
+      .select((col("start") + col("rk")).as("e"), col("c"), col("v"))
+    val chunkC = chunkElems; val objElemsC = objElems
+    elems.rdd
+      .map { row =>
+        val e = row.getLong(0)
+        ((e / objElemsC).toInt, (e, row.getLong(1), row.getDouble(2)))
+      }
+      .groupByKey(math.min(nObjects, math.max(1, sc.defaultParallelism)))
+      .foreach { case (obj, it) =>
+        val bse = obj.toLong * objElemsC
+        val m = math.min(objElemsC, nnzC - bse).toInt
+        val dataV = new Array[Double](m)
+        val indV = new Array[Long](m)
+        var seen = 0
+        it.foreach { case (e, j, v) =>
+          val k = (e - bse).toInt
+          dataV(k) = v; indV(k) = j; seen += 1
+        }
+        require(seen == m, s"$relC object $obj: $seen of $m elements")
+        if (!v3C) {
+          val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+          dataV.foreach(db.putDouble)
+          val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+          indV.foreach(ib.putLong)
+          writeBytes(rootC, s"$relC/data/$obj", zlibEncode(db.array()))
+          writeBytes(rootC, s"$relC/indices/$obj", zlibEncode(ib.array()))
+        } else {
+          writeBytes(rootC, s"$relC/data/c/$obj",
+            shardBytes(objElemsC.toInt, chunkC, m, packDoubles(dataV, chunkC)))
+          writeBytes(rootC, s"$relC/indices/c/$obj",
+            shardBytes(objElemsC.toInt, chunkC, m, packLongs(indV, chunkC)))
+        }
+      }
+    rowCounts.unpersist(blocking = false)
+    baseB.unpersist()
   }
 
   /** One `sharding_indexed` shard object: the committed prefix (`m` of

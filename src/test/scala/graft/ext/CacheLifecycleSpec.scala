@@ -59,6 +59,32 @@ class CacheLifecycleSpec extends AnyFunSuite {
     awaitNoPersistentRdds()
   }
 
+  test("connectedComponents retains only the final labels checkpoint") {
+    // Round-11 verdict: CC leaked ~2 checkpointed RDDs per pointer-jump
+    // round (never unpersisted), and bench entries after b07 paid the
+    // accumulated block-manager pressure. Contract now: after the result
+    // is materialized, at most ONE persistent RDD (the returned labels
+    // checkpoint) remains, regardless of iteration count.
+    spark.sharedState.cacheManager.clearCache()
+    awaitNoPersistentRdds()
+
+    // scoped in a def so the result reference dies on return and the
+    // ContextCleaner can drain the one legitimate checkpoint below
+    def run(): Unit = {
+      // 200 chains of diameter 20 -> multiple jump rounds
+      val edges = spark.range(0, 4000).filter(col("id") % 20 =!= 19)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val cc = Dedup.connectedComponents(edges)
+      assert(cc.select("cluster_id").distinct().count() == 200)
+      val live = spark.sparkContext.getPersistentRDDs
+      assert(live.size <= 1,
+        s"CC leaked per-round checkpoints: ${live.size} persistent RDDs remain")
+    }
+    run()
+    // once the caller drops the result, everything drains
+    awaitNoPersistentRdds()
+  }
+
   test("bloom-routed ingest dedup releases the candidate sliver on both paths") {
     spark.sharedState.cacheManager.clearCache()
     awaitNoPersistentRdds()

@@ -173,6 +173,54 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(mods("adt").x.count() == 5)
   }
 
+  test("ledger object stays constant-size across batches (O(1) per trigger)") {
+    // round-11 format grew one line per applied batch and was re-read +
+    // rewritten whole every trigger; the v2 record is max-contiguous-id
+    // + tail set, so a year-long stream's ledger is still one tiny PUT
+    val dir = TestSpark.tmpDir("graft_zssL")
+    stageSource(dir)
+    val store = s"$dir/grow.zarr"
+    emptyStore(store)
+    runStream(dir, store, s"$dir/ckpt")
+    val ledger = new java.io.File(s"$store/.graft_batches")
+    assert(ledger.exists)
+    val sizeAfter3 = ledger.length()
+    // contiguous ids 0..2 collapse to a single "v2 2" record
+    val content = new String(java.nio.file.Files.readAllBytes(ledger.toPath), "UTF-8")
+    assert(content.trim == "v2 2", s"unexpected ledger: '$content'")
+    // genuinely new data arrives as batch 3 on the same checkpoint —
+    // the ledger advances its contiguous id but does NOT grow
+    spark.range(1).select(lit("zz1").as("obs_name"), lit(1L).as("grp"),
+        lit(2L).as("var_id"), lit(1.25).as("value"))
+      .write.mode("append").parquet(s"$dir/src")
+    runStream(dir, store, s"$dir/ckpt")
+    assert(ledger.length() == sizeAfter3 || ledger.length() <= sizeAfter3 + 2,
+      s"ledger grew: ${ledger.length()} vs $sizeAfter3")
+    assert(storeStats(store)._3 == 61)
+  }
+
+  test("ledger unit semantics: add/serialize/parse, legacy fold-in") {
+    import ZarrStreamSink.Ledger
+    val l0 = Ledger(-1L, Set.empty)
+    assert(!l0.contains(0))
+    val l = l0.add(0).add(1).add(2)
+    assert(l == Ledger(2, Set.empty) && l.contains(2) && !l.contains(3))
+    // out-of-order tail folds in once the gap fills
+    val g = l0.add(0).add(2).add(5)
+    assert(g == Ledger(0, Set(2, 5)) && g.contains(2) && !g.contains(1))
+    assert(g.add(1).add(3).add(4) == Ledger(5, Set.empty))
+    assert(g.serialize == "v2 0\n2\n5\n")
+    // legacy one-id-per-line ledgers fold into the new form on read
+    val dir = TestSpark.tmpDir("graft_zssLG")
+    val store = s"$dir/legacy.zarr"
+    emptyStore(store)
+    val fs = graft.zarr.ZarrStore.fs(store)
+    val out = fs.create(new org.apache.hadoop.fs.Path(store, ".graft_batches"), true)
+    out.write("0\n1\n2\n4\n".getBytes("UTF-8")); out.close()
+    val parsed = ZarrStreamSink.readLedger(store)
+    assert(parsed == Ledger(2, Set(4L)))
+  }
+
   test("redelivery is a no-op: same batch ids against the ledger") {
     val dir = TestSpark.tmpDir("graft_zss2")
     stageSource(dir)

@@ -598,6 +598,63 @@ class ZarrWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-chunk axis frames + indptr write executor-side: no driver collect") {
+    // the round-11 write-side asymmetry: writeFrame collected the whole
+    // obs frame and writeCsr built a row-sized indptr on the driver.
+    // Contract now: a frame spanning >1 chunk routes through the
+    // distributed path — the driverAxisRowsProbe counts rows collected
+    // by the small-frame paths and must not move.
+    val nO = 300; val nV = 100
+    val obs = spark.range(nO).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      (col("id") % 5).as("grp"),
+      (col("id") % 3 === 0).as("flag"),
+      (col("id") * 0.25).as("score"),
+      concat(lit("t"), col("id") % 4).as("cell_type"))
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nO).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 7 === 0)
+      .withColumn("value", (col("obs_id") * 3 + col("var_id")) % 11 * 0.5)
+    val ds = AnnDataset(obs, vars, x)
+    for ((v3, tag) <- Seq(false -> "v2", true -> "v3")) {
+      val p = TestSpark.tmpDir(s"graft_dist$tag") + "/dist.zarr"
+      val before = AnnZarrWriter.driverAxisRowsProbe.get()
+      // frameChunkLen 64: obs (300), var (100), indptr (301) all multi-chunk
+      AnnZarrWriter.write(ds, p, chunkElems = 256, v3 = v3, shardFactor = 4,
+        frameChunkLen = 64, categoricalCols = Set("obs/cell_type"))
+      assert(AnnZarrWriter.driverAxisRowsProbe.get() == before,
+        s"$tag: driver-side axis collect on a multi-chunk frame")
+      // ...and the store reads back identical to a driver-path write
+      val pd = TestSpark.tmpDir(s"graft_driv$tag") + "/driv.zarr"
+      AnnZarrWriter.write(ds, pd, chunkElems = 256, v3 = v3, shardFactor = 4,
+        frameChunkLen = 1024, categoricalCols = Set("obs/cell_type"))
+      def snap(path: String) = {
+        val d = AnnZarr.open(spark, path)
+        (d.obs.orderBy("obs_id").collect().map(_.toString).toSeq,
+          d.vars.orderBy("var_id").collect().map(_.toString).toSeq,
+          d.x.orderBy("obs_id", "var_id").collect().map(_.toString).toSeq)
+      }
+      val (o1, v1, x1) = snap(p)
+      val (o2, v2c, x2) = snap(pd)
+      assert(o1 == o2 && v1 == v2c && x1 == x2, s"$tag: distributed != driver write")
+      // the categorical encoding survived the distributed path
+      assert(ZarrStore.attrString(p, "obs/cell_type", "encoding-type")
+        .contains("categorical"), tag)
+      // the store stays appendable (boundary indptr chunk extends)
+      val obs1 = spark.range(20).select(col("id").as("obs_id"),
+        concat(lit("d"), col("id")).as("obs_name"), lit(1L).as("grp"),
+        lit(false).as("flag"), lit(0.5).as("score"), lit("t0").as("cell_type"))
+      val x1b = spark.range(20).select(col("id").as("obs_id"),
+        lit(3L).as("var_id"), lit(7.5).as("value"))
+      AnnZarrWriter.appendRows(obs1, x1b, p)
+      val grown = AnnZarr.open(spark, p)
+      assert(grown.obs.count() == nO + 20 &&
+        grown.x.filter(col("value") === 7.5).count() == 20, tag)
+    }
+  }
+
   test("migrate refuses in-place / nested destinations") {
     val base = TestSpark.tmpDir("graft_migguard")
     val p = base + "/src.zarr"
