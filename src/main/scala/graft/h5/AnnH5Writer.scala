@@ -202,6 +202,60 @@ object AnnH5Writer {
     contiguous(out, gh, dtVlenStr, Seq(vs.length.toLong), raw, attrs)
   }
 
+  /** Serialize a (possibly MULTI-LEVEL) v1 chunk B-tree. `entries` are
+    * the leaf chunk records in offset order: (storedSize, chunk offsets
+    * INCLUDING the trailing element-dim 0, data address). `sentinel` is
+    * the rightmost trailing key's offsets (dataset dims, the libhdf5
+    * convention the single-node writers used). Nodes hold ≤ `fanout`
+    * entries; levels build bottom-up with sibling links patched in and
+    * proper separator keys (key_i = first key of child_i's subtree; a
+    * node's trailing key = first key of its right sibling's subtree, or
+    * the sentinel on the rightmost node) — so libhdf5's key-guided
+    * binary search works, not just linear walkers. Lifts the round-11
+    * 1024-chunk cap: a 10⁶-band dense slot now builds a 2-level tree
+    * instead of failing fast.
+    */
+  private def writeChunkBtree(out: Out, entries: Seq[(Int, Seq[Long], Long)],
+                              sentinel: Seq[Long], fanout: Int = 1024): Long = {
+    def key(size: Int, offs: Seq[Long]): Array[Byte] =
+      u32(size) ++ u32(0) ++ offs.toArray.flatMap(u64)
+    val sentinelKey = key(0, sentinel)
+    // one level: children as (firstKeyOfSubtree, childAddr) -> parent refs
+    def buildLevel(level: Int, children: Seq[(Array[Byte], Long)]): Seq[(Array[Byte], Long)] = {
+      val groups = children.grouped(fanout).toSeq
+      val addrs = groups.zipWithIndex.map { case (g, gi) =>
+        val trailing =
+          if (gi + 1 < groups.size) groups(gi + 1).head._1 else sentinelKey
+        val b = mutable.ArrayBuffer.empty[Byte]
+        b ++= "TREE".getBytes(UTF_8)
+        b += 1; b += level.toByte; b ++= u16(g.size)
+        b ++= u64(Undef); b ++= u64(Undef) // siblings patched below
+        g.foreach { case (k, child) => b ++= k; b ++= u64(child) }
+        b ++= trailing
+        out.write(b.toArray)
+      }
+      addrs.indices.foreach { i =>
+        if (i > 0) out.writeAt(addrs(i) + 8, u64(addrs(i - 1)))
+        if (i + 1 < addrs.size) out.writeAt(addrs(i) + 16, u64(addrs(i + 1)))
+      }
+      groups.zip(addrs).map { case (g, a) => (g.head._1, a) }
+    }
+    if (entries.isEmpty) {
+      // empty dataset: one empty leaf carrying only the sentinel key
+      val b = mutable.ArrayBuffer.empty[Byte]
+      b ++= "TREE".getBytes(UTF_8)
+      b += 1; b += 0; b ++= u16(0)
+      b ++= u64(Undef); b ++= u64(Undef)
+      b ++= sentinelKey
+      return out.write(b.toArray)
+    }
+    var level = 0
+    var cur: Seq[(Array[Byte], Long)] =
+      entries.map { case (size, offs, addr) => (key(size, offs), addr) }
+    while ({ cur = buildLevel(level, cur); level += 1; cur.size > 1 }) ()
+    cur.head._2
+  }
+
   /** Incremental 1-D chunked+deflate dataset: feed elements, then seal. */
   private final class ChunkedWriter(out: Out, esize: Int, chunkElems: Int,
                                     level: Int = 4) {
@@ -233,24 +287,15 @@ object AnnH5Writer {
 
     def n: Long = written + inBuf
 
-    /** Flush the tail, write the chunk B-tree + header; returns header addr. */
+    /** Flush the tail, write the chunk B-tree (multi-level when the
+      * chunk count exceeds one node's fanout); returns header addr.
+      */
     def seal(gh: GHeap, dt: Array[Byte], attrs: Seq[Attr]): Long = {
       val total = n
       flushChunk()
-      val node = {
-        val b = mutable.ArrayBuffer.empty[Byte]
-        b ++= "TREE".getBytes(UTF_8)
-        b ++= Array[Byte](1, 0); b ++= u16(chunks.size)
-        b ++= u64(Undef); b ++= u64(Undef)
-        chunks.foreach { case (off, size, addr) =>
-          b ++= u32(size); b ++= u32(0); b ++= u64(off); b ++= u64(0); b ++= u64(addr)
-        }
-        b ++= u32(0); b ++= u32(0)
-        b ++= u64((total + chunkElems - 1) / chunkElems * chunkElems); b ++= u64(0)
-        b.toArray
-      }
-      require(chunks.size <= 1024, s"chunked write needs multi-level b-tree (${chunks.size} chunks); raise chunkElems")
-      val bt = out.write(node)
+      val bt = writeChunkBtree(out,
+        chunks.toSeq.map { case (off, size, addr) => (size, Seq(off, 0L), addr) },
+        Seq((total + chunkElems - 1) / chunkElems * chunkElems, 0L))
       gh.flush()
       val layout = Array[Byte](3, 2, 2) ++ u64(bt) ++ u32(chunkElems) ++ u32(esize)
       val filters = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0) ++
@@ -420,8 +465,6 @@ object AnnH5Writer {
     val cc = nCols.toInt
     val cr = math.max(1, chunkElems / cc)
     val nBands = math.max(1L, (nRows + cr - 1) / cr).toInt
-    require(nBands <= 1024,
-      s"dense write needs multi-level b-tree ($nBands bands); raise chunkElems")
     val buf = new Array[Byte](cr * cc * 8)
     val chunks = mutable.ArrayBuffer.empty[(Long, Int, Long)] // rowOff, size, addr
     def flushBand(): Unit = {
@@ -447,22 +490,11 @@ object AnnH5Writer {
       bb.putDouble(((i - chunks.size.toLong * cr) * cc + j).toInt * 8, r.getDouble(2))
     }
     while (chunks.size < nBands) flushBand()
-    // v1 chunk b-tree, rank-2 keys: (rowOff, colOff, elemDim=0)
-    val node = {
-      val b = mutable.ArrayBuffer.empty[Byte]
-      b ++= "TREE".getBytes(UTF_8)
-      b ++= Array[Byte](1, 0); b ++= u16(chunks.size)
-      b ++= u64(Undef); b ++= u64(Undef)
-      chunks.foreach { case (rowOff, size, addr) =>
-        b ++= u32(size); b ++= u32(0)
-        b ++= u64(rowOff); b ++= u64(0); b ++= u64(0)
-        b ++= u64(addr)
-      }
-      b ++= u32(0); b ++= u32(0)
-      b ++= u64(nBands.toLong * cr); b ++= u64(nCols); b ++= u64(0)
-      b.toArray
-    }
-    val bt = out.write(node)
+    // v1 chunk b-tree, rank-2 keys (rowOff, colOff, elemDim=0) —
+    // multi-level once the band count exceeds one node's fanout
+    val bt = writeChunkBtree(out,
+      chunks.toSeq.map { case (rowOff, size, addr) => (size, Seq(rowOff, 0L, 0L), addr) },
+      Seq(nBands.toLong * cr, nCols, 0L))
     gh.flush()
     val layout = Array[Byte](3, 2, 3) ++ u64(bt) ++ u32(cr) ++ u32(cc) ++ u32(8)
     val filters = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0) ++

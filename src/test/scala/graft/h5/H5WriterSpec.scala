@@ -182,6 +182,47 @@ class H5WriterSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 1e-6)
   }
 
+  test("multi-level chunk B-tree: >1024 bands round-trip (cap lifted)") {
+    // round-11 failed fast past 1024 chunks per dataset; the tree now
+    // goes multi-level. 4 cols at chunkElems=4 -> 1-row bands: 1500
+    // rows = 1500 dense bands AND 1500 csr chunks -> 2-level trees on
+    // both paths.
+    val nO = 1500; val nV = 4
+    val obs = spark.range(nO).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    def v(i: Long, j: Long): Double = ((i * 3 + j * 5) % 13) * 0.5
+    val x = spark.range(nO).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+      .filter((col("obs_id") + col("var_id")) % 2 === 0)
+      .withColumn("value", (col("obs_id") * 3 + col("var_id") * 5) % 13 * 0.5)
+    val p = java.nio.file.Files.createTempFile("graft_mlbt", ".h5ad").toString
+    AnnH5Writer.write(AnnDataset(obs, vars, x), p, chunkElems = 4,
+      denseSlots = Set("X"))
+    val ds = AnnH5.open(spark, p)
+    assert(ds.obs.count() == nO)
+    val got = ds.x.filter(col("value") =!= 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val expected = (for {
+      i <- 0L until nO; j <- 0L until nV
+      if (i + j) % 2 == 0 && v(i, j) != 0.0
+    } yield (i, j, v(i, j))).sorted
+    assert(got == expected)
+    // csr flavor at the same chunk count (1500 rows, ~3000 nnz / 4-elem
+    // chunks -> ~750 data chunks; push chunks over 1024 via chunkElems=2)
+    val p2 = java.nio.file.Files.createTempFile("graft_mlbt2", ".h5ad").toString
+    AnnH5Writer.write(AnnDataset(obs, vars, x), p2, chunkElems = 2)
+    val ds2 = AnnH5.open(spark, p2)
+    val got2 = ds2.x.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val expected2 = (for {
+      i <- 0L until nO; j <- 0L until nV
+      if (i + j) % 2 == 0
+    } yield (i, j, v(i, j))).sorted
+    assert(got2 == expected2)
+  }
+
   test("encoding parity: dense slots and categorical columns as anndata writes them") {
     val obs = spark.range(nObs).select(col("id").as("obs_id"),
       concat(lit("c"), col("id")).as("obs_name"),
