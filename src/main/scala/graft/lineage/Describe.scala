@@ -1,5 +1,6 @@
 package graft.lineage
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.catalog.Catalog
 
@@ -8,6 +9,55 @@ import graft.catalog.Catalog
   * labels — assembled from catalog joins, collected only at render time.
   */
 object Describe {
+
+  /** Structured describe tree — the DataFrame twin of [[artifact]]:
+    * one row per tree entry as (section, item, detail, value), assembled
+    * entirely from catalog joins (no driver rendering). Sections mirror
+    * the reference's `_describe.py` blocks: `core` (uid/key/suffix/…),
+    * `provenance` (producing run + transform), `feature` (name, dtype,
+    * JSON value) and `label` (linked ulabels). Callers render or filter
+    * (e.g. down to store-independent items for cross-engine compare).
+    */
+  def rows(cat: Catalog, artifactId: Long): DataFrame = {
+    val art = cat.table("artifact").filter(col("id") === artifactId)
+    def entry(section: String, item: String, detail: org.apache.spark.sql.Column,
+              value: org.apache.spark.sql.Column) =
+      struct(lit(section).as("section"), lit(item).as("item"),
+        detail.cast("string").as("detail"), value.cast("string").as("value"))
+    val core = art.select(explode(array(
+      entry("core", "uid", lit(null), col("uid")),
+      entry("core", "key", lit(null), col("key")),
+      entry("core", "suffix", lit(null), col("suffix")),
+      entry("core", "kind", lit(null), col("kind")),
+      entry("core", "size", lit(null), col("size")),
+      entry("core", "hash", col("hash_type"), col("hash")),
+      entry("core", "branch", lit(null), col("branch_id")),
+      entry("core", "is_latest", lit(null), col("is_latest")))).as("e"))
+      .select("e.*")
+    val provenance = art.select(col("run_id"))
+      .join(cat.table("run").select(col("id").as("run_id"),
+        col("transform_id"), col("status_code")), "run_id")
+      .join(cat.table("transform").select(col("id").as("transform_id"),
+        col("key").as("tkey")), "transform_id")
+      .select(lit("provenance").as("section"), lit("run").as("item"),
+        col("tkey").cast("string").as("detail"),
+        col("status_code").cast("string").as("value"))
+    val features = cat.table("artifact_json_values")
+      .filter(col("artifact_id") === artifactId)
+      .join(cat.table("json_value")
+        .select(col("id").as("json_value_id"), col("feature_id"), col("value_json")),
+        "json_value_id")
+      .join(cat.table("feature")
+        .select(col("id").as("feature_id"), col("name"), col("dtype")), "feature_id")
+      .select(lit("feature").as("section"), col("name").as("item"),
+        col("dtype").cast("string").as("detail"), col("value_json").as("value"))
+    val labels = cat.table("artifact_ulabels")
+      .filter(col("artifact_id") === artifactId)
+      .join(cat.table("ulabel").select(col("id").as("ulabel_id"), col("name")), "ulabel_id")
+      .select(lit("label").as("section"), col("name").as("item"),
+        lit(null).cast("string").as("detail"), lit("linked").as("value"))
+    core.unionByName(provenance).unionByName(features).unionByName(labels)
+  }
 
   def artifact(cat: Catalog, artifactId: Long): String = {
     val a = cat.table("artifact").filter(col("id") === artifactId).head(2)

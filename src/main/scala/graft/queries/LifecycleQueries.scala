@@ -159,7 +159,61 @@ object LifecycleQueries {
       cat
     }))
 
+  /** q46's described catalog: one artifact per source shard created
+    * UNDER a tracked run (provenance), annotated with feature values
+    * (n_docs / sum_chars — closed forms the oracle replays per source)
+    * and with one ulabel per distinct shard lang, all through the real
+    * ArtifactFeatures / label-manager APIs.
+    */
+  private val describeCat = scala.collection.concurrent.TrieMap
+    .empty[String, (Catalog, Seq[(String, Long)])]
+
+  private def describeCatalog(spark: SparkSession, dir: String): (Catalog, Seq[(String, Long)]) =
+    buildLock.synchronized(describeCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_desc")
+      val cat = Catalog.deterministic(spark, root)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val feats = new graft.eav.ArtifactFeatures(cat)
+      val lin = new graft.lineage.Lineage(cat)
+      val d = docs(spark, dir)
+      val sources = d.select("source").distinct()
+        .collect().map(_.getString(0)).sortBy(_.drop(3).toInt).toSeq
+      val langIds = d.select("lang").distinct().collect().map(_.getString(0)).sorted
+        .map(l => l -> cat.insert("ulabel", Map("name" -> l))("id").asInstanceOf[Long])
+        .toMap
+      lin.track("pipeline/describe.scala", "val described = true")
+      val arts = sources.map { s =>
+        val shard = d.filter(col("source") === s)
+        val art = store.fromDataFrame(
+          shard.select("doc_id", "lang", "n_chars"), s"src/$s", root)
+        val id = art("id").asInstanceOf[Long]
+        val agg = shard.agg(count(lit(1)), sum(col("n_chars").cast("long"))).head()
+        feats.addValues(id, Map(
+          "n_docs" -> agg.getLong(0), "sum_chars" -> agg.getLong(1)))
+        val langs = shard.select("lang").distinct().collect().map(_.getString(0))
+        feats.addLabels(id, langs.toSeq.sorted.map(langIds))
+        s -> id
+      }
+      lin.finish()
+      (cat, arts)
+    }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q46_describe" -> ((spark, dir) => {
+      // artifact.describe() as structured tree rows (Describe.rows), one
+      // block per source-shard artifact; store-dependent items (uid,
+      // size, hash, branch) are projected out so DuckDB can replay the
+      // remaining tree from the base table alone
+      val (cat, arts) = describeCatalog(spark, dir)
+      arts.map { case (s, id) =>
+        graft.lineage.Describe.rows(cat, id)
+          .filter(!col("item").isin("uid", "size", "hash", "branch"))
+          .withColumn("art_key", lit(s"src/$s"))
+      }.reduce(_ unionByName _)
+        .select("art_key", "section", "item", "detail", "value")
+        .orderBy("art_key", "section", "item", "value")
+    }),
 
     "q39_field_aliasing" -> ((spark, dir) => {
       // alias map routes `language` to the physical `lang` column through
@@ -336,6 +390,27 @@ object LifecycleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q46_describe" ->
+      """WITH per_src AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source),
+        |tree AS (
+        |  SELECT 'src/' || source AS art_key, 'core' AS section, 'key' AS item,
+        |         CAST(NULL AS VARCHAR) AS detail, 'src/' || source AS value FROM per_src
+        |  UNION ALL SELECT 'src/' || source, 'core', 'suffix', NULL, '.parquet' FROM per_src
+        |  UNION ALL SELECT 'src/' || source, 'core', 'kind', NULL, 'dataset' FROM per_src
+        |  UNION ALL SELECT 'src/' || source, 'core', 'is_latest', NULL, 'true' FROM per_src
+        |  UNION ALL SELECT 'src/' || source, 'provenance', 'run',
+        |                   'pipeline/describe.scala', '0' FROM per_src
+        |  UNION ALL SELECT 'src/' || source, 'feature', 'n_docs', 'int',
+        |                   CAST(n_docs AS VARCHAR) FROM per_src
+        |  UNION ALL SELECT 'src/' || source, 'feature', 'sum_chars', 'int',
+        |                   CAST(sum_chars AS VARCHAR) FROM per_src
+        |  UNION ALL SELECT DISTINCT 'src/' || source, 'label', lang, NULL, 'linked'
+        |            FROM documents)
+        |SELECT art_key, section, item, detail, value FROM tree
+        |ORDER BY art_key, section, item, value""".stripMargin,
 
     "q39_field_aliasing" ->
       """SELECT doc_id, lang FROM documents
