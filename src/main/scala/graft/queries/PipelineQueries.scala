@@ -155,6 +155,62 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "s08_stream_mu_modality" -> ((spark, dir) => {
+      // streaming append INTO A MUDATA MODALITY end-to-end: bootstrap a
+      // container with a static `adt` modality + an empty `rna` one,
+      // stream 3 microbatches into mod/rna through the format-routed
+      // sink, refresh the ROOT consolidation snapshot (modality growth
+      // must become visible to container-level opens), then aggregate
+      // BOTH modalities through openMu — container read path, not the
+      // nested store path
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val cooRna = docs.select(col("doc_id"), col("lang"))
+        .crossJoin(spark.range(4).select(col("id").as("k")))
+        .select(concat(lit("d"), col("doc_id")).as("obs_name"), col("lang"),
+          ((col("doc_id") * 5 + col("k")) % 12).as("var_id"),
+          ((col("doc_id") + col("k") * 2) % 9 * 0.5).as("value"))
+      val stage = LifecycleQueries.TempRoot.dir("graft_s08src")
+      cooRna.repartitionByRange(3, col("obs_name")).write
+        .mode("overwrite").parquet(s"$stage/src")
+      val mu = s"$stage/mu.zarr"
+      // static adt modality derived from the sources table
+      val srcW = org.apache.spark.sql.expressions.Window.orderBy("source")
+      val adtObs = docs.select("source").distinct()
+        .withColumn("obs_id", row_number().over(srcW).cast("long") - 1)
+        .select(col("obs_id"), col("source").as("obs_name"))
+      val adtVars = spark.range(4).select(col("id").as("var_id"),
+        concat(lit("p"), col("id")).as("var_name"))
+      val adtX = adtObs
+        .select(col("obs_id"), substring(col("obs_name"), 4, 10).cast("int").as("sfx"))
+        .crossJoin(spark.range(4).select(col("id").as("k")))
+        .select(col("obs_id"), col("k").as("var_id"),
+          ((col("sfx") * 3 + col("k")) % 5 * 1.0).as("value"))
+      graft.zarr.AnnZarrWriter.writeMu(
+        Map("adt" -> graft.artifact.AnnDataset(adtObs, adtVars, adtX)), mu)
+      // empty rna modality bootstrapped under the container root
+      graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
+        spark.range(0).select(col("id").as("obs_id"),
+          concat(lit("d"), col("id")).as("obs_name"), lit("xx").as("lang")),
+        spark.range(12).select(col("id").as("var_id"),
+          concat(lit("g"), col("id")).as("var_name")),
+        spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
+          col("id").cast("double").as("value"))), s"$mu/mod/rna", chunkElems = 512)
+      val q = graft.streaming.ZarrStreamSink.streamAppendZarr(
+        spark.readStream.schema(cooRna.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/src"),
+        s"$mu/mod/rna", Seq("lang"), s"$stage/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      // root snapshot refresh: same semantics as zarr-python consolidation
+      graft.zarr.ZarrStore.consolidate(mu)
+      val mods = graft.zarr.AnnZarr.openMu(spark, mu)
+      mods.toSeq.sortBy(_._1).map { case (m, ds) =>
+        ds.x.agg(count(lit(1)).as("nnz"),
+            sum(col("value")).cast("double").as("sum_value"))
+          .select(lit(m).as("modality"), lit(ds.obs.count()).as("n_obs"),
+            col("nnz"), col("sum_value"))
+      }.reduce(_ unionByName _).orderBy("modality")
+    }),
+
     "m01_multimodal_decode" -> ((spark, dir) => {
       // REAL codec round-trip: encode genuine PNG bytes per doc with
       // javax.imageio (dims planned from md5(text) so the oracle can
@@ -291,6 +347,23 @@ object PipelineQueries {
         |       CAST(sum((doc_id + k) % 9 * 0.5) AS DOUBLE) AS sum_value
         |FROM documents, range(4) t(k)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "s08_stream_mu_modality" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM documents),
+        |adt AS (
+        |  SELECT COUNT(*) AS nnz,
+        |         CAST(SUM((CAST(SUBSTRING(source, 4) AS INT) * 3 + k) % 5 * 1.0)
+        |              AS DOUBLE) AS sum_value,
+        |         COUNT(DISTINCT source) AS n_obs
+        |  FROM srcs, range(4) t(k)),
+        |rna AS (
+        |  SELECT COUNT(*) AS nnz,
+        |         CAST(SUM((doc_id + k * 2) % 9 * 0.5) AS DOUBLE) AS sum_value,
+        |         COUNT(DISTINCT doc_id) AS n_obs
+        |  FROM documents, range(4) t(k))
+        |SELECT 'adt' AS modality, n_obs, nnz, sum_value FROM adt
+        |UNION ALL SELECT 'rna', n_obs, nnz, sum_value FROM rna
+        |ORDER BY modality""".stripMargin,
 
     "s07_stream_embed_ann" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
