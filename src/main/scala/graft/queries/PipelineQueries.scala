@@ -200,8 +200,10 @@ object PipelineQueries {
           .parquet(s"$stage/src"),
         s"$mu/mod/rna", Seq("lang"), s"$stage/ckpt")
       try q.processAllAvailable() finally q.stop()
-      // root snapshot refresh: same semantics as zarr-python consolidation
-      graft.zarr.ZarrStore.consolidate(mu)
+      // root snapshot refresh: merge the grown modality's OWN (per-batch
+      // patched) consolidation into the container root — two metadata
+      // GETs + one PUT, never an O(container) re-walk
+      graft.zarr.ZarrStore.patchConsolidatedSubtree(mu, "mod/rna")
       val mods = graft.zarr.AnnZarr.openMu(spark, mu)
       mods.toSeq.sortBy(_._1).map { case (m, ds) =>
         ds.x.agg(count(lit(1)).as("nnz"),

@@ -499,6 +499,75 @@ object ZarrStore {
     }
   }
 
+  /** Merge a NESTED STORE's own consolidated metadata into this
+    * container root's — the O(subtree metadata) refresh for "a modality
+    * grew" (a MuData `mod/<m>`, a SpatialData `tables/<t>`): the append
+    * path keeps the nested store's consolidation patched per batch, so
+    * the container refresh is two metadata GETs + one PUT. A full
+    * [[consolidate]] re-walk LISTs every directory of every member —
+    * O(container) — which would make per-batch root refresh quadratic
+    * over a stream's life. Falls back to the full walk when either side
+    * has no consolidated object yet. Dispatches on store format.
+    */
+  def patchConsolidatedSubtree(root: String, subtree: String): Unit = {
+    val pfx = subtree.stripSuffix("/").stripPrefix("/")
+    require(pfx.nonEmpty, "patchConsolidatedSubtree needs a non-root subtree")
+    if (format(root) == 3) {
+      (readBytes(root, "zarr.json").map(mapper.readTree),
+        readBytes(root, s"$pfx/zarr.json").map(mapper.readTree)) match {
+        case (Some(rn: ObjectNode), Some(sn: ObjectNode))
+          if rn.has("consolidated_metadata") && !rn.get("consolidated_metadata").isNull &&
+            sn.has("consolidated_metadata") && !sn.get("consolidated_metadata").isNull =>
+          val md = rn.get("consolidated_metadata").get("metadata").asInstanceOf[ObjectNode]
+          val it = md.fieldNames()
+          val stale = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val k = it.next()
+            if (k == pfx || k.startsWith(pfx + "/")) stale += k
+          }
+          stale.foreach(md.remove)
+          // the subtree root node itself, WITHOUT its inner consolidation
+          // (the container root's map is the single source of truth)
+          val snLean = sn.deepCopy[ObjectNode]()
+          snLean.remove("consolidated_metadata")
+          md.set[ObjectNode](pfx, snLean)
+          val smd = sn.get("consolidated_metadata").get("metadata").asInstanceOf[ObjectNode]
+          val sit = smd.fieldNames()
+          while (sit.hasNext) {
+            val k = sit.next()
+            md.set[ObjectNode](s"$pfx/$k", smd.get(k))
+          }
+          val o = fs(root).create(new Path(root, "zarr.json"), true)
+          try o.write(mapper.writeValueAsBytes(rn)) finally o.close()
+          invalidate(root)
+        case _ => consolidateV3(root)
+      }
+    } else {
+      (readBytes(root, ".zmetadata").map(mapper.readTree),
+        readBytes(root, s"$pfx/.zmetadata").map(mapper.readTree)) match {
+        case (Some(rn), Some(sn)) =>
+          val md = rn.get("metadata").asInstanceOf[ObjectNode]
+          val it = md.fieldNames()
+          val stale = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val k = it.next()
+            if (k.startsWith(pfx + "/")) stale += k
+          }
+          stale.foreach(md.remove)
+          val smd = sn.get("metadata").asInstanceOf[ObjectNode]
+          val sit = smd.fieldNames()
+          while (sit.hasNext) {
+            val k = sit.next()
+            md.set[ObjectNode](s"$pfx/$k", smd.get(k))
+          }
+          val o = fs(root).create(new Path(root, ".zmetadata"), true)
+          try o.write(mapper.writeValueAsBytes(rn)) finally o.close()
+          invalidate(root)
+        case _ => consolidate(root)
+      }
+    }
+  }
+
   /** Rewrite the declared shape of an array node's metadata object IN
     * PLACE (either format) — the O(1) metadata step of the append /
     * truncate paths. Returns the consolidated-metadata patch key for

@@ -163,9 +163,27 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     // OWN consolidated metadata (the nested store is self-contained)
     runStream(dir, s"$mu/mod/rna", s"$dir/ckptMu")
     // the container root's consolidated metadata is a SNAPSHOT (same
-    // semantics as zarr-python): refresh it once after mutating a
-    // nested modality so container-level opens see the new extents
-    graft.zarr.ZarrStore.consolidate(mu)
+    // semantics as zarr-python): refresh it after mutating a nested
+    // modality by MERGING that subtree's own consolidation — never an
+    // O(container) re-walk. Pin: plant a sentinel entry in the root
+    // metadata first; a full re-consolidation would rebuild the object
+    // and lose it, the subtree patch must keep it.
+    locally {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(
+        graft.zarr.ZarrStore.readBytes(mu, ".zmetadata").get)
+      node.get("metadata").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("__sentinel__", 42)
+      val out = graft.zarr.ZarrStore.fs(mu)
+        .create(new org.apache.hadoop.fs.Path(mu, ".zmetadata"), true)
+      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+      graft.zarr.ZarrStore.invalidate(mu)
+    }
+    graft.zarr.ZarrStore.patchConsolidatedSubtree(mu, "mod/rna")
+    val patched = new String(
+      graft.zarr.ZarrStore.readBytes(mu, ".zmetadata").get, "UTF-8")
+    assert(patched.contains("__sentinel__"),
+      "subtree refresh re-walked the container instead of patching")
     val mods = AnnZarr.openMu(spark, mu)
     assert(mods.keySet == Set("adt", "rna"))
     val (nnz, sumV, nObs) = storeStats(s"$mu/mod/rna")

@@ -655,6 +655,37 @@ class ZarrWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("patchConsolidatedSubtree merges a grown v3 modality into the container root") {
+    val mu = TestSpark.tmpDir("graft_mup3") + "/mu3.zarr"
+    val mk = (pfx: String, n: Int) => AnnDataset(
+      spark.range(n).select(col("id").as("obs_id"),
+        concat(lit(pfx), col("id")).as("obs_name")),
+      spark.range(4).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name")),
+      spark.range(n).select(col("id").as("obs_id"), (col("id") % 4).as("var_id"),
+        lit(2.0).as("value")))
+    AnnZarrWriter.writeMu(Map("adt" -> mk("s", 5)), mu, v3 = true)
+    // second modality created under the container AFTER the root snapshot
+    AnnZarrWriter.write(mk("r", 3), s"$mu/mod/rna", v3 = true)
+    // ...and grown (its own consolidation is patched by the append path)
+    AnnZarrWriter.appendRows(
+      spark.range(2).select(col("id").as("obs_id"),
+        concat(lit("x"), col("id")).as("obs_name")),
+      spark.range(2).select(col("id").as("obs_id"), lit(1L).as("var_id"),
+        lit(9.0).as("value")), s"$mu/mod/rna")
+    ZarrStore.patchConsolidatedSubtree(mu, "mod/rna")
+    // container-level reopen sees BOTH modalities at the grown extents,
+    // planning from the root consolidation
+    ZarrStore.invalidate(mu)
+    val before = ZarrStore.metaReads(mu)
+    val mods = AnnZarr.openMu(spark, mu)
+    assert(mods.keySet == Set("adt", "rna"))
+    assert(mods("rna").obs.count() == 5 && mods("adt").obs.count() == 5)
+    assert(mods("rna").x.filter(col("value") === 9.0).count() == 2)
+    assert(ZarrStore.metaReads(mu) - before <= 2,
+      "container reopen must plan from the patched root consolidation")
+  }
+
   test("migrate refuses in-place / nested destinations") {
     val base = TestSpark.tmpDir("graft_migguard")
     val p = base + "/src.zarr"
