@@ -655,6 +655,39 @@ class ZarrWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed indptr: all-empty chunk gaps still write cumulative values") {
+    // rows 64..127 have ZERO elements -> the middle indptr chunk has no
+    // rowCounts groups at all. The cogroup over the chunk-id range must
+    // still write that object with the CUMULATIVE value (an indptr
+    // entry is never fill-zero), and reads across the gap stay exact.
+    val nO = 192; val L = 64
+    val obs = spark.range(nO).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(6).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nO).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(6).select(col("id").as("var_id")))
+      .filter(col("obs_id") < 64 || col("obs_id") >= 128) // middle third empty
+      .filter((col("obs_id") + col("var_id")) % 2 === 0)
+      .withColumn("value", (col("obs_id") + col("var_id") * 3) % 7 * 1.0)
+    val p = TestSpark.tmpDir("graft_gap") + "/gap.zarr"
+    AnnZarrWriter.write(AnnDataset(obs, vars, x), p,
+      chunkElems = 128, frameChunkLen = L)
+    // the gap chunk object EXISTS (value-bearing, not fill)
+    assert(new java.io.File(s"$p/X/indptr/1").exists, "gap indptr chunk missing")
+    val ds = AnnZarr.open(spark, p)
+    assert(ds.x.filter(col("obs_id") >= 64 && col("obs_id") < 128).count() == 0)
+    val got = ds.x.agg(count(lit(1)), sum("value")).head()
+    val expect = (for (i <- 0 until nO; j <- 0 until 6
+      if (i < 64 || i >= 128) && (i + j) % 2 == 0) yield (i + j * 3) % 7 * 1.0)
+    assert(got.getLong(0) == expect.size && math.abs(got.getDouble(1) - expect.sum) < 1e-9)
+    // per-row slice across the gap boundary decodes exactly
+    val r127 = ds.x.filter(col("obs_id") === 130).orderBy("var_id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(r127 == (for (j <- 0 until 6 if (130 + j) % 2 == 0)
+      yield (j.toLong, (130 + j * 3) % 7 * 1.0)).toSeq)
+  }
+
   test("patchConsolidatedSubtree merges a grown v3 modality into the container root") {
     val mu = TestSpark.tmpDir("graft_mup3") + "/mu3.zarr"
     val mk = (pfx: String, n: Int) => AnnDataset(
