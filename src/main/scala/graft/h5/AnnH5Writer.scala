@@ -212,11 +212,17 @@ object AnnH5Writer {
     * node's trailing key = first key of its right sibling's subtree, or
     * the sentinel on the rightmost node) — so libhdf5's key-guided
     * binary search works, not just linear walkers. Lifts the round-11
-    * 1024-chunk cap: a 10⁶-band dense slot now builds a 2-level tree
-    * instead of failing fast.
+    * 1024-chunk cap: a 10⁶-band dense slot now builds a multi-level
+    * tree instead of failing fast.
+    *
+    * Fanout is 64, NOT larger: this file writes a v0 superblock, which
+    * carries no indexed-storage-K field, so libhdf5 assumes the default
+    * istore_k = 32 and rejects any chunk B-tree node holding more than
+    * 2K = 64 entries ("number of children is greater than maximum").
+    * 64-ary still means 3 levels cover 262144 chunks, 4 levels 16.7M.
     */
   private def writeChunkBtree(out: Out, entries: Seq[(Int, Seq[Long], Long)],
-                              sentinel: Seq[Long], fanout: Int = 1024): Long = {
+                              sentinel: Seq[Long], fanout: Int = 64): Long = {
     def key(size: Int, offs: Seq[Long]): Array[Byte] =
       u32(size) ++ u32(0) ++ offs.toArray.flatMap(u64)
     val sentinelKey = key(0, sentinel)

@@ -126,10 +126,16 @@ object ZarrStreamSink {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val applied = readLedger(path)
-          recoverPending(path, applied)
-          if (!applied.contains(batchId)) {
+        // empty batches are RECORDED too (no append, no pending marker):
+        // an unrecorded id would be a permanent gap below `contig`,
+        // pushing every later id into the ledger's tail set and growing
+        // it one line per batch — the O(applied) shape the constant-size
+        // record exists to prevent
+        val applied = readLedger(path)
+        recoverPending(path, applied)
+        if (!applied.contains(batchId)) {
+          if (batch.isEmpty) recordBatch(path, applied, batchId)
+          else {
             // local obs ids in obs_name order — batches are microbatch-
             // sized, so the single-partition ranking window is bounded
             val obs = batch.select(col("obs_name") +: obsCols.map(col): _*)
@@ -163,6 +169,7 @@ object ZarrStreamSink {
             ()
           }
         }
+        ()
       }
       .start()
 }

@@ -197,6 +197,45 @@ object AnnZarrWriter {
     bb.array()
   }
 
+  /** Pack boxed values WITHOUT a Double detour: `<i8` keeps full 64-bit
+    * integer precision (a Long > 2⁵³ round-tripped through Double would
+    * silently land on a neighboring integer).
+    */
+  private def packNumAny(dtype: String, vals: Array[Any], rel: String): Array[Byte] = {
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case b: Boolean => if (b) 1L else 0L
+      case d: Double => d.toLong
+      case other => throw new UnsupportedOperationException(
+        s"$rel: element ${if (other == null) "null" else other.getClass.getName}")
+    }
+    def asDouble(v: Any): Double = v match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case b: Boolean => if (b) 1.0 else 0.0
+      case other => throw new UnsupportedOperationException(
+        s"$rel: element ${if (other == null) "null" else other.getClass.getName}")
+    }
+    val b = dtype match {
+      case "<f8" =>
+        val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach(v => bb.putDouble(asDouble(v))); bb
+      case "<i8" =>
+        val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach(v => bb.putLong(asLong(v))); bb
+      case "<i4" =>
+        val bb = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach(v => bb.putInt(asLong(v).toInt)); bb
+      case "|i1" | "|b1" =>
+        val bb = ByteBuffer.allocate(vals.length)
+        vals.foreach(v => bb.put(asLong(v).toByte)); bb
+      case other => throw new UnsupportedOperationException(s"pack dtype $other")
+    }
+    b.array()
+  }
+
   /** Driver-side 1-D array write (axis frames, indptr, categories, uns). */
   private def array1d(root: String, rel: String, dtype: String,
                       n: Long, chunkLen: Int, attrs: String,
@@ -210,14 +249,7 @@ object AnnZarrWriter {
       val vals = chunkVals(c)
       val raw =
         if (vlen) packVlen(vals.map(_.asInstanceOf[String]))
-        else packNum(dtype, vals.map {
-          case d: Double => d
-          case l: Long => l.toDouble
-          case i: Int => i.toDouble
-          case b: Boolean => if (b) 1.0 else 0.0
-          case other => throw new UnsupportedOperationException(
-            s"$rel: element ${if (other == null) "null" else other.getClass.getName}")
-        })
+        else packNumAny(dtype, vals, rel)
       writeBytes(root, s"$rel/${chunkKey1d(c, v3)}", encodeChunk(raw, v3))
     }
   }
@@ -255,14 +287,24 @@ object AnnZarrWriter {
                          rowIdName: String, idName: String, v3: Boolean,
                          chunkLen: Int = 65536,
                          catCols: Set[String] = Set.empty): Long = {
-    val nTotal = df.count()
-    if (nTotal > chunkLen)
+    // routing probe: a limit-pushdown pass, not a full count() — a
+    // derived frame's upstream plan would otherwise execute twice per
+    // write just to pick a path
+    if (df.limit(chunkLen + 1).count() > chunkLen)
       return writeFrameDistributed(root, rel, df, rowIdName, idName, v3,
-        chunkLen, catCols, nTotal)
+        chunkLen, catCols, df.count())
     val cols = df.columns.filter(c => c != rowIdName && c != idName)
     val rows = df.orderBy(rowIdName).collect()
     val n = rows.length.toLong
     driverAxisRowsProbe.addAndGet(n)
+    // same contract as the distributed path, enforced at every size: the
+    // row-id column IS the axis position (a frame that silently compacts
+    // small but fails large would make behavior depend on row count)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val rid = r.getAs[Number](rowIdName).longValue()
+      require(rid == i,
+        s"$rel: axis positions must be contiguous 0..n-1 (sorted row $i has $rowIdName=$rid)")
+    }
     // chunk length is a CONSTANT, never derived from the current row
     // count: a store bootstrapped empty (the streaming-sink pattern)
     // must not inherit degenerate 1-element chunks for the rest of its
@@ -330,7 +372,11 @@ object AnnZarrWriter {
           if (lo + k < hi) get(lo + k)
           else if (dtype == "|O") null else 0L)
       }
-      array1d(root, s"$rel/$cn", dtype, n, chunkLen, enc("array", "0.2.0"), pad, v3)
+      // plain string columns are `string-array` (the anndata registry's
+      // encoding and what the distributed path and the h5 twin write);
+      // emitting `array` here made store metadata depend on row count
+      array1d(root, s"$rel/$cn", dtype, n, chunkLen,
+        enc(if (dtype == "|O") "string-array" else "array", "0.2.0"), pad, v3)
       }
     }
     n
@@ -430,17 +476,17 @@ object AnnZarrWriter {
               if (k < live) rows(k).getString(f) else null))
             case 'C' =>
               val dict = dictsB.value(cn)
-              packNum("<i8", Array.tabulate(chunkLenC)(k =>
+              packNumAny("<i8", Array.tabulate[Any](chunkLenC)(k =>
                 if (k < live) {
                   val s = rows(k).getString(f)
-                  if (s == null) -1.0 else dict(s).toDouble
-                } else 0.0))
-            case _ => packNum(dtype, Array.tabulate(chunkLenC)(k =>
+                  if (s == null) -1L else dict(s)
+                } else 0L), cn)
+            case _ => packNumAny(dtype, Array.tabulate[Any](chunkLenC)(k =>
               if (k < live && !rows(k).isNullAt(f)) (kind match {
-                case 'F' => rows(k).getDouble(f)
-                case 'B' => if (rows(k).getBoolean(f)) 1.0 else 0.0
-                case _ => rows(k).getLong(f).toDouble
-              }) else 0.0))
+                case 'F' => rows(k).getDouble(f): Any
+                case 'B' => rows(k).getBoolean(f): Any
+                case _ => rows(k).getLong(f): Any // full 64-bit, no Double detour
+              }) else 0L), cn)
           }
           val target = if (kind == 'C') s"$relC/$cn/codes/$key" else s"$relC/$cn/$key"
           writeBytes(rootC, target, encodeChunk(raw, v3C))
@@ -979,8 +1025,12 @@ object AnnZarrWriter {
               shardFactor: Int = 16, frameChunkLen: Int = 65536): Unit = {
     // write() deletes dst up front while open(src)'s frames are lazy —
     // an in-place (or nested) migration would destroy the source before
-    // any data is read. Migration must target a fresh path.
-    val srcP = new Path(src); val dstP = new Path(dst)
+    // any data is read. Migration must target a fresh path. Compare
+    // QUALIFIED paths so relative/scheme-spelled aliases of the same
+    // location ("data/a.zarr" vs "/data/a.zarr" vs "file:/data/a.zarr")
+    // cannot slip past the guard.
+    val srcP = ZarrStore.fs(src).makeQualified(new Path(src))
+    val dstP = ZarrStore.fs(dst).makeQualified(new Path(dst))
     def contains(a: Path, b: Path): Boolean = {
       var p: Path = b
       while (p != null) { if (p == a) return true; p = p.getParent }
@@ -1433,6 +1483,82 @@ object AnnZarrWriter {
     * Assumes atomic whole-object PUTs (true on object stores; a local
     * filesystem can expose a half-written chunk mid-crash).
     */
+  /** Physically clear a dense slot's rows >= `n0` BEFORE its shape is
+    * rolled back: store objects fully beyond `n0` are deleted; the
+    * objects straddling it are rewritten with only the committed row
+    * prefix (zero tail). The csr slots need no scrub — every element
+    * position in a future append's range is densely re-assigned, and
+    * positions beyond the extent are unreachable through indptr — but a
+    * dense grid reads absent/stale cells as values, so a rolled-back
+    * append's bytes must not remain under rows a later append re-grows.
+    * Work is rollback-sized: one straddling object row + the deleted
+    * tail, driver-side like the rest of the rollback path.
+    */
+  private def scrubDenseTail(path: String, rel: String, n0: Long, v3: Boolean): Unit = {
+    val za = ZarrStore.openArray(path, rel)
+    val n1 = za.shape.head
+    if (n1 <= n0) return
+    val Seq(cr, cc) = za.chunks.map(identity)
+    val sf = za.shard.map(_.shardShape.head / cr).getOrElse(1)
+    val objRows = cr.toLong * sf
+    val nCols = za.shape(1)
+    val gridCols = ((nCols + cc - 1) / cc).toInt
+    val fs = ZarrStore.fs(path)
+    val firstObj = (n0 / objRows).toInt
+    val lastObj = ((n1 - 1) / objRows).toInt
+    (firstObj to lastObj).foreach { gr =>
+      val base = gr.toLong * objRows
+      (0 until gridCols).foreach { gc =>
+        val key = if (v3) s"$rel/c/$gr/$gc" else s"$rel/$gr.$gc"
+        if (base >= n0) { fs.delete(new Path(path, key), false); () }
+        else if (sf == 1) {
+          za.readChunk(Seq(gr, gc)).foreach { old =>
+            val buf = java.util.Arrays.copyOf(old, cr * cc * 8)
+            val keep = (n0 - base).toInt
+            java.util.Arrays.fill(buf, keep * cc * 8, buf.length, 0.toByte)
+            writeBytes(path, key, encodeChunk(buf, v3))
+          }
+        } else {
+          // straddling SHARD: committed inner bands survive (partial
+          // boundary band zero-tailed); bands at/after n0 become absent
+          val bands = new Array[Array[Byte]](sf)
+          var any = false
+          (0 until sf).foreach { b =>
+            val bandRow = base + b.toLong * cr
+            if (bandRow < n0)
+              za.readChunk(Seq(gr * sf + b, gc)).foreach { old =>
+                val buf = java.util.Arrays.copyOf(old, cr * cc * 8)
+                val keep = math.min(cr.toLong, n0 - bandRow).toInt
+                java.util.Arrays.fill(buf, keep * cc * 8, buf.length, 0.toByte)
+                bands(b) = buf; any = true
+              }
+          }
+          if (!any) { fs.delete(new Path(path, key), false); () }
+          else {
+            val body = new java.io.ByteArrayOutputStream()
+            val index = ByteBuffer.allocate(16 * sf + 4).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < sf) {
+              val band = bands(i)
+              if (band == null) { index.putLong(-1L); index.putLong(-1L) }
+              else {
+                val encd = gzipEncode(band)
+                index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
+                body.write(encd)
+              }
+              i += 1
+            }
+            val idx = index.array()
+            val crc = ZCodec.crc32c(idx, 0, 16 * sf)
+            ByteBuffer.wrap(idx, 16 * sf, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
+            body.write(idx)
+            writeBytes(path, key, body.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
   def truncateTo(path: String, n0: Long, nnz0: Long): Unit = {
     val v3 = ZarrStore.format(path) == 3
     val changed = scala.collection.mutable.ArrayBuffer[String]()
@@ -1449,12 +1575,16 @@ object AnnZarrWriter {
     }
     def rollMatrix(rel: String, nnzCommitted: => Long): Unit =
       if (ZarrStore.isArray(path, rel)) {
-        // dense grid: only the declared row extent shrinks — boundary-
-        // band rewrites preserved committed-row values, later bands
-        // unreachable
+        // dense grid: PHYSICALLY clear the rolled-back rows, then shrink
+        // the declared extent. Shape alone is not an undo: the next
+        // append only rewrites objects that receive elements, so any
+        // other object covering re-grown rows would resurrect the undone
+        // values instead of reading fill-zero.
         val za = ZarrStore.openArray(path, rel)
-        if (za.shape.head != n0)
+        if (za.shape.head != n0) {
+          scrubDenseTail(path, rel, n0, v3)
           changed += ZarrStore.patchShape(path, rel, Seq(n0, za.shape(1)))
+        }
       } else {
         val nnzC = nnzCommitted
         reshape(s"$rel/indptr", n0 + 1)

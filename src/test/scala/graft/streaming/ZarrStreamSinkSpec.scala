@@ -217,6 +217,37 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(storeStats(store)._3 == 61)
   }
 
+  test("empty microbatches are ledgered: no permanent contig gap") {
+    // an unrecorded empty batch id would sit below `contig` forever and
+    // push every later id into the tail set (one line per batch — the
+    // O(applied) growth the v2 record exists to prevent)
+    val dir = TestSpark.tmpDir("graft_zssE")
+    val store = s"$dir/grow.zarr"
+    emptyStore(store)
+    stageSource(dir) // only to derive the schema + data below
+    val schema = spark.read.parquet(s"$dir/src").schema
+    // the stream's real source starts with ONE EMPTY file (batch 0 has
+    // 0 rows), then the data files arrive on the SAME checkpoint lineage
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/live")
+    def run(): Unit = {
+      val q = ZarrStreamSink.streamAppendZarr(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/live"), store, Seq("grp"), s"$dir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // batch 0: empty — must still be ledgered
+    spark.read.parquet(s"$dir/src").repartitionByRange(3, col("obs_name"))
+      .write.mode("append").parquet(s"$dir/live")
+    run() // batches 1..3: data
+    // contig advanced THROUGH the empty id: single-record ledger, no
+    // tail lines accumulating one per batch
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$store/.graft_batches")), "UTF-8")
+    assert(content.trim.matches("v2 \\d+"), s"tail lines grew: '$content'")
+    assert(storeStats(store)._3 == 60)
+  }
+
   test("ledger unit semantics: add/serialize/parse, legacy fold-in") {
     import ZarrStreamSink.Ledger
     val l0 = Ledger(-1L, Set.empty)

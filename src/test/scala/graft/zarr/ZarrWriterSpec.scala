@@ -583,8 +583,12 @@ class ZarrWriterSpec extends AnyFunSuite {
         .withColumn("value", lit(9.0))
       AnnZarrWriter.appendRows(obsFor("a", 20), xa, p)
       AnnZarrWriter.truncateTo(p, 50, 50)
-      // batch B: rows 50-69, only var 0 set to 1.0, rest implicit zero
-      val xb = spark.range(20).select(col("id").as("obs_id"),
+      // batch B: rows 50-69 again, but elements ONLY in rows 60+ (var 0)
+      // — the boundary band and the first re-grown band get NO elements,
+      // so the next append never rewrites their objects: only
+      // truncateTo's physical scrub can prevent rolled-back 9.0 cells
+      // from resurfacing there
+      val xb = spark.range(10, 20).select(col("id").as("obs_id"),
         lit(0L).as("var_id"), lit(1.0).as("value"))
       AnnZarrWriter.appendRows(obsFor("b", 20), xb, p)
       val got = AnnZarr.open(spark, p).x
@@ -592,8 +596,15 @@ class ZarrWriterSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(got.length == 20 * nV, tag)
       got.foreach { case (i, k, v) =>
-        val expect = if (k == 0) 1.0 else 0.0
+        val expect = if (i >= 60 && k == 0) 1.0 else 0.0
         assert(v == expect, s"$tag ($i,$k): got $v expected $expect — ghost cell")
+      }
+      // committed rows are untouched by the scrub
+      val keep = AnnZarr.open(spark, p).x.filter(col("obs_id") < 50)
+        .orderBy("obs_id", "var_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      keep.foreach { case (i, k, v) =>
+        assert(v == (i + k) % 4 * 1.0, s"$tag committed ($i,$k) damaged: $v")
       }
     }
   }
