@@ -1498,6 +1498,14 @@ object AnnZarrWriter {
     val za = ZarrStore.openArray(path, rel)
     val n1 = za.shape.head
     if (n1 <= n0) return
+    // same encoding guard as appendDenseSlot: the scrub re-encodes
+    // straddling objects with the writer's codec — on a store with any
+    // other compressor (e.g. an external blosc store) that would corrupt
+    // chunks, so fail fast instead
+    require(za.rank == 2 && za.kind == 'f' &&
+      (if (za.shard.isDefined) za.codecs.contains(ZCodec.GzipC)
+       else za.compressor == (if (v3) "gzip" else "zlib")),
+      s"$path/$rel: dense rollback serves the writer's float chunk grid")
     val Seq(cr, cc) = za.chunks.map(identity)
     val sf = za.shard.map(_.shardShape.head / cr).getOrElse(1)
     val objRows = cr.toLong * sf
