@@ -666,6 +666,29 @@ class ZarrWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("int64 frame columns keep full 64-bit precision (no Double detour)") {
+    // 2^53 + k is not representable as Double for odd k: a Double detour
+    // in the column packers would silently land on a neighbor integer.
+    // Pin BOTH frame paths (driver: 10 rows; distributed: 100 rows at
+    // frameChunkLen 32).
+    val big = (1L << 53) + 1
+    for ((n, fcl, tag) <- Seq((10, 65536, "driver"), (100, 32, "dist"))) {
+      val obs = spark.range(n).select(col("id").as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"),
+        (col("id") + big).as("uid64"))
+      val vars = spark.range(2).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(n).select(col("id").as("obs_id"),
+        lit(0L).as("var_id"), lit(1.0).as("value"))
+      val p = TestSpark.tmpDir(s"graft_i64$tag") + "/i64.zarr"
+      AnnZarrWriter.write(AnnDataset(obs, vars, x), p, frameChunkLen = fcl)
+      val got = AnnZarr.open(spark, p).obs.orderBy("obs_id").collect()
+        .map(r => r.getAs[Long]("uid64"))
+      (0 until n).foreach(i =>
+        assert(got(i) == big + i, s"$tag row $i: ${got(i)} != ${big + i}"))
+    }
+  }
+
   test("distributed indptr: all-empty chunk gaps still write cumulative values") {
     // rows 64..127 have ZERO elements -> the middle indptr chunk has no
     // rowCounts groups at all. The cogroup over the chunk-id range must
