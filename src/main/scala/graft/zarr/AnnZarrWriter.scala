@@ -261,6 +261,45 @@ object AnnZarrWriter {
     writeBytes(root, s"$rel/${if (v3) "c" else "0"}", encodeChunk(raw, v3))
   }
 
+  /** One row-banded dense SHARD object: gzip'd inner-band bodies (null
+    * band = absent, -1/-1 index entry) + the crc32c'd u64 index the
+    * sharding_indexed codec specifies (index at end). Shared by the
+    * sink, the append path, and the rollback scrub so the byte-exact
+    * format lives in ONE place.
+    */
+  private[zarr] def denseShardObject(bands: Array[Array[Byte]]): Array[Byte] = {
+    val sf = bands.length
+    val body = new java.io.ByteArrayOutputStream()
+    val index = ByteBuffer.allocate(16 * sf + 4).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < sf) {
+      val b = bands(i)
+      if (b == null) { index.putLong(-1L); index.putLong(-1L) }
+      else {
+        val encd = gzipEncode(b)
+        index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
+        body.write(encd)
+      }
+      i += 1
+    }
+    val idx = index.array()
+    val crc = ZCodec.crc32c(idx, 0, 16 * sf)
+    ByteBuffer.wrap(idx, 16 * sf, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
+    body.write(idx)
+    body.toByteArray
+  }
+
+  /** Double band buffers → raw little-endian band bytes (null-preserving). */
+  private[zarr] def packBands(bands: Array[Array[Double]]): Array[Array[Byte]] =
+    bands.map { b =>
+      if (b == null) null
+      else {
+        val bb = ByteBuffer.allocate(b.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        b.foreach(bb.putDouble)
+        bb.array()
+      }
+    }
+
   // ------------------------------------------------------------ dataframe
 
   /** Test probe: axis rows collected driver-side by the small-frame
@@ -301,9 +340,10 @@ object AnnZarrWriter {
     // row-id column IS the axis position (a frame that silently compacts
     // small but fails large would make behavior depend on row count)
     rows.zipWithIndex.foreach { case (r, i) =>
-      val rid = r.getAs[Number](rowIdName).longValue()
-      require(rid == i,
-        s"$rel: axis positions must be contiguous 0..n-1 (sorted row $i has $rowIdName=$rid)")
+      val raw = r.getAs[Number](rowIdName)
+      require(raw != null && raw.longValue() == i,
+        s"$rel: axis positions must be contiguous 0..n-1 " +
+          s"(sorted row $i has $rowIdName=${if (raw == null) "null" else raw})")
     }
     // chunk length is a CONSTANT, never derived from the current row
     // count: a store bootstrapped empty (the streaming-sink pattern)
@@ -568,26 +608,7 @@ object AnnZarrWriter {
             bands(band)(((r - baseRow - band.toLong * cr) * cc +
               (c - gc.toLong * cc)).toInt) = v
           }
-          val body = new java.io.ByteArrayOutputStream()
-          val index = ByteBuffer.allocate(16 * sfC + 4).order(ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < sfC) {
-            val b = bands(i)
-            if (b == null) { index.putLong(-1L); index.putLong(-1L) }
-            else {
-              val bb = ByteBuffer.allocate(cr * cc * 8).order(ByteOrder.LITTLE_ENDIAN)
-              b.foreach(bb.putDouble)
-              val encd = gzipEncode(bb.array())
-              index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
-              body.write(encd)
-            }
-            i += 1
-          }
-          val idx = index.array()
-          val crc = ZCodec.crc32c(idx, 0, 16 * sfC)
-          ByteBuffer.wrap(idx, 16 * sfC, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
-          body.write(idx)
-          writeBytes(rootC, s"$relC/c/$gr/$gc", body.toByteArray)
+          writeBytes(rootC, s"$relC/c/$gr/$gc", denseShardObject(packBands(bands)))
         }
       }
   }
@@ -1182,14 +1203,8 @@ object AnnZarrWriter {
         val raw =
           if (za.kind == 'O')
             packVlen(vals.map(v => if (v == null) null else String.valueOf(v)))
-          else packNum(za.dtype, vals.map {
-            case d: Double => d
-            case l: Long => l.toDouble
-            case i: Int => i.toDouble
-            case b: Boolean => if (b) 1.0 else 0.0
-            case other => throw new UnsupportedOperationException(
-              s"$rel: element ${if (other == null) "null" else other.getClass.getName}")
-          })
+          else packNumAny(za.dtype, vals, rel) // no Double detour: int64
+                                              // appends keep 64-bit precision
         writeBytes(path, s"$rel/${chunkKey1d(c, v3)}", encodeChunk(raw, v3))
         c += 1
       }
@@ -1323,26 +1338,7 @@ object AnnZarrWriter {
               bands(band)(((r - baseRow - band.toLong * crC) * ccC +
                 (c - gc.toLong * ccC)).toInt) = v
             }
-            val body = new java.io.ByteArrayOutputStream()
-            val index = ByteBuffer.allocate(16 * sfC + 4).order(ByteOrder.LITTLE_ENDIAN)
-            var i = 0
-            while (i < sfC) {
-              val band = bands(i)
-              if (band == null) { index.putLong(-1L); index.putLong(-1L) }
-              else {
-                val bb = ByteBuffer.allocate(crC * ccC * 8).order(ByteOrder.LITTLE_ENDIAN)
-                band.foreach(bb.putDouble)
-                val encd = gzipEncode(bb.array())
-                index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
-                body.write(encd)
-              }
-              i += 1
-            }
-            val idx = index.array()
-            val crc = ZCodec.crc32c(idx, 0, 16 * sfC)
-            ByteBuffer.wrap(idx, 16 * sfC, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
-            body.write(idx)
-            writeBytes(rootC, s"$relC/c/$gr/$gc", body.toByteArray)
+            writeBytes(rootC, s"$relC/c/$gr/$gc", denseShardObject(packBands(bands)))
           }
         }
     }
@@ -1499,13 +1495,16 @@ object AnnZarrWriter {
     val n1 = za.shape.head
     if (n1 <= n0) return
     // same encoding guard as appendDenseSlot: the scrub re-encodes
-    // straddling objects with the writer's codec — on a store with any
-    // other compressor (e.g. an external blosc store) that would corrupt
-    // chunks, so fail fast instead
-    require(za.rank == 2 && za.kind == 'f' &&
+    // straddling objects with the writer's codec and 8-byte f8 layout —
+    // on a store with any other compressor, element size (f4), or a
+    // column-spanning shard grid, rewriting would corrupt data, so fail
+    // fast instead
+    require(za.rank == 2 && za.dtype == "<f8" &&
       (if (za.shard.isDefined) za.codecs.contains(ZCodec.GzipC)
        else za.compressor == (if (v3) "gzip" else "zlib")),
-      s"$path/$rel: dense rollback serves the writer's float chunk grid")
+      s"$path/$rel: dense rollback serves the writer's f8 chunk grid")
+    require(za.shard.forall(_.shardShape(1) == za.chunks(1)),
+      s"$path/$rel: dense shards must be row-banded (writer layout)")
     val Seq(cr, cc) = za.chunks.map(identity)
     val sf = za.shard.map(_.shardShape.head / cr).getOrElse(1)
     val objRows = cr.toLong * sf
@@ -1517,7 +1516,10 @@ object AnnZarrWriter {
     (firstObj to lastObj).foreach { gr =>
       val base = gr.toLong * objRows
       (0 until gridCols).foreach { gc =>
-        val key = if (v3) s"$rel/c/$gr/$gc" else s"$rel/$gr.$gc"
+        // the array's OWN key function: honors the store's real
+        // dimension separator / v3 key prefix (for sharded arrays the
+        // store object is the shard, addressed at shard-grid coords)
+        val key = s"$rel/${za.chunkKey(Seq(gr, gc))}"
         if (base >= n0) { fs.delete(new Path(path, key), false); () }
         else if (sf == 1) {
           za.readChunk(Seq(gr, gc)).foreach { old =>
@@ -1542,26 +1544,7 @@ object AnnZarrWriter {
               }
           }
           if (!any) { fs.delete(new Path(path, key), false); () }
-          else {
-            val body = new java.io.ByteArrayOutputStream()
-            val index = ByteBuffer.allocate(16 * sf + 4).order(ByteOrder.LITTLE_ENDIAN)
-            var i = 0
-            while (i < sf) {
-              val band = bands(i)
-              if (band == null) { index.putLong(-1L); index.putLong(-1L) }
-              else {
-                val encd = gzipEncode(band)
-                index.putLong(body.size().toLong); index.putLong(encd.length.toLong)
-                body.write(encd)
-              }
-              i += 1
-            }
-            val idx = index.array()
-            val crc = ZCodec.crc32c(idx, 0, 16 * sf)
-            ByteBuffer.wrap(idx, 16 * sf, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(crc)
-            body.write(idx)
-            writeBytes(path, key, body.toByteArray)
-          }
+          else writeBytes(path, key, denseShardObject(bands))
         }
       }
     }
