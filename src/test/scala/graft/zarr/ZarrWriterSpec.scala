@@ -686,6 +686,21 @@ class ZarrWriterSpec extends AnyFunSuite {
         .map(r => r.getAs[Long]("uid64"))
       (0 until n).foreach(i =>
         assert(got(i) == big + i, s"$tag row $i: ${got(i)} != ${big + i}"))
+      // the APPEND path (append1d boundary rewrite + new chunks) must
+      // keep the same precision — both for the appended values and the
+      // re-read committed prefix it merges
+      val obs1 = spark.range(5).select(col("id").as("obs_id"),
+        concat(lit("d"), col("id")).as("obs_name"),
+        (col("id") + big + 1000000).as("uid64"))
+      val x1 = spark.range(5).select(col("id").as("obs_id"),
+        lit(0L).as("var_id"), lit(2.0).as("value"))
+      AnnZarrWriter.appendRows(obs1, x1, p)
+      val grown = AnnZarr.open(spark, p).obs.orderBy("obs_id").collect()
+        .map(r => r.getAs[Long]("uid64"))
+      (0 until n).foreach(i =>
+        assert(grown(i) == big + i, s"$tag append damaged committed row $i"))
+      (0 until 5).foreach(i =>
+        assert(grown(n + i) == big + 1000000 + i, s"$tag appended row $i imprecise"))
     }
   }
 
