@@ -56,6 +56,44 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(obs.count() == nObs)
   }
 
+  test("DSv2 frame slots over a DISTRIBUTED-written multi-chunk frame") {
+    // round-12 writer path: a 300-row obs frame at frameChunkLen 64 is
+    // executor-written (5 chunks/column incl. categorical codes); the
+    // DSv2 frame reader must serve it with bounds + column pruning, and
+    // values must round-trip exactly (incl. 64-bit longs, bools, nulls
+    // -> 0 semantics mirrored by the write contract)
+    val p = TestSpark.tmpDir("graft_dsvdist") + "/dist.zarr"
+    val n = 300
+    val big = (1L << 53) + 1
+    val obs = spark.range(n).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      (col("id") % 3 === 0).as("flag"),
+      (col("id") + big).as("uid64"),
+      (col("id") * 0.25).as("score"),
+      concat(lit("t"), col("id") % 4).as("cell_type"))
+    val vars = spark.range(4).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(n).select(col("id").as("obs_id"),
+      (col("id") % 4).as("var_id"), lit(1.0).as("value"))
+    AnnZarrWriter.write(graft.artifact.AnnDataset(obs, vars, x), p,
+      frameChunkLen = 64, categoricalCols = Set("obs/cell_type"))
+    val df = spark.read.format("zarr").option("slot", "obs").load(p)
+    // pruned + bounded scan across a chunk boundary
+    val sliced = df.filter(col("obs_id") >= 60 && col("obs_id") < 70)
+      .select("obs_id", "uid64", "flag", "cell_type")
+      .orderBy("obs_id").collect()
+    assert(sliced.length == 10)
+    sliced.zipWithIndex.foreach { case (r, k) =>
+      val i = 60 + k
+      // |b1 columns read back as 0/1 longs (the zarr frame contract,
+      // same as AnnZarr.dataFrameGroup)
+      assert(r.getLong(0) == i && r.getLong(1) == big + i &&
+        r.getLong(2) == (if (i % 3 == 0) 1L else 0L) &&
+        r.getString(3) == s"t${i % 4}", s"row $i")
+    }
+    assert(df.count() == n)
+  }
+
   test("csr range task reads only its own indptr/data/indices chunks") {
     // small chunks so indptr spans several chunk objects: 120 rows,
     // frame/indptr chunk 16, X chunk 32
