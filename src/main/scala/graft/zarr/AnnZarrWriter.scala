@@ -326,12 +326,34 @@ object AnnZarrWriter {
                          rowIdName: String, idName: String, v3: Boolean,
                          chunkLen: Int = 65536,
                          catCols: Set[String] = Set.empty): Long = {
-    // routing probe: a limit-pushdown pass, not a full count() — a
-    // derived frame's upstream plan would otherwise execute twice per
-    // write just to pick a path
-    if (df.limit(chunkLen + 1).count() > chunkLen)
-      return writeFrameDistributed(root, rel, df, rowIdName, idName, v3,
-        chunkLen, catCols, df.count())
+    // one-pass routing: materialize the (possibly derived) frame ONCE
+    // and route on the cached count. The earlier limit-probe + count
+    // pair executed an expensive upstream plan (a join, an aggregate)
+    // twice before writing a byte, and the distributed path's
+    // per-categorical `distinct` re-ran it once more per column — the
+    // persist makes every later pass (collect / dictionaries / the
+    // chunk shuffle) a cache read, spec-pinned to exactly one upstream
+    // execution.
+    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = mat.count()
+      if (n > chunkLen)
+        writeFrameDistributed(root, rel, mat, rowIdName, idName, v3,
+          chunkLen, catCols, n)
+      else
+        writeFrameDriver(root, rel, mat, rowIdName, idName, v3, chunkLen, catCols)
+    } finally { mat.unpersist(blocking = false); () }
+  }
+
+  /** Single-chunk driver path: the collect is bounded by one chunk
+    * (≤ `chunkLen` rows). Null handling matches the distributed path
+    * exactly — null numerics/booleans write 0, null strings (and a null
+    * `idName` label) write the vlen null encoding — so store bytes do
+    * not depend on which path the row count selected.
+    */
+  private def writeFrameDriver(root: String, rel: String, df: DataFrame,
+                               rowIdName: String, idName: String, v3: Boolean,
+                               chunkLen: Int, catCols: Set[String]): Long = {
     val cols = df.columns.filter(c => c != rowIdName && c != idName)
     val rows = df.orderBy(rowIdName).collect()
     val n = rows.length.toLong
@@ -362,6 +384,7 @@ object AnnZarrWriter {
     array1d(root, s"$rel/_index", "|O", n, chunkLen,
       enc("string-array", "0.2.0"),
       chunkOf(i => if (hasName) rows(i).getAs[Any](idName) match {
+        case null => null // matches the distributed path's null label
         case s: String => s
         case other => String.valueOf(other)
       } else i.toString), v3)
@@ -397,11 +420,13 @@ object AnnZarrWriter {
           }, v3)
       } else {
       val dt = df.schema(cn).dataType
+      val fi = df.schema.fieldIndex(cn)
       val (dtype, get): (String, Int => Any) = dt match {
         case StringType => ("|O", i => rows(i).getAs[String](cn))
         case DoubleType | FloatType =>
           ("<f8", i => { val v = rows(i).getAs[Number](cn); if (v == null) 0.0 else v.doubleValue() })
-        case BooleanType => ("|b1", i => rows(i).getAs[Boolean](cn))
+        case BooleanType => // null boolean writes 0, like the distributed path
+          ("|b1", i => if (rows(i).isNullAt(fi)) 0L else rows(i).getBoolean(fi))
         case _ =>
           ("<i8", i => { val v = rows(i).getAs[Number](cn); if (v == null) 0L else v.longValue() })
       }
@@ -448,7 +473,9 @@ object AnnZarrWriter {
         case _ => (cn, 'L', "<i8")
       }
     }
-    // category dictionaries + metadata, driver-side (dictionary-sized)
+    // category dictionaries + metadata, driver-side (dictionary-sized);
+    // each distinct reads the frame writeFrame just persisted, so a
+    // derived frame's upstream plan is NOT re-executed per column
     val catDicts: Map[String, Array[String]] = specs.collect {
       case (cn, 'C', _) =>
         cn -> df.select(col(cn).cast("string")).filter(col(cn).isNotNull)
@@ -501,7 +528,17 @@ object AnnZarrWriter {
         val live = math.min(chunkLenC.toLong, nC - lo).toInt
         val rows = new Array[Row](live)
         var seen = 0
-        it.foreach { r => rows((r.getLong(0) - lo).toInt) = r; seen += 1 }
+        it.foreach { r =>
+          val k = (r.getLong(0) - lo).toInt
+          // a duplicate row id and a missing one can cancel inside the
+          // same chunk, so a bare seen==live check would let a null slot
+          // through to an opaque packer NPE — reject the duplicate (and
+          // an out-of-range id) at fill time with the contiguity message
+          require(k >= 0 && k < live && rows(k) == null,
+            s"$relC chunk $c: axis positions must be contiguous 0..n-1 " +
+              s"(row id ${r.getLong(0)} is duplicated or out of range)")
+          rows(k) = r; seen += 1
+        }
         require(seen == live, s"$relC chunk $c: $seen of $live rows " +
           "(axis positions must be contiguous 0..n-1)")
         val key = chunkKey1d(c, v3C)

@@ -545,7 +545,12 @@ object ZarrStore {
     } else {
       (readBytes(root, ".zmetadata").map(mapper.readTree),
         readBytes(root, s"$pfx/.zmetadata").map(mapper.readTree)) match {
-        case (Some(rn), Some(sn)) =>
+        // a foreign or malformed .zmetadata (no object-valued "metadata"
+        // map on either side) falls through to the full walk, mirroring
+        // the v3 branch's consolidated_metadata guards
+        case (Some(rn), Some(sn))
+          if rn.has("metadata") && rn.get("metadata").isObject &&
+            sn.has("metadata") && sn.get("metadata").isObject =>
           val md = rn.get("metadata").asInstanceOf[ObjectNode]
           val it = md.fieldNames()
           val stale = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -768,6 +768,28 @@ class ZarrWriterSpec extends AnyFunSuite {
       "container reopen must plan from the patched root consolidation")
   }
 
+  test("patchConsolidatedSubtree falls back to a full walk on malformed v2 .zmetadata") {
+    // a foreign .zmetadata (no object-valued "metadata" map) must route
+    // through consolidate(root), not throw ClassCastException/NPE
+    val mu = TestSpark.tmpDir("graft_mup2bad") + "/mu2.zarr"
+    val mk = (pfx: String, n: Int) => AnnDataset(
+      spark.range(n).select(col("id").as("obs_id"),
+        concat(lit(pfx), col("id")).as("obs_name")),
+      spark.range(4).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name")),
+      spark.range(n).select(col("id").as("obs_id"), (col("id") % 4).as("var_id"),
+        lit(2.0).as("value")))
+    AnnZarrWriter.writeMu(Map("rna" -> mk("r", 5)), mu, v3 = false)
+    // clobber the root consolidation with a metadata-less JSON object
+    val out = ZarrStore.fs(mu).create(new org.apache.hadoop.fs.Path(mu, ".zmetadata"), true)
+    try out.write("""{"zarr_consolidated_format":1}""".getBytes("UTF-8"))
+    finally out.close()
+    ZarrStore.invalidate(mu)
+    ZarrStore.patchConsolidatedSubtree(mu, "mod/rna") // falls back, no throw
+    val mods = AnnZarr.openMu(spark, mu)
+    assert(mods.keySet == Set("rna") && mods("rna").obs.count() == 5)
+  }
+
   test("migrate refuses in-place / nested destinations") {
     val base = TestSpark.tmpDir("graft_migguard")
     val p = base + "/src.zarr"
@@ -1000,5 +1022,83 @@ class ZarrWriterSpec extends AnyFunSuite {
       yield (i * 2 + j) % 9 * 0.5)
     assert(rs.getLong(0) == exp.size)
     assert(math.abs(rs.getDouble(1) - exp.sum) < 1e-6)
+  }
+
+  test("writeFrame executes a derived frame's upstream plan exactly once") {
+    // a derived obs frame (think: a join or an aggregate upstream) must
+    // not pay one execution for the routing probe and another for the
+    // write — the one-pass persist contract, pinned by an accumulator
+    // that fires once per upstream partition execution
+    val nO = 300
+    for ((fcl, tag) <- Seq(64 -> "distributed", 1024 -> "driver")) {
+      val execs = spark.sparkContext.longAccumulator(s"frameExecs_$tag")
+      val base = spark.sparkContext.range(0L, nO, 1, numSlices = 1)
+        .mapPartitions { it => execs.add(1); it }
+      val obs = base.toDF("obs_id")
+        .select(col("obs_id"), concat(lit("c"), col("obs_id")).as("obs_name"),
+          (col("obs_id") % 5).as("grp"),
+          concat(lit("t"), col("obs_id") % 3).as("cell_type"))
+      val vars = spark.range(4).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name"))
+      val x = spark.range(nO).select(col("id").as("obs_id"),
+        (col("id") % 4).as("var_id"), lit(1.0).as("value"))
+      val p = TestSpark.tmpDir(s"graft_onepass_$tag") + "/op.zarr"
+      AnnZarrWriter.write(AnnDataset(obs, vars, x), p, frameChunkLen = fcl,
+        categoricalCols = Set("obs/cell_type"))
+      assert(execs.value == 1L,
+        s"$tag path: obs upstream executed ${execs.value} times, expected 1")
+      assert(AnnZarr.open(spark, p).obs.count() == nO, tag)
+    }
+  }
+
+  test("null column values write identically through both frame paths") {
+    // the driver and distributed paths must agree on nulls (null bool ->
+    // 0, null string/label -> vlen null) or store bytes would depend on
+    // row count — the size-independence contract
+    def mkObs(n: Int) = spark.range(n).select(col("id").as("obs_id"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(concat(lit("c"), col("id")))
+        .as("obs_name"),
+      when(col("id") % 3 === 0, lit(null)).otherwise(col("id") % 2 === 0)
+        .cast("boolean").as("flag"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(concat(lit("s"), col("id") % 4))
+        .as("note"))
+    val vars = spark.range(2).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    def mkX(n: Int) = spark.range(n).select(col("id").as("obs_id"),
+      lit(0L).as("var_id"), lit(1.0).as("value"))
+    val n = 90
+    val pDriver = TestSpark.tmpDir("graft_nulldrv") + "/a.zarr"
+    val pDist = TestSpark.tmpDir("graft_nulldst") + "/b.zarr"
+    AnnZarrWriter.write(AnnDataset(mkObs(n), vars, mkX(n)), pDriver,
+      frameChunkLen = 1024) // single-chunk -> driver path
+    AnnZarrWriter.write(AnnDataset(mkObs(n), vars, mkX(n)), pDist,
+      frameChunkLen = 32) // multi-chunk -> distributed path
+    val a = AnnZarr.open(spark, pDriver).obs.orderBy("obs_id").collect()
+      .map(_.toString).toSeq
+    val b = AnnZarr.open(spark, pDist).obs.orderBy("obs_id").collect()
+      .map(_.toString).toSeq
+    assert(a == b, "null handling diverges between driver and distributed paths")
+  }
+
+  test("distributed frame rejects duplicate row ids even when counts cancel") {
+    // dup + missing id in the SAME chunk: seen==live would pass, leaving
+    // a null slot — the fill-time guard must raise the contiguity error
+    val nO = 100
+    val obs = spark.range(nO)
+      .select(when(col("id") === 41, lit(40L)).otherwise(col("id")).as("obs_id"),
+        concat(lit("c"), col("id")).as("obs_name"))
+    val vars = spark.range(2).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(nO).select(col("id").as("obs_id"),
+      lit(0L).as("var_id"), lit(1.0).as("value"))
+    val p = TestSpark.tmpDir("graft_dupid") + "/dup.zarr"
+    val ex = intercept[Exception] {
+      AnnZarrWriter.write(AnnDataset(obs, vars, x), p, frameChunkLen = 32)
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("contiguous"),
+      s"expected the contiguity message, got: ${rootMsg(ex).take(300)}")
   }
 }
