@@ -480,15 +480,21 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs agreeing on any band of the 64-bit
     * simhash. The band plan is cardinality-adaptive (`simhashBandPlan`
-    * over 64 bits, width 16–21): small corpora get the legacy 4×16-bit
+    * over 64 bits, width 16–30): small corpora get the legacy 4×16-bit
     * quarters, large corpora get fewer, wider bands so background
-    * collisions stay ~linear in n.
+    * collisions stay ~linear in n. Width 30 covers n ≈ 2^30/16 ≈ 67M
+    * docs before the plan saturates; the earlier ceiling of 21 saturated
+    * at ~131k docs, letting per-bucket load — and with it the
+    * `maxBucketDf` recall loss — grow linearly on any real corpus.
     *
     * RECALL CONTRACT (read before relying on this across corpus sizes):
     * by pigeonhole, a pair is GUARANTEED to surface only when its hamming
-    * distance ≤ bands−1 — that is hamming ≤ 3 under the small-corpus
-    * 4-band plan but hamming ≤ 2 once the adaptive plan drops to 3 bands
-    * (n > ~2^21/16). Pairs beyond that bound surface only
+    * distance ≤ bands−1 — hamming ≤ 3 under the small-corpus 4-band
+    * plan, ≤ 2 once the plan drops to 3 bands (n > ~2^16/16), and ≤ 1
+    * once it reaches 2 wide bands (n > ~2^21/16 ≈ 131k docs) — the Manku et al.
+    * (WWW'07) block-permutation trade: table count × block width is
+    * fixed by the signature, so halving the tables doubles the reach of
+    * each but narrows the guarantee. Pairs beyond the bound surface only
     * probabilistically, so the SAME pair can legitimately disappear as
     * the corpus grows and callers filtering at e.g. `hamming <= 6` are
     * sampling, not enumerating, at every corpus size. Pass `bandPlan` to
@@ -508,7 +514,7 @@ object Dedup {
     // adaptive plan sizes off the SIGNATURE frame (one row per doc) so
     // the count materializes the persist instead of re-reading the source
     val (bands, bw) = bandPlan.getOrElse(
-      simhashBandPlan(withSim.count(), totalBits = 64, minWidth = 16, maxWidth = 21))
+      simhashBandPlan(withSim.count(), totalBits = 64, minWidth = 16, maxWidth = 30))
     logBandPlan("simhashCandidates", bands, bw)
     finishPairs(bandPairs(withSim, bands, bw, maxBucketDf), withSim)
   }
@@ -525,12 +531,14 @@ object Dedup {
     * prefixes so the run is reproducible in DuckDB (`simhashPortableOracleSql`
     * generates the replica from the same bit layout and the SAME
     * cardinality-adaptive sizing rule — `simhashBandPlan` over 60 bits,
-    * width 15–20: 4×15 for small corpora, 3 wider bands as n grows).
+    * width 15–30: 4×15 for small corpora, then 3 and finally 2 wider
+    * bands as n grows, covering n ≈ 2^30/16 ≈ 67M docs unsaturated).
     *
     * Same RECALL CONTRACT as `simhashCandidates`: guaranteed only for
-    * hamming ≤ bands−1 (3 under 4×15, 2 once the plan drops to 3 bands),
-    * probabilistic beyond — candidate output is corpus-size-dependent
-    * unless `bandPlan` pins a layout. Chosen plan is logged per run.
+    * hamming ≤ bands−1 (3 under 4×15, 2 at 3 bands, 1 once the plan
+    * reaches 2 wide bands at n > ~2^20/16 docs), probabilistic beyond —
+    * candidate output is corpus-size-dependent unless `bandPlan` pins a
+    * layout. Chosen plan is logged per run.
     */
   def simhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
                                 bandPlan: Option[(Int, Int)] = None,
@@ -553,7 +561,7 @@ object Dedup {
     // sizing off the signature frame: one row per doc, count reads the
     // cache it just materialized (mirrors the SQL replica's count of `sim`)
     val (bands, bw) = bandPlan.getOrElse(
-      simhashBandPlan(withSim.count(), totalBits = bits, minWidth = 15, maxWidth = 20))
+      simhashBandPlan(withSim.count(), totalBits = bits, minWidth = 15, maxWidth = 30))
     logBandPlan("simhashCandidatesPortable", bands, bw)
     finishPairs(bandPairs(withSim, bands, bw, maxBucketDf), withSim)
   }
@@ -561,7 +569,7 @@ object Dedup {
   /** DuckDB replica of `simhashCandidatesPortable` (+ hamming cutoff) over
     * a `corpus(doc_id, text)` CTE body — generated from the same 60-bit
     * layout and replaying the same integer-exact adaptive sizing rule
-    * (`simhashBandPlan`: smallest bw in [15,20] with 2^bw >= 16·n, bands
+    * (`simhashBandPlan`: smallest bw in [15,30] with 2^bw >= 16·n, bands
     * = 60/bw) inside SQL, so the oracle picks the identical plan at every
     * scale factor without knowing n in advance.
     */
@@ -583,8 +591,8 @@ object Dedup {
        |  FROM h GROUP BY doc_id),
        |sim AS (SELECT doc_id, $simExpr AS s FROM votes),
        |params AS (SELECT CAST(COALESCE(
-       |    MIN(CASE WHEN (1::BIGINT << bw) >= 16 * n THEN bw END), 20) AS INT) AS bw
-       |  FROM (SELECT unnest(range(15, 21)) AS bw), (SELECT count(*) AS n FROM sim)),
+       |    MIN(CASE WHEN (1::BIGINT << bw) >= 16 * n THEN bw END), 30) AS INT) AS bw
+       |  FROM (SELECT unnest(range(15, 31)) AS bw), (SELECT count(*) AS n FROM sim)),
        |bands AS (
        |  SELECT doc_id, s, bd.band AS band,
        |    (s >> (bd.band * p.bw)) & ((1::BIGINT << p.bw) - 1) AS key

@@ -20,7 +20,7 @@ object ProfSimhashCand {
 
     val corpus = graft.queries.TextQueries.corpusWithNearDups(spark, sfDir)
     val n = corpus.count()
-    val (bands, bw) = graft.ext.Dedup.simhashBandPlan(n, 60, 15, 20)
+    val (bands, bw) = graft.ext.Dedup.simhashBandPlan(n, 60, 15, 30)
     val fixed = graft.ext.Dedup.simhashCandidatesPortable(
       corpus, "doc_id", "text", bandPlan = Some((4, 15))).count()
     val adaptive = graft.ext.Dedup.simhashCandidatesPortable(

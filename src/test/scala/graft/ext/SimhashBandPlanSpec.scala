@@ -17,24 +17,31 @@ class SimhashBandPlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("sizing rule: width grows with corpus cardinality, bands shrink") {
-    // portable layout: 60 signature bits, widths 15..20
-    def plan(n: Long) = Dedup.simhashBandPlan(n, totalBits = 60, minWidth = 15, maxWidth = 20)
+    // portable layout: 60 signature bits, widths 15..30
+    def plan(n: Long) = Dedup.simhashBandPlan(n, totalBits = 60, minWidth = 15, maxWidth = 30)
     assert(plan(100L) === (4, 15))     // sf0.001-scale: legacy 4×15 layout
     assert(plan(600L) === (4, 15))     // sf0.01-scale: 2^15 = 32768 >= 16·600
     assert(plan(2048L) === (4, 15))    // boundary: 16·2048 = 2^15 exactly
     assert(plan(2049L) === (3, 16))    // first width step
     assert(plan(5700L) === (3, 17))    // sf0.1-scale
     assert(plan(57000L) === (3, 20))   // sf1.0-scale: 16·57000 needs 2^20
-    assert(plan(10_000_000L) === (3, 20)) // clamped at maxWidth
-    // fast-path layout: 64 bits, widths 16..21
-    assert(Dedup.simhashBandPlan(1000L, 64, 16, 21) === (4, 16))
-    assert(Dedup.simhashBandPlan(1_000_000L, 64, 16, 21) === (3, 21))
+    assert(plan(65536L) === (3, 20))   // boundary: 16·65536 = 2^20 exactly
+    assert(plan(65537L) === (2, 21))   // the band count's last step: 2 wide bands
+    assert(plan(571000L) === (2, 24))  // sf10-scale (571k docs): inside the
+                                       // extended range, NOT clamped — the
+                                       // round-12 ceiling of 20 saturated here
+    assert(plan(60_000_000L) === (2, 30))  // ~2^30/16 docs: widest plan
+    assert(plan(1_000_000_000L) === (2, 30)) // clamped at the new maxWidth
+    // fast-path layout: 64 bits, widths 16..30
+    assert(Dedup.simhashBandPlan(1000L, 64, 16, 30) === (4, 16))
+    assert(Dedup.simhashBandPlan(1_000_000L, 64, 16, 30) === (2, 24))
+    assert(Dedup.simhashBandPlan(100_000_000L, 64, 16, 30) === (2, 30)) // clamp
   }
 
   test("plan invariants: bands*width <= totalBits, width monotone in n") {
-    val widths = (1L to 22L).map(e => Dedup.simhashBandPlan(1L << e, 60, 15, 20))
+    val widths = (1L to 30L).map(e => Dedup.simhashBandPlan(1L << e, 60, 15, 30))
     widths.foreach { case (bands, bw) =>
-      assert(bands * bw <= 60 && bands >= 3, s"bad plan ($bands, $bw)")
+      assert(bands * bw <= 60 && bands >= 2, s"bad plan ($bands, $bw)")
     }
     assert(widths.map(_._2) === widths.map(_._2).sorted, "width must be monotone in n")
   }
