@@ -190,6 +190,22 @@ object CoreQueries {
         .select("p_partkey", "p_name", "rank")
     }),
 
+    "q47_suggest_similar" -> ((spark, dir) => {
+      // suggest_records_with_similar_names (sqlrecord.py:608-650): an
+      // exact name hit returns the record and NO suggestions; a miss
+      // runs the truncated fuzzy search (q24's mode) and proposes up to
+      // 3 similar records. Replayed over fixed probes spanning an exact
+      // hit, a plural near-miss, and a prefix typo.
+      import spark.implicits._
+      val qs = tpchEnv(spark, dir).querySet("part")
+      val rows = suggestProbes.flatMap { p =>
+        val (exact, similar) = qs.suggestSimilarNames("p_name", p)
+        exact.map(r => (p, "exact", 1L, r.getAs[String]("p_name"))).toSeq ++
+          similar.zipWithIndex.map { case (s, i) => (p, "similar", i + 1L, s) }
+      }
+      rows.toDF("probe", "kind", "pos", "name").orderBy("probe", "kind", "pos")
+    }),
+
     "q26_asof_join" -> ((spark, dir) => {
       // backward as-of: each click matched to the user's most recent
       // prior-or-equal error event — one user_id shuffle, no range join
@@ -452,6 +468,15 @@ object CoreQueries {
 
   // -------------------------------------------------------------- oracles
 
+  /** q47 probes + the reference's truncation rule (drop the final 20%
+    * of a query longer than 5 chars, `query_manager.py:99-103`) —
+    * shared by the Spark query and the generated oracle SQL so both
+    * replay the same rule on the same literals.
+    */
+  private val suggestProbes = Seq("red widget", "red widgets", "large bol")
+  private def truncatedQuery(q: String): String =
+    (if (q.length > 5) q.substring(0, (q.length * 0.8).toInt) else q).strip()
+
   /** DuckDB SQL mirror of `Search.rankColumn` for literal query strings
     * (no regex metacharacters).
     */
@@ -480,7 +505,29 @@ object CoreQueries {
     val (trRank, trPre) = searchRankSql(Seq("p_name", "p_type"), "widg")
     val trExpr = trRank +
       " + (CASE WHEN lower(coalesce(CAST(p_name AS VARCHAR), '')) LIKE 'widg%' THEN 2 ELSE 0 END)"
+    // q47: per probe — the exact-name hit (pk-ordered first()) XOR the
+    // truncated fuzzy top-3 (same rank SQL as q24 + the name-startswith
+    // x2 bonus), both replayed verbatim
+    val suggestSql = suggestProbes.map { p =>
+      val tq = truncatedQuery(p)
+      val (rk, pre) = searchRankSql(Seq("p_name"), tq)
+      val rkx = rk + s" + (CASE WHEN lower(coalesce(CAST(p_name AS VARCHAR), ''))" +
+        s" LIKE '${tq.toLowerCase}%' THEN 2 ELSE 0 END)"
+      s"""SELECT * FROM (
+         |  SELECT '$p' AS probe, 'exact' AS kind, CAST(1 AS BIGINT) AS pos, p_name AS name
+         |  FROM part WHERE p_name = '$p' ORDER BY p_partkey LIMIT 1)
+         |UNION ALL
+         |SELECT '$p' AS probe, 'similar' AS kind,
+         |  CAST(row_number() OVER (ORDER BY rank DESC, p_partkey) AS BIGINT) AS pos,
+         |  p_name AS name
+         |FROM (SELECT p_partkey, p_name, CAST($rkx AS INT) AS rank FROM part WHERE $pre
+         |      ORDER BY rank DESC, p_partkey LIMIT 3) s
+         |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_name = '$p')""".stripMargin
+    }.mkString("SELECT probe, kind, pos, name FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY probe, kind, pos")
     Map(
+      "q47_suggest_similar" -> suggestSql,
+
       "q24_search_truncated" ->
         s"""SELECT p_partkey, p_name, CAST($trExpr AS INT) AS rank
            |FROM part WHERE $trPre
