@@ -1205,8 +1205,14 @@ object AnnZarrWriter {
     val changedMeta = scala.collection.mutable.ArrayBuffer[String]()
 
     val spark = newX.sparkSession
-    val rows = newObs.orderBy("obs_id").collect()
-    val nAdd = rows.length.toLong
+    // one-pass routing, like writeFrame: materialize the batch frame
+    // once and route on the cached count — a bulk append of 10⁷+ rows
+    // goes EXECUTOR-side (boundary chunks merged in-task, new chunks
+    // owned by the task's shuffle partition), a microbatch keeps the
+    // bounded driver path
+    val matObs = newObs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val nAdd = matObs.count()
 
     /** Chunk-aligned 1-D extend: reads the boundary chunk's committed
       * prefix, writes boundary + new chunks ONLY — O(add), not O(n).
@@ -1247,21 +1253,51 @@ object AnnZarrWriter {
       }
     }
 
-    // ---- obs frame: boundary + new chunks per column
+    // ---- obs frame: boundary + new chunks per column, routed on batch
+    // size exactly like writeFrame: a batch spanning more than one chunk
+    // of the index array writes its new chunk objects EXECUTOR-side
     val hasName = newObs.columns.contains("obs_name")
+    val clIdx = ZarrStore.openArray(path, "obs/_index").chunks.head
+    obsCols.foreach(cn => require(newObs.columns.contains(cn),
+      s"append obs frame missing column '$cn'"))
+    if (nAdd > clIdx)
+      appendObsFrameDistributed(path, matObs, obsCols, hasName, n0, nAdd,
+        clIdx, v3, changedMeta, append1d)
+    else {
+    val rows = matObs.orderBy("obs_id").collect()
+    driverAxisRowsProbe.addAndGet(rows.length.toLong)
+    // same contiguity contract the distributed path enforces per chunk
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val raw = r.getAs[Number]("obs_id")
+      require(raw != null && raw.longValue() == i,
+        s"append batch: obs_id must be contiguous 0..n-1 " +
+          s"(sorted row $i has obs_id=${if (raw == null) "null" else raw})")
+    }
     append1d("obs/_index", rows.zipWithIndex.map { case (r, i) =>
-      (if (hasName) String.valueOf(r.getAs[Any]("obs_name"))
-       else (n0 + i).toString): Any
+      (if (hasName) r.getAs[Any]("obs_name") match {
+        case null => null // vlen null label, like the distributed path
+        case s: String => s
+        case other => String.valueOf(other)
+      } else (n0 + i).toString): Any
     }.toIndexedSeq)
     obsCols.foreach { cn =>
-      require(newObs.columns.contains(cn), s"append obs frame missing column '$cn'")
       if (ZarrStore.isArray(path, s"obs/$cn")) {
         val kind = ZarrStore.openArray(path, s"obs/$cn").kind
+        // null normalization matches the distributed path: null string
+        // -> vlen null, null numeric/boolean -> 0
         val add: IndexedSeq[Any] = kind match {
-          case 'O' => rows.map(r => String.valueOf(r.getAs[Any](cn)): Any).toIndexedSeq
-          case 'f' => rows.map(r => r.getAs[Number](cn).doubleValue(): Any).toIndexedSeq
+          case 'O' => rows.map(r => (r.getAs[Any](cn) match {
+            case null => null
+            case s: String => s
+            case other => String.valueOf(other)
+          }): Any).toIndexedSeq
+          case 'f' => rows.map { r =>
+            val v = r.getAs[Number](cn)
+            (if (v == null) 0.0 else v.doubleValue()): Any
+          }.toIndexedSeq
           case _ => rows.map { r =>
             (r.getAs[Any](cn) match {
+              case null => 0L
               case b: Boolean => if (b) 1L else 0L
               case x: Number => x.longValue()
               case other => sys.error(s"obs/$cn: element $other")
@@ -1285,6 +1321,7 @@ object AnnZarrWriter {
         append1d(s"obs/$cn/codes",
           newVals.map(v => (if (v == null) -1L else idx(v).toLong): Any).toIndexedSeq)
       }
+    }
     }
 
     /** Dense row-band extend of slot `rel`: new rows land in the
@@ -1381,11 +1418,17 @@ object AnnZarrWriter {
     }
 
     /** csr element-extend of slot `rel`: indptr/data/indices grow by
-      * boundary + new objects only.
+      * boundary + new objects only. Routed on batch size like the obs
+      * frame: a batch spanning more than one indptr chunk computes row
+      * starts and writes the indptr tail EXECUTOR-side (the
+      * writeCsrDistributed machinery pointed at the committed offsets
+      * nnz0 / n0), so the driver holds chunk-level prefix sums and the
+      * boundary prefixes only — never a row-sized array.
       */
     def appendCsrSlot(rel: String, coo: DataFrame, colCol: String): Unit = {
       val dataZ = ZarrStore.openArray(path, s"$rel/data")
       val indZ = ZarrStore.openArray(path, s"$rel/indices")
+      val ptrZ = ZarrStore.openArray(path, s"$rel/indptr")
       if (v3)
         require(dataZ.compressor == "sharding" && indZ.compressor == "sharding" &&
           dataZ.codecs.contains(ZCodec.GzipC) && indZ.codecs.contains(ZCodec.GzipC),
@@ -1401,90 +1444,210 @@ object AnnZarrWriter {
         val a = ZarrStore.attrs(path, rel).get.get("shape")
         a.get(1).asLong
       }
-      // new rows: counts, then global element positions
-      val perRow = coo.groupBy(col("obs_id")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
-      val addPtr = new Array[Long](nAdd.toInt + 1)
-      (0 until nAdd.toInt).foreach(i =>
-        addPtr(i + 1) = addPtr(i) + perRow.getOrElse(i.toLong, 0L))
-      val nnzAdd = addPtr.last
-      val nnz1 = nnz0 + nnzAdd
 
-      // indptr: boundary + new chunks (shifted by the prior nnz)
-      append1d(s"$rel/indptr", addPtr.toIndexedSeq.tail.map(v => (v + nnz0): Any))
+      /** Shared tail of both branches: elements carrying their GLOBAL
+        * csr position `e` group on the target store object; boundary +
+        * new objects write, v2 chunk / v3 shard encodings alike.
+        */
+      def extendElementObjects(elems: DataFrame, nnz1: Long): Unit = {
+        val cb = (nnz0 / objElems).toInt // boundary OBJECT (chunk / shard) id
+        val boundaryOff = (nnz0 % objElems).toInt
+        // committed prefix of the boundary object — for v3 decoded through
+        // the shard index's ranged inner-chunk reads, for v2 one chunk GET
+        val (bndData, bndInd) =
+          if (boundaryOff == 0) (Array.empty[Double], Array.empty[Long])
+          else {
+            val base = cb.toLong * objElems
+            (dataZ.readDoubles(base, nnz0), indZ.readLongs(base, nnz0))
+          }
+        val bndB = spark.sparkContext.broadcast((bndData, bndInd))
+        val rootC = path; val chunkC = chunkElems; val objC = objElems
+        val nnz0C = nnz0; val nnz1C = nnz1; val cbC = cb; val v3C = v3
+        val relC = rel
+        elems.rdd
+          .map { row =>
+            val e = row.getLong(0)
+            ((e / objC).toInt, (e, row.getLong(1), row.getDouble(2)))
+          }
+          .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
+          .foreach { case (obj, it) =>
+            val base = obj.toLong * objC
+            val m1 = math.min(objC.toLong, nnz1C - base).toInt // slots live after append
+            val dataV = new Array[Double](m1)
+            val indV = new Array[Long](m1)
+            // the boundary object keeps its existing prefix
+            if (obj == cbC) {
+              val (bd, bi) = bndB.value
+              var k = 0
+              while (k < bd.length) { dataV(k) = bd(k); indV(k) = bi(k); k += 1 }
+            }
+            var seen = 0
+            it.foreach { case (e, j, v) =>
+              val k = (e - base).toInt
+              dataV(k) = v; indV(k) = j; seen += 1
+            }
+            val lo = math.max(base, nnz0C)
+            val hi = math.min(base + objC, nnz1C)
+            require(seen == (hi - lo).toInt,
+              s"$relC append object $obj: $seen of ${hi - lo} new elements")
+            if (!v3C) {
+              val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+              dataV.foreach(db.putDouble) // allocate() zero-fills the edge padding
+              val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
+              indV.foreach(ib.putLong)
+              writeBytes(rootC, s"$relC/data/$obj", zlibEncode(db.array()))
+              writeBytes(rootC, s"$relC/indices/$obj", zlibEncode(ib.array()))
+            } else {
+              // boundary shard re-encoded whole (prefix + new inner
+              // chunks + fresh index); later shards are brand new
+              writeBytes(rootC, s"$relC/data/c/$obj",
+                shardBytes(objC, chunkC, m1, packDoubles(dataV, chunkC)))
+              writeBytes(rootC, s"$relC/indices/c/$obj",
+                shardBytes(objC, chunkC, m1, packLongs(indV, chunkC)))
+            }
+          }
+        bndB.unpersist()
+      }
 
-      // group shape gains the appended rows
-      zgroup(path, rel, Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
-        s""""shape":[${n0 + nAdd},$nCols]}"""), v3)
-      changedMeta += (if (v3) rel else s"$rel/.zattrs")
-
-      // data/indices: metadata grows; ONLY boundary + new objects write
-      changedMeta += ZarrStore.patchShape(path, s"$rel/data", Seq(nnz1))
-      changedMeta += ZarrStore.patchShape(path, s"$rel/indices", Seq(nnz1))
-      if (nnzAdd == 0) return
-      val cb = (nnz0 / objElems).toInt // boundary OBJECT (chunk / shard) id
-      val boundaryOff = (nnz0 % objElems).toInt
-      // committed prefix of the boundary object — for v3 decoded through
-      // the shard index's ranged inner-chunk reads, for v2 one chunk GET
-      val (bndData, bndInd) =
-        if (boundaryOff == 0) (Array.empty[Double], Array.empty[Long])
-        else {
-          val base = cb.toLong * objElems
-          (dataZ.readDoubles(base, nnz0), indZ.readLongs(base, nnz0))
-        }
-      val ptrB = spark.sparkContext.broadcast(addPtr)
-      val bndB = spark.sparkContext.broadcast((bndData, bndInd))
-      val rootC = path; val chunkC = chunkElems; val objC = objElems
-      val nnz0C = nnz0; val nnz1C = nnz1; val cbC = cb; val v3C = v3
-      val relC = rel
-      val elems = coo
+      /** (e, c, v) with e = nnz0 + row start + rank-within-row; the
+        * join and the rank window share the row key's partitioning.
+        */
+      def cooWithPositions(starts: DataFrame): DataFrame = coo
         .select(col("obs_id").cast("long").as("r"), col(colCol).cast("long").as("c"),
           col("value").cast("double").as("v"))
         .withColumn("rk",
           row_number().over(Window.partitionBy("r").orderBy("c")).cast("long") - 1)
-      elems.toDF().rdd
-        .map { row =>
-          val e = nnz0C + ptrB.value(row.getLong(0).toInt) + row.getLong(3)
-          ((e / objC).toInt, (e, row.getLong(1), row.getDouble(2)))
-        }
-        .groupByKey(math.max(1, spark.sparkContext.defaultParallelism))
-        .foreach { case (obj, it) =>
-          val base = obj.toLong * objC
-          val m1 = math.min(objC.toLong, nnz1C - base).toInt // slots live after append
-          val dataV = new Array[Double](m1)
-          val indV = new Array[Long](m1)
-          // the boundary object keeps its existing prefix
-          if (obj == cbC) {
-            val (bd, bi) = bndB.value
-            var k = 0
-            while (k < bd.length) { dataV(k) = bd(k); indV(k) = bi(k); k += 1 }
+        .join(starts, "r")
+        .select((col("start") + col("rk") + lit(nnz0)).as("e"), col("c"), col("v"))
+
+      val L = ptrZ.chunks.head
+      if (nAdd > L) {
+        // ---- BULK branch: the batch spans >1 indptr chunk — row starts
+        // and the indptr tail are computed and written executor-side
+        val rowCounts = coo.groupBy(col("obs_id").cast("long").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bad = rowCounts.filter(col("r") < 0 || col("r") >= nAdd).limit(1).collect()
+        require(bad.isEmpty, s"$rel: append obs_id " +
+          s"${bad.headOption.map(_.getLong(0)).getOrElse(-1L)} outside 0..${nAdd - 1}")
+        // local-chunk totals -> driver prefix sums (chunk-count-sized:
+        // one long per indptr chunk of NEW rows)
+        val nLocal = ((nAdd + L - 1) / L).toInt
+        val totals = rowCounts
+          .groupBy((col("r") / L).cast("int").as("pc")).agg(sum("cnt").as("t"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val baseArr = new Array[Long](nLocal + 1)
+        (0 until nLocal).foreach(c => baseArr(c + 1) = baseArr(c) + totals.getOrElse(c, 0L))
+        val nnzAdd = baseArr(nLocal)
+        val nnz1 = nnz0 + nnzAdd
+        // row starts: local-chunk base + within-chunk running sum
+        // (window PARTITIONED by chunk — bounded state)
+        val baseDf = spark.createDataFrame(
+          (0 until nLocal).map(c => (c, baseArr(c)))).toDF("pc", "pcbase")
+        val w = Window.partitionBy("pc").orderBy("r")
+        val rowStarts = rowCounts
+          .withColumn("pc", (col("r") / L).cast("int"))
+          .withColumn("local", sum(col("cnt")).over(w) - col("cnt"))
+          .join(broadcast(baseDf), "pc")
+          .select(col("r"), (col("pcbase") + col("local")).as("start"), col("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // boundary indptr prefix, read BEFORE the shape patches
+        val pLo = ((n0 + 1) / L) * L // first index of the boundary ptr chunk
+        val ptrPrefix: Array[Long] =
+          if (n0 + 1 == pLo) Array.empty[Long]
+          else ptrZ.readLongs(pLo, n0 + 1)
+        zgroup(path, rel, Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
+          s""""shape":[${n0 + nAdd},$nCols]}"""), v3)
+        changedMeta += (if (v3) rel else s"$rel/.zattrs")
+        changedMeta += ZarrStore.patchShape(path, s"$rel/indptr", Seq(n0 + nAdd + 1))
+        changedMeta += ZarrStore.patchShape(path, s"$rel/data", Seq(nnz1))
+        changedMeta += ZarrStore.patchShape(path, s"$rel/indices", Seq(nnz1))
+        // target-chunk bases: cumulative new elements before each indptr
+        // chunk's first index (chunk-count-sized, driver)
+        val firstTc = ((n0 + 1) / L).toInt
+        val lastTc = ((n0 + nAdd) / L).toInt
+        val nTc = lastTc - firstTc + 1
+        val tTotals = rowCounts
+          .groupBy(((col("r") + lit(n0 + 1)) / L).cast("int").as("tc"))
+          .agg(sum("cnt").as("t"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val tBase = new Array[Long](nTc + 1)
+        (0 until nTc).foreach(i =>
+          tBase(i + 1) = tBase(i) + tTotals.getOrElse(firstTc + i, 0L))
+        val sc = spark.sparkContext
+        val ptrPrefixB = sc.broadcast(ptrPrefix)
+        val tBaseB = sc.broadcast(tBase)
+        val rootC = path; val relC = rel; val v3C = v3; val LC = L
+        val n0C = n0; val nEndC = n0 + nAdd; val nnz0C = nnz0
+        val firstTcC = firstTc
+        // indptr chunk objects: cogroup with the chunk-id range so a
+        // chunk whose rows all have zero elements still gets written
+        // (an indptr value is cumulative, never fill)
+        sc.range(firstTc.toLong, lastTc + 1L).map(c => (c, ()))
+          .cogroup(rowStarts.rdd.map(r =>
+            ((r.getLong(0) + n0C + 1) / LC, (r.getLong(0), r.getLong(1), r.getLong(2)))),
+            math.min(nTc, math.max(1, sc.defaultParallelism)))
+          .foreach { case (c, (marker, rws)) =>
+            if (marker.nonEmpty) {
+              val lo = c * LC
+              val hi = math.min(lo + LC, nEndC + 1) // indptr indices [lo, hi)
+              val newLo = math.max(lo, n0C + 1)
+              val vals = new Array[Long](LC) // edge-padded with 0
+              var k = 0
+              while (k < (newLo - lo).toInt) { vals(k) = ptrPrefixB.value(k); k += 1 }
+              // walk the chunk's indices carrying the cumulative count:
+              // rows with elements advance it, element-less rows inherit
+              val sorted = rws.toArray.sortBy(_._1)
+              var cur = nnz0C + tBaseB.value((c - firstTcC).toInt)
+              var si = 0
+              var idx = newLo
+              while (idx < hi) {
+                while (si < sorted.length && n0C + 1 + sorted(si)._1 <= idx) {
+                  cur = nnz0C + sorted(si)._2 + sorted(si)._3; si += 1
+                }
+                vals((idx - lo).toInt) = cur
+                idx += 1
+              }
+              val bb = ByteBuffer.allocate(LC * 8).order(ByteOrder.LITTLE_ENDIAN)
+              vals.foreach(bb.putLong)
+              writeBytes(rootC, s"$relC/indptr/${chunkKey1d(c.toInt, v3C)}",
+                encodeChunk(bb.array(), v3C))
+            }
           }
-          var seen = 0
-          it.foreach { case (e, j, v) =>
-            val k = (e - base).toInt
-            dataV(k) = v; indV(k) = j; seen += 1
-          }
-          val lo = math.max(base, nnz0C)
-          val hi = math.min(base + objC, nnz1C)
-          require(seen == (hi - lo).toInt,
-            s"$relC append object $obj: $seen of ${hi - lo} new elements")
-          if (!v3C) {
-            val db = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-            dataV.foreach(db.putDouble) // allocate() zero-fills the edge padding
-            val ib = ByteBuffer.allocate(chunkC * 8).order(ByteOrder.LITTLE_ENDIAN)
-            indV.foreach(ib.putLong)
-            writeBytes(rootC, s"$relC/data/$obj", zlibEncode(db.array()))
-            writeBytes(rootC, s"$relC/indices/$obj", zlibEncode(ib.array()))
-          } else {
-            // boundary shard re-encoded whole (prefix + new inner
-            // chunks + fresh index); later shards are brand new
-            writeBytes(rootC, s"$relC/data/c/$obj",
-              shardBytes(objC, chunkC, m1, packDoubles(dataV, chunkC)))
-            writeBytes(rootC, s"$relC/indices/c/$obj",
-              shardBytes(objC, chunkC, m1, packLongs(indV, chunkC)))
-          }
-        }
-      ptrB.unpersist(); bndB.unpersist()
+        if (nnzAdd > 0)
+          extendElementObjects(cooWithPositions(rowStarts.select("r", "start")), nnz1)
+        ptrPrefixB.unpersist(); tBaseB.unpersist()
+        rowCounts.unpersist(blocking = false); rowStarts.unpersist(blocking = false)
+      } else {
+        // ---- microbatch branch: row-sized driver structures, bounded
+        // by one indptr chunk
+        val perRow = coo.groupBy(col("obs_id")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
+        perRow.keys.foreach(r => require(r >= 0 && r < nAdd,
+          s"$rel: append obs_id $r outside 0..${nAdd - 1}"))
+        driverAxisRowsProbe.addAndGet(nAdd)
+        val addPtr = new Array[Long](nAdd.toInt + 1)
+        (0 until nAdd.toInt).foreach(i =>
+          addPtr(i + 1) = addPtr(i) + perRow.getOrElse(i.toLong, 0L))
+        val nnzAdd = addPtr.last
+        val nnz1 = nnz0 + nnzAdd
+
+        // indptr: boundary + new chunks (shifted by the prior nnz)
+        append1d(s"$rel/indptr", addPtr.toIndexedSeq.tail.map(v => (v + nnz0): Any))
+
+        // group shape gains the appended rows
+        zgroup(path, rel, Some(s"""{"encoding-type":"csr_matrix","encoding-version":"0.1.0",""" +
+          s""""shape":[${n0 + nAdd},$nCols]}"""), v3)
+        changedMeta += (if (v3) rel else s"$rel/.zattrs")
+
+        // data/indices: metadata grows; ONLY boundary + new objects write
+        changedMeta += ZarrStore.patchShape(path, s"$rel/data", Seq(nnz1))
+        changedMeta += ZarrStore.patchShape(path, s"$rel/indices", Seq(nnz1))
+        if (nnzAdd == 0) return
+        val starts = spark.createDataFrame(
+          (0 until nAdd.toInt).map(i => (i.toLong, addPtr(i)))).toDF("r", "start")
+        extendElementObjects(cooWithPositions(broadcast(starts)), nnz1)
+      }
     }
 
     // ---- route every obs-aligned matrix slot to its extend strategy
@@ -1503,6 +1666,158 @@ object AnnZarrWriter {
     // would LIST every chunk directory, O(store) per microbatch
     if (v3) ZarrStore.patchConsolidatedV3(path, changedMeta.toSeq)
     else ZarrStore.patchConsolidated(path, changedMeta.toSeq)
+    } finally { matObs.unpersist(blocking = false); () }
+  }
+
+  /** Executor-parallel obs-frame extend for BULK appends (the batch
+    * spans more than one chunk of the index array): the same
+    * chunk-grouped shuffle as [[writeFrameDistributed]], pointed at the
+    * offset grid — each task packs and writes the chunk objects it owns
+    * for every column, merging the straddling chunk's committed prefix
+    * (read once driver-side, bounded by ONE chunk per column) where its
+    * chunk crosses `n0`. Driver work is metadata patches, category
+    * dictionaries, and those one-chunk prefixes — never O(batch) rows
+    * (`driverAxisRowsProbe` stays untouched, spec-pinned). This is the
+    * capability analog of the reference's bulk append-with-reindex
+    * (`core/storage/_tiledbsoma.py:166-351`), shaped for chunked object
+    * stores instead of a native array DB.
+    */
+  private def appendObsFrameDistributed(path: String, df: DataFrame,
+                                        obsCols: Seq[String], hasName: Boolean,
+                                        n0: Long, nAdd: Long, cl: Int, v3: Boolean,
+                                        changedMeta: scala.collection.mutable.ArrayBuffer[String],
+                                        append1d: (String, IndexedSeq[Any]) => Unit): Unit = {
+    val spark = df.sparkSession
+    val n1 = n0 + nAdd
+    // per-column spec from the STORE ('S' string, 'C' categorical codes,
+    // 'F' float, 'L' integer/boolean) + the one-chunk-grid contract the
+    // writer lays every frame column out on
+    val specs: Seq[(String, Char, String)] = obsCols.map { cn =>
+      if (ZarrStore.isArray(path, s"obs/$cn")) {
+        val za = ZarrStore.openArray(path, s"obs/$cn")
+        require(za.chunks.head == cl,
+          s"obs/$cn: chunk len ${za.chunks.head} != index chunk len $cl")
+        (cn, za.kind match { case 'O' => 'S'; case 'f' => 'F'; case _ => 'L' }, za.dtype)
+      } else {
+        require(ZarrStore.attrString(path, s"obs/$cn", "encoding-type")
+          .contains("categorical"), s"obs/$cn: unsupported column node")
+        require(ZarrStore.openArray(path, s"obs/$cn/codes").chunks.head == cl,
+          s"obs/$cn/codes: chunk len != index chunk len $cl")
+        (cn, 'C', "<i8")
+      }
+    }
+    def relOf(cn: String, kind: Char) =
+      if (kind == 'C') s"obs/$cn/codes" else s"obs/$cn"
+    // category dictionaries: store categories + the batch's unseen
+    // values in FIRST-OCCURRENCE (obs_id) order — the order the driver
+    // path's occurrence-ordered distinct produces, derived here with a
+    // min(obs_id) aggregate so the result is deterministic
+    val dicts: Map[String, Map[String, Long]] = specs.collect {
+      case (cn, 'C', _) =>
+        val cats0 = ZarrStore.openArray(path, s"obs/$cn/categories").readFlat()
+          .map(_.asInstanceOf[String])
+        val seen = cats0.toSet
+        val extra = df.filter(col(cn).isNotNull)
+          .groupBy(col(cn).cast("string").as("v"))
+          .agg(min(col("obs_id").cast("long")).as("fo"))
+          .orderBy("fo").collect().map(_.getString(0)).filterNot(seen).toIndexedSeq
+        if (extra.nonEmpty) append1d(s"obs/$cn/categories", extra.map(x => x: Any))
+        cn -> (cats0 ++ extra).zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+    }.toMap
+    // boundary prefixes (committed values of the straddling chunk), one
+    // bounded read per column, shipped to the task that owns that chunk
+    val base = (n0 / cl) * cl
+    val prefixes: Map[String, IndexedSeq[Any]] =
+      (("_index", 'S', "obs/_index") +: specs.map { case (cn, k, _) => (cn, k, relOf(cn, k)) })
+        .map { case (key, _, rel) =>
+          val za = ZarrStore.openArray(path, rel)
+          require(za.kind != 'O' || za.vlenUtf8, s"$rel: unsupported encoding")
+          require(za.shard.isEmpty, s"$rel: 1-D axis arrays are written unsharded")
+          key -> (if (n0 == base) IndexedSeq.empty[Any]
+            else if (za.kind == 'O') za.readStrings(base, n0).toIndexedSeq
+            else if (za.kind == 'f') za.readDoubles(base, n0).toIndexedSeq
+            else za.readLongs(base, n0).toIndexedSeq)
+        }.toMap
+    // shapes extend AFTER the prefixes are read
+    changedMeta += ZarrStore.patchShape(path, "obs/_index", Seq(n1))
+    specs.foreach { case (cn, kind, _) =>
+      changedMeta += ZarrStore.patchShape(path, relOf(cn, kind), Seq(n1))
+    }
+    // normalized row: _g (global position), _ix label, one slot/column
+    val sel: Seq[org.apache.spark.sql.Column] =
+      (col("obs_id").cast("long") + lit(n0)).as("_g") +:
+        (if (hasName) col("obs_name").cast("string")
+         else (col("obs_id").cast("long") + lit(n0)).cast("string")).as("_ix") +:
+        specs.map { case (cn, kind, _) =>
+          kind match {
+            case 'C' | 'S' => col(cn).cast("string").as(cn)
+            case 'F' => col(cn).cast("double").as(cn)
+            case _ => col(cn).cast("long").as(cn) // bool -> 0/1; 64-bit exact
+          }
+        }
+    val dictsB = spark.sparkContext.broadcast(dicts)
+    val prefB = spark.sparkContext.broadcast(prefixes)
+    val rootC = path; val v3C = v3; val n0C = n0; val n1C = n1
+    val clC = cl; val specsC = specs
+    val firstChunk = (n0 / cl).toInt
+    val nChunks = ((n1 - 1) / cl).toInt - firstChunk + 1
+    df.select(sel: _*)
+      .rdd
+      .map { row =>
+        val g = row.getLong(0)
+        require(g >= n0C && g < n1C,
+          s"append batch: obs_id ${g - n0C} outside 0..${n1C - n0C - 1}")
+        (g / clC, row)
+      }
+      .groupByKey(math.min(nChunks, math.max(1, spark.sparkContext.defaultParallelism)))
+      .foreach { case (c, it) =>
+        val lo = c * clC
+        val hi = math.min(n1C, lo + clC)
+        val newLo = math.max(lo, n0C)
+        val preLen = (newLo - lo).toInt // committed rows in this chunk
+        val live = (hi - newLo).toInt
+        val rows = new Array[Row](live)
+        var seen = 0
+        it.foreach { r =>
+          val k = (r.getLong(0) - newLo).toInt
+          // same fill-time guard as writeFrameDistributed: a duplicate
+          // and a missing id cancelling in one chunk must still raise
+          require(k >= 0 && k < live && rows(k) == null,
+            s"append chunk $c: obs_id must be contiguous 0..n-1 " +
+              s"(global row ${r.getLong(0)} is duplicated or out of range)")
+          rows(k) = r; seen += 1
+        }
+        require(seen == live, s"append chunk $c: $seen of $live rows " +
+          "(obs_id must be contiguous 0..n-1)")
+        val pre = prefB.value
+        def column(key: String, rel: String, kind: Char, dtype: String, f: Int): Unit = {
+          val vals = new Array[Any](clC)
+          var k = 0
+          while (k < preLen) { vals(k) = pre(key)(k); k += 1 }
+          while (k < (hi - lo).toInt) {
+            val r = rows(k - preLen)
+            vals(k) = kind match {
+              case 'S' => r.getString(f)
+              case 'C' =>
+                val s = r.getString(f)
+                if (s == null) -1L else dictsB.value(key)(s)
+              case 'F' => if (r.isNullAt(f)) 0.0 else r.getDouble(f)
+              case _ => if (r.isNullAt(f)) 0L else r.getLong(f)
+            }
+            k += 1
+          }
+          while (k < clC) { vals(k) = if (kind == 'S') null else 0L; k += 1 } // edge pad
+          val raw =
+            if (kind == 'S') packVlen(vals.map(v => v.asInstanceOf[String]))
+            else packNumAny(dtype, vals, rel) // no Double detour: i64 exact
+          writeBytes(rootC, s"$rel/${chunkKey1d(c.toInt, v3C)}", encodeChunk(raw, v3C))
+        }
+        column("_index", "obs/_index", 'S', "|O", 1)
+        specsC.zipWithIndex.foreach { case ((cn, kind, dtype), j) =>
+          column(cn, if (kind == 'C') s"obs/$cn/codes" else s"obs/$cn", kind, dtype, j + 2)
+        }
+      }
+    dictsB.unpersist(); prefB.unpersist()
   }
 
   /** Roll a (writer-produced) store back to `n0` obs rows and `nnz0` X

@@ -1024,6 +1024,77 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(math.abs(rs.getDouble(1) - exp.sum) < 1e-6)
   }
 
+  test("bulk appendRows routes executor-side: probe still, rollback-safe, both formats") {
+    // a batch spanning >1 chunk of the index array (here 300 rows over
+    // 32-row chunks) must never collect axis rows driver-side: the obs
+    // frame AND the csr indptr tail write through the chunk-grouped
+    // shuffle, boundary chunks merged in-task. Read-back must equal the
+    // driver-path twin, and truncateTo must remain a complete undo.
+    val nV = 6
+    val n0 = 50; val nAdd = 300
+    def mkObs(pfx: String, n: Int, catMod: Int) = spark.range(n).select(
+      col("id").as("obs_id"),
+      concat(lit(pfx), col("id")).as("obs_name"),
+      (col("id") % 5).as("grp"),
+      (col("id") * 3 % 10 * 0.25).as("score"),
+      concat(lit("t"), col("id") % catMod).as("cell_type"))
+    val vars = spark.range(nV).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    def mkX(n: Int, seed: Int) = spark.range(n).select(col("id").as("obs_id"))
+      .crossJoin(spark.range(nV).select(col("id").as("var_id")))
+      // obs_id ≡ 1 (mod 11) rows get NO elements: the executor-side
+      // indptr walk must fill their entries from the running cumulative
+      .filter((col("obs_id") + col("var_id") + seed) % 3 === 0 && col("obs_id") % 11 =!= 1)
+      .withColumn("value", (col("obs_id") * 7 + col("var_id") + seed) % 13 * 0.25)
+    def snap(p: String) = {
+      val d = AnnZarr.open(spark, p)
+      (d.obs.orderBy("obs_id").collect().map(_.toString).toSeq,
+        d.x.orderBy("obs_id", "var_id").collect().map(_.toString).toSeq)
+    }
+    for ((v3, tag) <- Seq(false -> "v2", true -> "v3")) {
+      val p = TestSpark.tmpDir(s"graft_bulk$tag") + "/bulk.zarr"
+      AnnZarrWriter.write(AnnDataset(mkObs("c", n0, 4), vars, mkX(n0, 0)), p,
+        chunkElems = 64, v3 = v3, shardFactor = 2, frameChunkLen = 32,
+        categoricalCols = Set("obs/cell_type"))
+      // big chunk grids: the same batch stays on the driver path (twin)
+      val pd = TestSpark.tmpDir(s"graft_bulkd$tag") + "/drv.zarr"
+      AnnZarrWriter.write(AnnDataset(mkObs("c", n0, 4), vars, mkX(n0, 0)), pd,
+        chunkElems = 4096, v3 = v3, shardFactor = 2, frameChunkLen = 1024,
+        categoricalCols = Set("obs/cell_type"))
+      val obs1 = mkObs("d", nAdd, 6) // t4, t5 are NEW categories
+      val x1 = mkX(nAdd, 1)
+      val preSnap = snap(p)
+      val nnzPre = ZarrStore.openArray(p, "X/data").shape.head
+      val before = AnnZarrWriter.driverAxisRowsProbe.get()
+      AnnZarrWriter.appendRows(obs1, x1, p)
+      assert(AnnZarrWriter.driverAxisRowsProbe.get() == before,
+        s"$tag: bulk append collected axis rows driver-side")
+      AnnZarrWriter.appendRows(obs1, x1, pd)
+      assert(AnnZarrWriter.driverAxisRowsProbe.get() > before,
+        s"$tag: driver twin must use the bounded path")
+      val (oB, xB) = snap(p); val (oD, xD) = snap(pd)
+      assert(oB == oD, s"$tag: bulk obs != driver obs")
+      assert(xB == xD, s"$tag: bulk X != driver X")
+      assert(ZarrStore.attrString(p, "obs/cell_type", "encoding-type")
+        .contains("categorical"), tag)
+      // crash rollback: bulk boundary rewrites preserve the committed
+      // prefix, so truncateTo is a complete undo, and a re-append lands
+      // on identical store content
+      AnnZarrWriter.truncateTo(p, n0, nnzPre)
+      assert(snap(p) == preSnap, s"$tag: truncate after bulk append is not an undo")
+      AnnZarrWriter.appendRows(obs1, x1, p)
+      assert(snap(p) == ((oB, xB)), s"$tag: re-append after rollback diverged")
+      // the store stays appendable by the microbatch path
+      val obs2 = mkObs("e", 5, 6)
+      val x2 = spark.range(5).select(col("id").as("obs_id"),
+        lit(0L).as("var_id"), lit(42.0).as("value"))
+      AnnZarrWriter.appendRows(obs2, x2, p)
+      val d2 = AnnZarr.open(spark, p)
+      assert(d2.obs.count() == n0 + nAdd + 5 &&
+        d2.x.filter(col("value") === 42.0).count() == 5, tag)
+    }
+  }
+
   test("writeFrame executes a derived frame's upstream plan exactly once") {
     // a derived obs frame (think: a join or an aggregate upstream) must
     // not pay one execution for the routing probe and another for the
