@@ -54,6 +54,41 @@ object ZarrStreamSink {
 
   private val LedgerName = ".graft_batches"
   private val PendingName = ".graft_pending"
+  private val NamesBloomName = ".graft_names"
+
+  /** Test probe: exact store-name scans taken by the `assertNewNames`
+    * guard. With the bloom sketch in place a unique-name stream takes
+    * ZERO scans after the one bootstrap — specs pin the O(batch)/trigger
+    * contract by asserting this stays flat as the store grows.
+    */
+  private[streaming] val nameScanProbe = new java.util.concurrent.atomic.AtomicLong
+
+  /** The `assertNewNames` membership sketch, one store-root object:
+    * 16-byte header (declared capacity, approximate item count) + the
+    * serialized Spark `BloomFilter` over every obs_name ever appended
+    * through a guarded sink. The sketch is maintained as a SUPERSET of
+    * the store's names (updated before the append lands; a rolled-back
+    * batch leaves harmless false positives), so a bloom-negative batch
+    * name is PROVABLY new with no store read at all — the exact
+    * column-pruned scan runs only for the bloom-positive sliver, making
+    * the guard O(batch) per trigger instead of O(store).
+    */
+  private def readNamesBloom(path: String):
+      Option[(Long, Long, org.apache.spark.util.sketch.BloomFilter)] =
+    ZarrStore.readBytes(path, NamesBloomName).map { b =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+      val cap = in.readLong(); val cnt = in.readLong()
+      (cap, cnt, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    }
+
+  private def writeNamesBloom(path: String, cap: Long, cnt: Long,
+                              bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(cap); out.writeLong(cnt); bf.writeTo(out); out.flush()
+    val o = ZarrStore.fs(path).create(new Path(path, NamesBloomName), true)
+    try o.write(bos.toByteArray) finally o.close()
+  }
 
   /** Applied-batch ledger, CONSTANT-SIZE per trigger: `contig` is the
     * largest id M with every id in [0, M] applied; `tail` holds the few
@@ -114,11 +149,13 @@ object ZarrStreamSink {
     * elements land as new X chunks. Caller owns the query lifecycle.
     *
     * `assertNewNames = true` enforces the batch contract (an obs_name
-    * must not span two microbatches) by semi-joining each batch's
-    * names against the store's obs frame through the DSv2 reader — a
-    * distributed, column-pruned scan of the name chunks, but still
-    * O(store)/trigger, so it is an opt-in validation mode; the default
-    * trusts the source's grouping and stays O(batch).
+    * must not span two microbatches) at O(batch)/trigger: a persisted
+    * bloom sketch over every appended name (`.graft_names`, one GET +
+    * one PUT per trigger) proves bloom-negative names new without
+    * touching the store; only the bloom-positive sliver pays the exact
+    * column-pruned DSv2 scan. A pre-existing store folds its names in
+    * once at first guarded use. Opt-in; the default trusts the
+    * source's grouping.
     */
   def streamAppendZarr(stream: DataFrame, path: String, obsCols: Seq[String],
                        checkpointDir: String,
@@ -143,14 +180,56 @@ object ZarrStreamSink {
               .withColumn("obs_id",
                 row_number().over(Window.orderBy("obs_name")).cast("long") - 1)
             if (assertNewNames) {
+              // O(batch)/trigger contract check: the persisted bloom
+              // sketch answers "definitely new" without a store read;
+              // only the bloom-POSITIVE sliver (duplicate rate + ~1%
+              // fpp of the batch) pays the exact column-pruned scan
               val spark = batch.sparkSession
-              val clash = spark.read.format("zarr").option("slot", "obs")
+              val names = obs.select("obs_name").collect().map(_.getString(0))
+              def storeNames() = spark.read.format("zarr").option("slot", "obs")
                 .load(path).select("obs_name")
-                .join(obs.select("obs_name"), "obs_name")
-                .limit(1).collect()
-              require(clash.isEmpty, s"batch $batchId: obs_name " +
-                s"'${clash.headOption.map(_.getString(0)).getOrElse("")}' is " +
-                "already in the store — an obs_name must not span two microbatches")
+              val n0Guard = ZarrStore.openArray(path, "obs/_index").shape.head
+              val (cap0, cnt0, bf) = readNamesBloom(path).getOrElse {
+                // bootstrap: a guarded sink pointed at a pre-existing
+                // store folds its names in ONCE (distributed sketch
+                // build); an empty store boots an empty sketch
+                val cap = math.max(1L << 20, 4L * (n0Guard + names.length))
+                val bf0 =
+                  if (n0Guard > 0) {
+                    nameScanProbe.incrementAndGet()
+                    storeNames().stat.bloomFilter("obs_name", cap, 0.01)
+                  } else org.apache.spark.util.sketch.BloomFilter.create(cap, 0.01)
+                (cap, n0Guard, bf0)
+              }
+              val positives = names.filter(bf.mightContainString)
+              if (positives.nonEmpty) {
+                nameScanProbe.incrementAndGet()
+                val clash = storeNames()
+                  .filter(col("obs_name").isin(positives.toSeq: _*))
+                  .limit(1).collect()
+                require(clash.isEmpty, s"batch $batchId: obs_name " +
+                  s"'${clash.headOption.map(_.getString(0)).getOrElse("")}' is " +
+                  "already in the store — an obs_name must not span two microbatches")
+              }
+              // fold the batch in BEFORE the append: a crash between here
+              // and the ledger leaves the sketch a superset (safe — false
+              // positives fall back to the exact scan), never a subset
+              // that would let a duplicate through unchecked
+              val cnt1 = cnt0 + names.length
+              if (cnt1 > cap0) {
+                // saturation: rebuild at doubled capacity from the store
+                // (amortized O(1) — capacity doubles each time)
+                nameScanProbe.incrementAndGet()
+                val cap2 = math.max(2 * cap0, 2 * cnt1)
+                val bf2 =
+                  if (n0Guard > 0) storeNames().stat.bloomFilter("obs_name", cap2, 0.01)
+                  else org.apache.spark.util.sketch.BloomFilter.create(cap2, 0.01)
+                names.foreach(bf2.putString)
+                writeNamesBloom(path, cap2, cnt1, bf2)
+              } else {
+                names.foreach(bf.putString)
+                writeNamesBloom(path, cap0, cnt1, bf)
+              }
             }
             val x = batch
               .join(obs.select("obs_name", "obs_id"), "obs_name")

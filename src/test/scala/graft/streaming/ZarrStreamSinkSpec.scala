@@ -145,6 +145,50 @@ class ZarrStreamSinkSpec extends AnyFunSuite {
     assert(storeStats(store)._3 == 60)
   }
 
+  test("assertNewNames guard is O(batch): zero store scans for unique-name streams") {
+    val dir = TestSpark.tmpDir("graft_zss7")
+    stageSource(dir)
+    val store = s"$dir/grow.zarr"
+    emptyStore(store)
+    val schema = spark.read.parquet(s"$dir/src").schema
+    def guarded(ckpt: String) = {
+      val q = ZarrStreamSink.streamAppendZarr(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/src"),
+        store, Seq("grp"), ckpt, assertNewNames = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val before = ZarrStreamSink.nameScanProbe.get()
+    guarded(s"$dir/ckptB")
+    assert(storeStats(store)._3 == 60)
+    assert(ZarrStreamSink.nameScanProbe.get() == before,
+      "unique-name guarded stream must take zero exact store scans")
+    val fs = graft.zarr.ZarrStore.fs(store)
+    def bloomLen() = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(store, ".graft_names")).getLen
+    val sz1 = bloomLen()
+    // more unique batches: still zero scans, sketch object size constant
+    // (the O(batch)/trigger contract as the store grows)
+    spark.range(30).select(concat(lit("x"), col("id")).as("obs_name"),
+        lit(0L).as("grp"), (col("id") % 8).as("var_id"), lit(1.0).as("value"))
+      .write.mode("append").parquet(s"$dir/src")
+    guarded(s"$dir/ckptB")
+    assert(storeStats(store)._3 == 90)
+    assert(ZarrStreamSink.nameScanProbe.get() == before,
+      "guarded triggers over a grown store must stay scan-free")
+    assert(sz1 == bloomLen(), s"sketch object grew with the store")
+    // a pre-existing store WITHOUT a sketch folds its names in with
+    // exactly one bootstrap scan, then returns to scan-free triggers
+    fs.delete(new org.apache.hadoop.fs.Path(store, ".graft_names"), false)
+    spark.range(1).select(lit("y0").as("obs_name"), lit(0L).as("grp"),
+        lit(0L).as("var_id"), lit(2.0).as("value"))
+      .write.mode("append").parquet(s"$dir/src")
+    guarded(s"$dir/ckptB")
+    assert(ZarrStreamSink.nameScanProbe.get() == before + 1,
+      "missing sketch must bootstrap with exactly one store scan")
+    assert(storeStats(store)._3 == 91)
+  }
+
   test("a MuData modality is a plain store: the stream feeds mod/<m> directly") {
     val dir = TestSpark.tmpDir("graft_zss6")
     stageSource(dir)
