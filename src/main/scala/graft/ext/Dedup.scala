@@ -692,38 +692,58 @@ object Dedup {
     * (`lamindb/models/_is_versioned.py:271-336`); here the whole corpus
     * resolves in a handful of distributed rounds.
     */
-  /** Release the persisted blocks behind a localCheckpoint'ed frame.
-    * Dataset.unpersist only uncaches cacheManager entries; a checkpoint
-    * persists at the RDD level, reachable through the LogicalRDD leaf.
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
       .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    // localCheckpoint per round: the pointer-jump self-join would double
-    // the logical plan each iteration (exponential analyze/explain cost);
-    // checkpointing keeps every round's plan constant-size, like the BFS
-    // frontier loop in lineage.Graph
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    // Per-round checkpoint, TWO layers with distinct jobs:
+    //
+    //  1. `localCheckpoint(false)` truncates the LINEAGE — the
+    //     pointer-jump self-join would otherwise both double the logical
+    //     plan every iteration AND chain every round's RDD dependency
+    //     graph into the next (task (de)serialization recurses through
+    //     that chain: at sf10 round counts it overflows the executor
+    //     stack — a plain `rdd.persist` re-wrap is NOT enough, persist
+    //     caches data but keeps the dependency chain).
+    //  2. the `createDataFrame(ck.rdd, schema)` re-wrap resets the
+    //     STATISTICS — localCheckpoint rewrites the origin plan's stats
+    //     onto its leaf, and in this loop a round's size estimate is a
+    //     product over the previous leaf's (the jump SQUARES it), so the
+    //     estimate's bit-length doubles every round; by ~10 rounds the
+    //     driver stalls in multi-megabit BigInteger multiplications
+    //     inside stats estimation (surfaced by the sf10 tier). With the
+    //     re-wrap every round's leaves carry the default estimate, so
+    //     the per-round stats computation is constant-cost.
+    def ckpt(df: DataFrame): (DataFrame, DataFrame) = {
+      val ck = df.localCheckpoint(false)
+      (spark.createDataFrame(ck.rdd, df.schema), ck)
+    }
+    /** Release the persisted blocks behind a localCheckpoint'ed frame.
+      * Dataset.unpersist only uncaches cacheManager entries; a checkpoint
+      * persists at the RDD level, reachable through the LogicalRDD leaf.
+      */
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    val init = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
+    var labels = init._1
+    var labelsCk = init._2
+    labelsCk.count() // eager, like the old eager initial checkpoint
     var iter = 0
     var done = false
     // previous round's stepped checkpoint: next round's lazy `labels`
     // (the jump) reads it during that round's probe, so it can only be
     // freed AFTER the following probe materializes the jump.
-    var prevStepped: DataFrame = null
+    var prevSteppedCk: DataFrame = null
     while (!done && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
@@ -733,14 +753,12 @@ object Dedup {
       // stepped must be materialized BEFORE the pointer-jump self-join:
       // its two sides shuffle on different keys, so without
       // materialization the edge join + aggregation would execute twice.
-      // LAZY checkpoint + full-scan probe: the checkpoint truncates the
-      // plan (no exponential growth) but the probe below is the job that
-      // materializes it — probe and materialization fused into ONE job
-      // per round instead of an eager-checkpoint job plus a probe job.
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      // LAZY checkpoint + full-scan probe: the probe below is the job
+      // that materializes it — probe and materialization fused into ONE
+      // job per round instead of an eager pass plus a probe pass.
+      val (stepped, steppedCk) = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old_comp"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(false)
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp")))
       // converged = neighbor-min propagation reached its fixpoint (the
       // jump only accelerates, it can't change the fixpoint) — so the
       // probe runs on stepped and the FINAL round skips the jump join.
@@ -753,34 +771,37 @@ object Dedup {
       // now dead. Without this, every CC call leaked ~2 checkpointed
       // RDDs per round into the block manager (round-11 verdict: later
       // bench entries paid for the accumulated pressure).
-      if (prevStepped != null) { freeCheckpoint(prevStepped); prevStepped = null }
+      if (prevSteppedCk != null) {
+        freeCheckpoint(prevSteppedCk); prevSteppedCk = null
+      }
       if (!done) {
         // pointer jump: follow the label one hop (comp is itself a node
         // id). Also a lazy checkpoint: both of next round's consumers
         // read it during next round's probe job, computing the jump join
         // over the ALREADY-cached stepped — no separate eager pass.
-        val oldLabels = labels
-        labels = stepped
+        val oldLabelsCk = labelsCk
+        val jumped = ckpt(stepped
           .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
-          .localCheckpoint(false)
+            least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp")))
+        labels = jumped._1
+        labelsCk = jumped._2
         // the jump reads only `stepped`; the pre-step labels are dead
-        freeCheckpoint(oldLabels)
-        prevStepped = stepped
+        freeCheckpoint(oldLabelsCk)
+        prevSteppedCk = steppedCk
       } else {
         // converged: stepped equals labels in comp — the pre-step labels
         // (already materialized) are what we return; drop the duplicate
-        freeCheckpoint(stepped)
+        freeCheckpoint(steppedCk)
       }
       iter += 1
     }
     edges.unpersist(blocking = false)
-    if (prevStepped != null) {
+    if (prevSteppedCk != null) {
       // maxIters exhausted with a still-lazy final jump: materialize it
       // so its stepped input can be freed (pathological case only)
       labels.count()
-      freeCheckpoint(prevStepped)
+      freeCheckpoint(prevSteppedCk)
     }
     labels.select(col("id"), col("comp").as("cluster_id"))
   }

@@ -23,10 +23,14 @@ object ProfSimhashCand {
     val (bands, bw) = graft.ext.Dedup.simhashBandPlan(n, 60, 15, 30)
     val fixed = graft.ext.Dedup.simhashCandidatesPortable(
       corpus, "doc_id", "text", bandPlan = Some((4, 15))).count()
+    // the round-12 ceiling (maxWidth 20) pinned for comparison — at
+    // n > ~65k docs it saturates and per-bucket load grows linearly
+    val ceiling20 = graft.ext.Dedup.simhashCandidatesPortable(
+      corpus, "doc_id", "text", bandPlan = Some((3, 20))).count()
     val adaptive = graft.ext.Dedup.simhashCandidatesPortable(
       corpus, "doc_id", "text").count()
     println(s"""{"sf_dir":"$sfDir","n_docs":$n,"plan_bands":$bands,"plan_width":$bw,""" +
-      s""""cand_fixed_4x15":$fixed,"cand_adaptive":$adaptive}""")
+      s""""cand_fixed_4x15":$fixed,"cand_ceiling_3x20":$ceiling20,"cand_adaptive":$adaptive}""")
     spark.stop()
   }
 }

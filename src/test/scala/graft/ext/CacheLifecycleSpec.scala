@@ -85,6 +85,25 @@ class CacheLifecycleSpec extends AnyFunSuite {
     awaitNoPersistentRdds()
   }
 
+  test("connectedComponents stats stay bounded across rounds (no BigInteger blowup)") {
+    // Dataset.localCheckpoint rewrites the ORIGIN plan's statistics onto
+    // the checkpoint leaf; in the CC loop a round's size estimate is a
+    // product over the previous leaf's (the jump SQUARES it), so the
+    // estimate's bit-length doubled every round — by ~10 rounds the
+    // driver stalled in multi-megabit BigInteger multiplications inside
+    // stats estimation (surfaced by the sf10 tier). The manual re-wrap
+    // keeps every round's leaf at the default estimate: the returned
+    // plan's sizeInBytes must stay a SMALL number, independent of
+    // iteration count.
+    val edges = spark.range(0, 4000).filter(col("id") % 400 =!= 399)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b")) // diameter-400 chains
+    val cc = Dedup.connectedComponents(edges)
+    assert(cc.select("cluster_id").distinct().count() == 10)
+    val bits = cc.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits < 512,
+      s"CC result carries a $bits-bit size estimate — per-round stats are compounding again")
+  }
+
   test("bloom-routed ingest dedup releases the candidate sliver on both paths") {
     spark.sharedState.cacheManager.clearCache()
     awaitNoPersistentRdds()
