@@ -196,11 +196,8 @@ object Bench {
       // approx tier (HLL++ + approx_percentile, constant per-group state)
       // is the 100 TB path; the exact pair is what q25-family oracles run
       "b05_lineitem_stats_exact" -> (() => {
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .groupBy("l_returnflag")
-          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-            expr("percentile(l_extendedprice, array(0.5, 0.9))").as("q"))
-          .collect()
+        graft.ext.Sketches.lineitemStatsExact(
+          spark.read.parquet(s"$sfDir/lineitem.parquet")).collect()
       }),
       "b06_lineitem_stats_approx" -> (() => {
         graft.ext.Sketches.lineitemStatsApprox(

@@ -54,6 +54,46 @@ object Sketches {
     sketches.groupBy(groupCol)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
 
+  /** Exact per-group distinct-count + percentiles WITHOUT the
+    * Expand + sort-fallback plan.
+    *
+    * A single `agg(countDistinct(x), percentile(v, ...))` plans as an
+    * Expand (one input replica per distinct-aggregate branch) feeding an
+    * aggregate whose partial grouping keys include the distinct value —
+    * and because `percentile` is a TypedImperativeAggregate, that
+    * aggregate is an ObjectHashAggregate, which falls back to SORT-based
+    * aggregation once the hash map passes
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (128)
+    * distinct keys. With millions of distinct values the "aggregate"
+    * is really an external sort of 2x the input — the super-linear term
+    * the sf10 tier measured on b05 (17.9x floor-to-floor for 10x data).
+    *
+    * Splitting the two aggregates keeps each on its best physical plan:
+    *  - distinct count: two codegen'd HashAggregates (partial on
+    *    (group, value) absorbs duplicates map-side, then count per
+    *    group) — no Expand, no object aggregation;
+    *  - percentile: ObjectHashAggregate over #groups keys only, never
+    *    near the sort fallback;
+    * joined on the group key (#groups rows per side — broadcast).
+    * Each leg re-scans the source column-pruned to exactly two columns,
+    * which is cheaper than one Expand+sort pass at any realistic scale.
+    * Output: groupCol, n_distinct, q (array of percentiles).
+    */
+  def exactGroupStats(df: DataFrame, groupCol: String, distinctCol: String,
+                      valueCol: String, probs: Seq[Double]): DataFrame = {
+    val nd = df.groupBy(groupCol)
+      .agg(countDistinct(col(distinctCol)).as("n_distinct"))
+    val pq = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))").as("q"))
+    nd.join(broadcast(pq), Seq(groupCol))
+  }
+
+  /** The bench twin of b06: the exact pair on the split plan above. */
+  def lineitemStatsExact(lineitem: DataFrame): DataFrame =
+    exactGroupStats(lineitem, "l_returnflag", "l_orderkey",
+      "l_extendedprice", Seq(0.5, 0.9))
+      .select(col("l_returnflag"), col("n_distinct").as("n_orders"), col("q"))
+
   /** The bench twin of b05: same stats as the exact pair but HLL++ +
     * approx_percentile — fixed-size aggregation state per group.
     */

@@ -240,12 +240,15 @@ object CoreQueries {
 
     "q25_quantiles" -> ((spark, dir) => {
       // exact interpolated percentiles (both engines use linear
-      // interpolation) + exact distinct counts per group
-      t(spark, dir, "documents").groupBy("lang")
-        .agg(
-          countDistinct(col("source")).as("n_sources"),
-          round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
-          round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+      // interpolation) + exact distinct counts per group, on the
+      // split plan (no Expand, no ObjectHashAggregate sort fallback —
+      // see Sketches.exactGroupStats)
+      graft.ext.Sketches
+        .exactGroupStats(t(spark, dir, "documents"),
+          "lang", "source", "n_chars", Seq(0.5, 0.9))
+        .select(col("lang"), col("n_distinct").as("n_sources"),
+          round(col("q").getItem(0), 6).as("median_chars"),
+          round(col("q").getItem(1), 6).as("p90_chars"))
         .orderBy("lang")
     }),
 

@@ -58,6 +58,34 @@ class SketchesSpec extends AnyFunSuite {
       assert(math.abs(approx(g) - m) <= m * 0.02 + 1.0, s"group $g: $m vs ${approx(g)}") }
   }
 
+  test("exactGroupStats matches the single-agg combined plan value-for-value") {
+    val split = Sketches.exactGroupStats(df, "g", "v", "x", Seq(0.5, 0.9))
+      .select(col("g"), col("n_distinct"),
+        col("q").getItem(0).as("m"), col("q").getItem(1).as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val combined = df.groupBy("g")
+      .agg(countDistinct(col("v")).as("n"),
+        expr("percentile(x, array(0.5, 0.9))").as("q"))
+      .select(col("g"), col("n"),
+        col("q").getItem(0).as("m"), col("q").getItem(1).as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(split === combined)
+  }
+
+  test("exactGroupStats plans no Expand and no object-agg over distinct keys") {
+    val plan = Sketches.exactGroupStats(df, "g", "v", "x", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    // the combined agg would plan Expand (one replica per distinct branch)
+    // feeding an ObjectHashAggregate keyed by (g, v) — which sort-falls-back
+    // past 128 keys. The split plan must keep the distinct leg on codegen'd
+    // HashAggregates and the percentile leg's ObjectHashAggregate keyed by
+    // the group column alone (bounded keys, no fallback), joined broadcast.
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("approx plan carries partial aggregation, no expand or full value buffering") {
     val plan = Sketches.lineitemStatsApprox(
       df.select(col("g").as("l_returnflag"), col("v").as("l_orderkey"),
