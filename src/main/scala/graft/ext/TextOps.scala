@@ -123,15 +123,15 @@ object TextOps {
   /** Normalized text for n-gram extraction (boundary spaces). */
   def normalized(text: Column): Column = concat(lit(" "), lower(trim(text)), lit(" "))
 
-  /** Character trigrams from a MATERIALIZED normalized column — `norm`
-    * must be a projected attribute, not an inline expression: expressions
-    * referenced inside `transform` lambdas replay per element (no CSE
-    * across lambda boundaries), turning extraction O(len²).
+  /** Character trigrams — the native codegen'd single-pass expression
+    * (`CharNGrams`). The `transform(sequence…, substr)` composition it
+    * replaces ran interpreted (higher-order functions are
+    * CodegenFallback) and was O(len²) in characters (every `substr(i,3)`
+    * rescans the UTF-8 bytes to find character i); identical output
+    * including the <3-char contract (one-element array of the string).
     */
   def trigramsOfNormalized(norm: Column): Column =
-    when(length(norm) >= 3,
-      transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
-      .otherwise(array(norm))
+    org.apache.spark.sql.graft.CharNGrams.charNGrams(norm, 3)
 
   /** PII surface patterns — the public scrub-list shapes (emails, dashed
     * phone numbers, IPv4, SSN-form ids). Kept to syntax both Java regex

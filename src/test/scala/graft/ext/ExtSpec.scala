@@ -124,6 +124,38 @@ class ExtSpec extends AnyFunSuite {
     assert(q.filter($"doc_id" === 1).head().getAs[Boolean]("quality_ok") === false) // 12 tokens < 20
   }
 
+  test("native CharNGrams matches the transform/substr composition exactly") {
+    // the legacy composition trigramsOfNormalized replaced (interpreted
+    // higher-order eval, O(len²) substr rescans) — kept here as the
+    // semantic reference, including the <n-char one-element contract
+    def legacy(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(length(norm) >= 3,
+        transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+        .otherwise(array(norm))
+    val cases = Seq("", "a", "ab", "abc", "abcd", " the cat sat ",
+      "héllo wörld", "日本語のテキスト", "aé中😀z", "  x  ")
+      .toDF("s").select(col("s"), TextOps.normalized(col("s")).as("norm"))
+    val both = cases.select(
+      TextOps.trigramsOfNormalized(col("norm")).as("native"),
+      legacy(col("norm")).as("ref"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString) }
+    // raw (un-normalized) strings too, where the short-string branch fires
+    val raw = cases.select(
+      TextOps.trigramsOfNormalized(col("s")).as("native"), legacy(col("s")).as("ref"))
+    raw.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString) }
+    // stays inside whole-stage codegen (the point of the native
+    // expression) — over a non-foldable source so the project survives
+    // to the physical plan instead of constant-folding away
+    val ranged = spark.range(5)
+      .select(TextOps.trigramsOfNormalized(concat(lit(" ab"), col("id"), lit("c "))).as("g"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    // the "*(1)" stage marker = the Project runs inside WholeStageCodegen
+    assert(plan.contains("*(1) Project") && plan.contains("graft_char_ngrams"), plan)
+    assert(ranged.collect().forall(_.getSeq[String](0).nonEmpty))
+  }
+
   test("langid classifies by trigram profile") {
     val labeled = Seq(
       (1L, "the cat sat on the mat with the hat", "en"),
