@@ -91,11 +91,11 @@ object CoreQueries {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("sum_disc_price"),
+          // exact scaled-long sums (see ExactSum): deterministic like the
+          // decimal casts they replace, but primitive codegen arithmetic
+          ExactSum.sumFixed(col("l_quantity"), 2).as("sum_qty"),
+          ExactSum.sumFixed(col("l_extendedprice"), 2).as("sum_base_price"),
+          ExactSum.sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -392,7 +392,7 @@ object CoreQueries {
       events(spark, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          ExactSum.sumFixed(col("value"), 6).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
 
@@ -536,10 +536,10 @@ object CoreQueries {
            |FROM part WHERE $trPre
            |ORDER BY rank DESC, p_partkey LIMIT 20""".stripMargin,
       "q01_tpch_agg" ->
-        """SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        s"""SELECT l_returnflag, l_linestatus,
+          |  ${ExactSum.sumFixedSql("l_quantity", 2)} AS sum_qty,
+          |  ${ExactSum.sumFixedSql("l_extendedprice", 2)} AS sum_base_price,
+          |  ${ExactSum.sumRevenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
           |  count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -706,8 +706,8 @@ object CoreQueries {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q19_window_tumbling" ->
-        """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        s"""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          |  ${ExactSum.sumFixedSql("value", 6)} AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
       "q23_filtered_annotate" ->

@@ -26,9 +26,7 @@ object ScaleQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("revenue"),
+          ExactSum.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -45,15 +43,15 @@ object ScaleQueries {
           saltBy = Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          ExactSum.sumFixed(col("l_quantity"), 2).as("sum_qty"))
         .orderBy("o_orderstatus")
     })
   )
 
   val oracle: Map[String, String] = Map(
     "q21_join_agg_revenue" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT n_name,
+        |  ${ExactSum.sumRevenueSql("l_extendedprice", "l_discount")} AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -64,8 +62,8 @@ object ScaleQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q22_salted_join" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${ExactSum.sumFixedSql("l_quantity", 2)} AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
