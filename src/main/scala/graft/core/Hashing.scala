@@ -15,8 +15,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Hashing {
 
+  // table-lookup hex: "%02x".format(b) re-parses the format string
+  // (regex + Formatter) per byte — measurable on per-row hash paths
+  private val HexChars = "0123456789abcdef".toCharArray
+  def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = HexChars(v >>> 4)
+      out(i * 2 + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   def md5Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+    toHex(MessageDigest.getInstance("MD5").digest(bytes))
 
   def md5String(s: String): String = md5Hex(s.getBytes("UTF-8"))
 
@@ -27,7 +42,7 @@ object Hashing {
       var n = in.read(buf)
       while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
     } finally in.close()
-    md.digest().map("%02x".format(_)).mkString
+    toHex(md.digest())
   }
 
   /** md5 of a single file's bytes. */

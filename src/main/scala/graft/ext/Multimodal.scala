@@ -54,7 +54,7 @@ object Multimodal {
     val w = 64 + (java.lang.Byte.toUnsignedInt(payload(4)) % 16) * 64
     val h = 64 + (java.lang.Byte.toUnsignedInt(payload(5)) % 16) * 64
     val c = 1 + (java.lang.Byte.toUnsignedInt(payload(6)) % 2) * 2
-    val hash = payload.slice(4, 20).map("%02x".format(_)).mkString
+    val hash = hex(payload.slice(4, 20))
     (w, h, c, hash)
   }
 
@@ -64,9 +64,26 @@ object Multimodal {
   def decodeMetaFake(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     decodeWith(df, idCol, payloadCol)(fakeDecode)
 
+  /** Lowercase hex without `String.format` — `"%02x".format(b)` parses
+    * the format string (regex + Formatter allocation) per BYTE; at 500k
+    * images × 3 hex sites per image that was a jstack-visible hot frame
+    * in the m03 profile. Table lookup emits identical output.
+    */
+  private val HexChars = "0123456789abcdef".toCharArray
+  private[ext] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = HexChars(v >>> 4)
+      out(i * 2 + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    hex(java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")))
 
   /** Deterministic image dims from a text column: width/height in 8..23,
     * grayscale or RGB — small enough that encoding millions of images per
@@ -101,6 +118,10 @@ object Multimodal {
           else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
         val img = new java.awt.image.BufferedImage(w, h, imgType)
         val raster = img.getRaster
+        // hash bytes decoded ONCE per image — substring+parseInt per
+        // SAMPLE was a per-pixel allocation in the encode hot loop
+        val hb = Array.tabulate(16)(i =>
+          Integer.parseInt(md5.substring(i * 2, i * 2 + 2), 16))
         var y = 0
         while (y < h) {
           var x = 0
@@ -108,8 +129,7 @@ object Multimodal {
             var b = 0
             while (b < c) {
               // cheap deterministic texture from the hash + coordinates
-              raster.setSample(x, y, b,
-                (Integer.parseInt(md5.substring((x + y + b) % 16 * 2, (x + y + b) % 16 * 2 + 2), 16) + x * 7 + y * 13) & 0xff)
+              raster.setSample(x, y, b, (hb((x + y + b) % 16) + x * 7 + y * 13) & 0xff)
               b += 1
             }
             x += 1
@@ -150,7 +170,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](pIdx)
         val (w, h, c, _) = decode(payload)
         digest.reset()
-        val hash = digest.digest(payload).map("%02x".format(_)).mkString
+        val hash = hex(digest.digest(payload))
         Row(r.get(idIdx), Row(w, h, c, hash))
       }
     }(encoder)
