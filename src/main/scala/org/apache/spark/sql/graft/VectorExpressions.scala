@@ -103,8 +103,10 @@ object VectorExpressions {
   * or `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotEntry)
+    ext.injectFunction(GraftExtensions.ngramEntry)
+  }
 }
 
 object GraftExtensions {
@@ -119,10 +121,26 @@ object GraftExtensions {
       DotProduct(children.head, children(1)): Expression
     })
 
+  private val ngramEntry = (
+    FunctionIdentifier("graft_char_ngrams"),
+    new ExpressionInfo(classOf[CharNGrams].getName, "graft_char_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_char_ngrams expects (str, n)")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_char_ngrams: n must be an integer literal, got $other")
+      }
+      CharNGrams(children.head, n): Expression
+    })
+
   /** Register the functions on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` config only applies at session build time).
     */
-  def installInto(spark: org.apache.spark.sql.SparkSession): Unit =
+  def installInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(dotEntry._1, dotEntry._2, dotEntry._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(ngramEntry._1, ngramEntry._2, ngramEntry._3)
+  }
 }

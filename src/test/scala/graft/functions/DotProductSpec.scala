@@ -67,4 +67,14 @@ class DotProductSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString.contains("*(1) Project"))
     assert(q.agg(sum("d")).head().getDouble(0) === (0 until 8).map(i => i * 3.0 + 8.0).sum)
   }
+
+  test("graft_char_ngrams is SQL-callable after registry install") {
+    org.apache.spark.sql.graft.GraftExtensions.installInto(spark)
+    val r = spark.sql("SELECT graft_char_ngrams(' cat ', 3) AS g")
+      .head().getSeq[String](0)
+    assert(r === Seq(" ca", "cat", "at "))
+    // short-string contract: fewer than n chars -> the whole string
+    assert(spark.sql("SELECT graft_char_ngrams('ab', 3) AS g")
+      .head().getSeq[String](0) === Seq("ab"))
+  }
 }
