@@ -38,9 +38,25 @@ object Skew {
     */
   def skewJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
                nSalts: Int = 8, hotKeyThreshold: Long = 1000000,
-               saltBy: Seq[String] = Nil): DataFrame = {
-    val hot = left.groupBy(leftKey).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= hotKeyThreshold)
+               saltBy: Seq[String] = Nil, sampleFraction: Double = 0.01): DataFrame = {
+    // Hot-key detection from a SAMPLE when the threshold is statistically
+    // visible in it (expected >=20 sampled rows for a threshold-sized
+    // key): the exact pass is a full shuffle of the fact table's keys —
+    // for a near-unique key, map-side partial aggregation absorbs
+    // nothing, so at 100 TB "detection" costs as much as the join it
+    // guards. A key at the threshold lands ~threshold·fraction sampled
+    // rows (sigma = sqrt of that); cutting at HALF the scaled threshold
+    // makes a miss vanishingly unlikely, and both error directions are
+    // benign: a missed borderline key only skips salting it (plain-join
+    // correctness, AQE still splits it), a false positive only salts a
+    // warm key. Thin thresholds keep the exact pass.
+    val sampled = hotKeyThreshold * sampleFraction >= 20
+    val (src, cut) =
+      if (sampled) (left.sample(withReplacement = false, sampleFraction, seed = 7L),
+        math.max(1L, (hotKeyThreshold * sampleFraction / 2).toLong))
+      else (left, hotKeyThreshold)
+    val hot = src.groupBy(leftKey).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= cut)
       .select(leftKey).collect().map(_.get(0)).toIndexedSeq
     if (hot.isEmpty) left.join(right, left(leftKey) === right(rightKey))
     else {

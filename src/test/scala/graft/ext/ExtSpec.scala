@@ -383,4 +383,22 @@ class ExtSpec extends AnyFunSuite {
       .orderBy("rk").as[(Long, Long, Long)].collect().toSeq
     assert(plainPath === expected)
   }
+
+  test("sampled hot-key detection finds the planted key and keeps join parity") {
+    // 40k rows on key 0 + uniform tail; threshold 2000 with the default
+    // 1% sample => expected 400 sampled rows for the hot key, cut at 10:
+    // the SAMPLED detection branch (threshold*fraction = 20 >= 20) must
+    // fire, find key 0, and produce the exact plain-join result
+    val left = spark.range(0, 50000)
+      .select(when($"id" < 40000, 0L).otherwise($"id").as("k"), lit(1L).as("lv"))
+    val right = spark.range(0, 200).select($"id".as("rk"), ($"id" * 10).as("rv"))
+    val expected = left.join(right, $"k" === $"rk")
+      .groupBy("rk").agg(count(lit(1)).as("n")).orderBy("rk")
+      .as[(Long, Long)].collect().toSeq
+    val adaptive = Skew.skewJoin(left, right, "k", "rk",
+        nSalts = 4, hotKeyThreshold = 2000, saltBy = Seq("k", "lv"))
+      .groupBy("rk").agg(count(lit(1)).as("n")).orderBy("rk")
+      .as[(Long, Long)].collect().toSeq
+    assert(adaptive === expected)
+  }
 }
