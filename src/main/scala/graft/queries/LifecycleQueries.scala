@@ -198,7 +198,226 @@ object LifecycleQueries {
       (cat, arts)
     }))
 
+  /** q48's catalog: the pathGet store (one artifact per source) with the
+    * label-manager mutation sequence applied once — per-shard lang labels
+    * via `labels.add`, an `labels.remove` on src0's `en` link, and a
+    * fresh aggregate artifact labeled purely through `labels.add_from`
+    * (copied twice; the second copy must be a 0-link no-op). Every end
+    * state is a closed form over `documents` the oracle replays.
+    */
+  private val labelCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def labelCatalog(spark: SparkSession, dir: String): Catalog =
+    buildLock.synchronized(labelCat.getOrElseUpdate(dir, {
+      val (root, cat, arts) = pathGetFixture(spark, dir)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val feats = new graft.eav.ArtifactFeatures(cat)
+      val d = docs(spark, dir)
+      val langIds = d.select("lang").distinct().collect().map(_.getString(0)).sorted
+        .map(l => l -> cat.insert("ulabel", Map("name" -> l))("id").asInstanceOf[Long])
+        .toMap
+      val shardLangs = d.select("source", "lang").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).sorted.toSeq }
+      val ids = arts.map { case (s, a) => s -> a("id").asInstanceOf[Long] }.toMap
+      arts.foreach { case (s, a) =>
+        feats.addLabels(a("id").asInstanceOf[Long], shardLangs(s).map(langIds))
+      }
+      feats.removeLabels(ids("src0"), langIds.get("en").toSeq)
+      val agg = store.fromDataFrame(
+        d.filter(col("doc_id") < 5).select("doc_id", "n_chars"), "agg/all", root)
+      val aggId = agg("id").asInstanceOf[Long]
+      val copied = feats.addLabelsFrom(aggId, ids("src0"))
+      require(copied > 0, "add_from must copy src0's surviving links")
+      require(feats.addLabelsFrom(aggId, ids("src0")) == 0L,
+        "add_from must be idempotent on existing links")
+      cat
+    }))
+
+  /** q49's catalog: a versioned transform registry — one family per
+    * source (12-char md5 stem), one version per lang — whose even-suffix
+    * HEADS are trashed through `Lifecycle.trash`: the head is demoted to
+    * the trash branch and the newest surviving same-branch version is
+    * promoted (`_is_versioned.py` handoff), all replayable closed-form.
+    */
+  private val handoffCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def handoffCatalog(spark: SparkSession, dir: String): Catalog =
+    buildLock.synchronized(handoffCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_ho")
+      val cat = Catalog.deterministic(spark, root)
+      val fams = docs(spark, dir).select("source", "lang").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, ps) => s -> ps.map(_._2).sorted.toSeq }
+      val doomedHeads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      fams.foreach { case (s, langs) =>
+        val stem = graft.core.Hashing.md5String(s).take(12)
+        langs.zipWithIndex.foreach { case (_, i) =>
+          val rn = i + 1
+          val id = cat.insert("transform", Map(
+            "uid" -> f"$stem$rn%04d", "key" -> s,
+            "is_latest" -> (rn == langs.length),
+            "created_at" -> new java.sql.Timestamp((1700000000L + rn) * 1000L)
+          ))("id").asInstanceOf[Long]
+          if (rn == langs.length && s.drop(3).toInt % 2 == 0) doomedHeads += id
+        }
+      }
+      Lifecycle.trash(cat, "transform", doomedHeads.toSeq)
+      cat
+    }))
+
+  /** q50's catalog: one run per source under a single transform, status
+    * cycling through the reference's six status names by source suffix;
+    * the run's params_json carries the source so the oracle can name the
+    * matching rows without relying on generated uids.
+    */
+  private val runStatusCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def runStatusCatalog(spark: SparkSession, dir: String): Catalog =
+    buildLock.synchronized(runStatusCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_rs")
+      val cat = Catalog.deterministic(spark, root)
+      val tid = cat.insert("transform", Map("key" -> "pipeline/status"))("id")
+        .asInstanceOf[Long]
+      val codes = Seq(-3, -2, -1, 0, 1, 2) // scheduled..aborted, enumMaps order
+      val sources = docs(spark, dir).select("source").distinct()
+        .collect().map(_.getString(0)).sortBy(_.drop(3).toInt).toSeq
+      sources.foreach { s =>
+        cat.insert("run", Map("transform_id" -> tid,
+          "status_code" -> codes(s.drop(3).toInt % 6), "params_json" -> s))
+      }
+      cat
+    }))
+
+  /** q51's collections: the pathGet artifacts grouped by source-suffix
+    * parity into two collections; `n_observations` must total the member
+    * artifacts' observation counts.
+    */
+  private val nObsCollections = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+
+  private def nObsFixture(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    buildLock.synchronized(nObsCollections.getOrElseUpdate(dir, {
+      val (_, cat, arts) = pathGetFixture(spark, dir)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val colls = new graft.artifact.Collections(cat, store)
+      def grp(parity: Int): Seq[Long] = arts.collect {
+        case (s, a) if s.drop(3).toInt % 2 == parity => a("id").asInstanceOf[Long]
+      }
+      Seq("grp/even" -> 0, "grp/odd" -> 1).map { case (key, parity) =>
+        val c = colls.create(key, grp(parity))
+        key -> colls.nObservations(c("id").asInstanceOf[Long])
+      }
+    }))
+
+  /** q52's replaced artifact: created over the `de` subset, then
+    * `replace`d (same uid, staged write + hash/size/count refresh) with
+    * the `es` subset — the reopen must serve the NEW content under the
+    * OLD identity.
+    */
+  private val replaceCat = scala.collection.concurrent.TrieMap
+    .empty[String, (Catalog, String)]
+
+  private def replaceFixture(spark: SparkSession, dir: String): (Catalog, String) =
+    buildLock.synchronized(replaceCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_rep")
+      val cat = Catalog.deterministic(spark, root)
+      val store = new graft.artifact.ArtifactStore(cat)
+      val d = docs(spark, dir)
+      val art = store.fromDataFrame(
+        d.filter(col("lang") === "de").select("doc_id", "source", "n_chars"),
+        "rep/doc", root)
+      val rep = store.replace(art("uid").toString,
+        d.filter(col("lang") === "es").select("doc_id", "source", "n_chars"), root)
+      require(rep("uid") == art("uid") && rep("id") == art("id"),
+        "replace must keep the artifact identity")
+      (cat, art("uid").toString)
+    }))
+
+  /** q53's block table: one readme per source (revised to v2 for even
+    * suffixes — head flips within the uid family) plus one comment per
+    * source (never versioned). uids are generated, so the query projects
+    * the closed-form columns only.
+    */
+  private val blocksCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def blocksCatalog(spark: SparkSession, dir: String): Catalog =
+    buildLock.synchronized(blocksCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_blk")
+      val cat = Catalog.deterministic(spark, root)
+      val blocks = new graft.artifact.Blocks(cat)
+      val sources = docs(spark, dir).select("source").distinct()
+        .collect().map(_.getString(0)).sortBy(_.drop(3).toInt).toSeq
+      sources.foreach { s => blocks.create(s"notes/$s", s"v1 $s"): Unit }
+      sources.filter(_.drop(3).toInt % 2 == 0).foreach { s =>
+        blocks.create(s"notes/$s", s"v2 $s"): Unit
+      }
+      sources.foreach { s => blocks.create(s"notes/$s", s"c $s", kind = "comment"): Unit }
+      cat
+    }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q52_replace" -> ((spark, dir) => {
+      // same-uid content swap: reopening the replaced artifact serves the
+      // es subset under the original identity
+      val (cat, uid) = replaceFixture(spark, dir)
+      val store = new graft.artifact.ArtifactStore(cat)
+      store.openByUid(uid)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    "q53_blocks" -> ((spark, dir) => {
+      // block lifecycle end state: revised readmes flip heads inside the
+      // uid family; comments are unversioned one-offs
+      val cat = blocksCatalog(spark, dir)
+      cat.table("block")
+        .select(col("key"), col("kind"), col("content"), col("is_latest"))
+        .orderBy("key", "kind", "content")
+    }),
+
+    "q48_label_manager" -> ((spark, dir) => {
+      // label-manager end state: per-shard lang links, src0 minus the
+      // removed `en`, and the add_from copy on the aggregate artifact
+      val cat = labelCatalog(spark, dir)
+      cat.table("artifact_ulabels")
+        .join(cat.table("ulabel")
+          .select(col("id").as("ulabel_id"), col("name").as("label")), "ulabel_id")
+        .join(cat.table("artifact")
+          .select(col("id").as("artifact_id"), col("key").as("art_key")), "artifact_id")
+        .select("art_key", "label")
+        .orderBy("art_key", "label")
+    }),
+
+    "q49_head_handoff" -> ((spark, dir) => {
+      // versioned-head handoff on trash: even-suffix family heads land on
+      // the trash branch with is_latest=false; the newest surviving
+      // version is promoted to head
+      val cat = handoffCatalog(spark, dir)
+      cat.table("transform")
+        .select(col("key"), col("uid"), col("is_latest"), col("branch_id"))
+        .orderBy("uid")
+    }),
+
+    "q50_run_status" -> ((spark, dir) => {
+      // status name→code filter: the `status` alias routes to status_code
+      // and each name maps through TableDef.enumMaps before compilation
+      val cat = runStatusCatalog(spark, dir)
+      QuerySet(cat, "run")
+        .filter("status__in" -> Seq("completed", "errored"))
+        .df.select(col("params_json").as("source"), col("status_code"))
+        .orderBy("source")
+    }),
+
+    "q51_n_observations" -> ((spark, dir) => {
+      // collection n_observations: totals over member artifacts
+      import spark.implicits._
+      nObsFixture(spark, dir).toDF("key", "n_obs").orderBy("key")
+    }),
+
 
     "q46_describe" -> ((spark, dir) => {
       // artifact.describe() as structured tree rows (Describe.rows), one
@@ -390,6 +609,70 @@ object LifecycleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q52_replace" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'es'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q53_blocks" ->
+      """WITH s AS (SELECT source, CAST(SUBSTRING(source, 4) AS INT) % 2 = 0 AS ev
+        |           FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (
+        |  SELECT 'notes/' || source AS key, 'readme' AS kind,
+        |         'v1 ' || source AS content, NOT ev AS is_latest FROM s
+        |  UNION ALL
+        |  SELECT 'notes/' || source, 'readme', 'v2 ' || source, TRUE FROM s WHERE ev
+        |  UNION ALL
+        |  SELECT 'notes/' || source, 'comment', 'c ' || source, TRUE FROM s)
+        |SELECT key, kind, content, is_latest FROM r
+        |ORDER BY key, kind, content""".stripMargin,
+
+    "q48_label_manager" ->
+      """WITH langs AS (SELECT DISTINCT source, lang FROM documents),
+        |base AS (
+        |  SELECT source, lang FROM langs
+        |  WHERE NOT (source = 'src0' AND lang = 'en')),
+        |final AS (
+        |  SELECT 'src/' || source AS art_key, lang FROM base
+        |  UNION ALL
+        |  SELECT 'agg/all', lang FROM base WHERE source = 'src0')
+        |SELECT art_key, lang AS label FROM final
+        |ORDER BY art_key, label""".stripMargin,
+
+    "q49_head_handoff" ->
+      """WITH fam AS (SELECT DISTINCT source, lang FROM documents),
+        |v AS (SELECT source,
+        |        row_number() OVER (PARTITION BY source ORDER BY lang) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS mx
+        |      FROM fam),
+        |t AS (SELECT source,
+        |        concat(substr(md5(source), 1, 12),
+        |               lpad(CAST(rn AS VARCHAR), 4, '0')) AS uid,
+        |        rn, mx,
+        |        CAST(SUBSTRING(source, 4) AS INT) % 2 = 0 AS ev
+        |      FROM v)
+        |SELECT source AS key, uid,
+        |       CASE WHEN ev AND rn = mx THEN FALSE
+        |            WHEN ev AND rn = mx - 1 THEN TRUE
+        |            ELSE rn = mx END AS is_latest,
+        |       CAST(CASE WHEN ev AND rn = mx THEN -1 ELSE 1 END AS BIGINT) AS branch_id
+        |FROM t ORDER BY uid""".stripMargin,
+
+    "q50_run_status" ->
+      """SELECT source,
+        |       CAST(CASE CAST(SUBSTRING(source, 4) AS INT) % 6
+        |            WHEN 3 THEN 0 ELSE 1 END AS INT) AS status_code
+        |FROM (SELECT DISTINCT source FROM documents)
+        |WHERE CAST(SUBSTRING(source, 4) AS INT) % 6 IN (3, 4)
+        |ORDER BY source""".stripMargin,
+
+    "q51_n_observations" ->
+      """SELECT 'grp/' || CASE WHEN CAST(SUBSTRING(source, 4) AS INT) % 2 = 0
+        |                      THEN 'even' ELSE 'odd' END AS key,
+        |       CAST(count(*) AS BIGINT) AS n_obs
+        |FROM documents GROUP BY 1 ORDER BY key""".stripMargin,
 
     "q46_describe" ->
       """WITH per_src AS (

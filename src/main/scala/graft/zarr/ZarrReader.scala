@@ -515,9 +515,16 @@ object ZarrStore {
     if (format(root) == 3) {
       (readBytes(root, "zarr.json").map(mapper.readTree),
         readBytes(root, s"$pfx/zarr.json").map(mapper.readTree)) match {
+        // like the v2 branch: a foreign/malformed zarr.json (a
+        // consolidated_metadata without an object-valued "metadata" map)
+        // falls through to the full walk instead of a ClassCastException
         case (Some(rn: ObjectNode), Some(sn: ObjectNode))
           if rn.has("consolidated_metadata") && !rn.get("consolidated_metadata").isNull &&
-            sn.has("consolidated_metadata") && !sn.get("consolidated_metadata").isNull =>
+            rn.get("consolidated_metadata").has("metadata") &&
+            rn.get("consolidated_metadata").get("metadata").isObject &&
+            sn.has("consolidated_metadata") && !sn.get("consolidated_metadata").isNull &&
+            sn.get("consolidated_metadata").has("metadata") &&
+            sn.get("consolidated_metadata").get("metadata").isObject =>
           val md = rn.get("consolidated_metadata").get("metadata").asInstanceOf[ObjectNode]
           val it = md.fieldNames()
           val stale = scala.collection.mutable.ArrayBuffer.empty[String]

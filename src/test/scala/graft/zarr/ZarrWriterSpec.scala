@@ -790,6 +790,31 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(mods.keySet == Set("rna") && mods("rna").obs.count() == 5)
   }
 
+  test("patchConsolidatedSubtree falls back to a full walk on malformed v3 zarr.json") {
+    // v3 twin of the v2 guard: a consolidated_metadata WITHOUT an
+    // object-valued "metadata" map must route through consolidateV3(root)
+    val mu = TestSpark.tmpDir("graft_mup3bad") + "/mu3.zarr"
+    val mk = (pfx: String, n: Int) => AnnDataset(
+      spark.range(n).select(col("id").as("obs_id"),
+        concat(lit(pfx), col("id")).as("obs_name")),
+      spark.range(4).select(col("id").as("var_id"),
+        concat(lit("g"), col("id")).as("var_name")),
+      spark.range(n).select(col("id").as("obs_id"), (col("id") % 4).as("var_id"),
+        lit(2.0).as("value")))
+    AnnZarrWriter.writeMu(Map("rna" -> mk("r", 5)), mu, v3 = true)
+    // clobber the root node: consolidated_metadata present but metadata
+    // is a non-object (the foreign/malformed shape the guard is for)
+    val out = ZarrStore.fs(mu).create(new org.apache.hadoop.fs.Path(mu, "zarr.json"), true)
+    try out.write(("""{"zarr_format":3,"node_type":"group","attributes":{},""" +
+      """"consolidated_metadata":{"kind":"inline","must_understand":false,""" +
+      """"metadata":null}}""").getBytes("UTF-8"))
+    finally out.close()
+    ZarrStore.invalidate(mu)
+    ZarrStore.patchConsolidatedSubtree(mu, "mod/rna") // falls back, no throw
+    val mods = AnnZarr.openMu(spark, mu)
+    assert(mods.keySet == Set("rna") && mods("rna").obs.count() == 5)
+  }
+
   test("migrate refuses in-place / nested destinations") {
     val base = TestSpark.tmpDir("graft_migguard")
     val p = base + "/src.zarr"
