@@ -422,12 +422,16 @@ object Bench {
   private def benchSkewedDups(spark: SparkSession, sfDir: String): Unit = {
     val t0 = System.nanoTime()
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
-    val cluster = spark.range(50000).select((col("id") + 1000000L).as("doc_id"),
+    // cluster ids offset by DupOffset: clear of the real doc-id space at
+    // every tier (1M would collide at sf100 — the fixture-constant
+    // saturation class the round-13 sf10 oracle gate caught in d17/d18)
+    val off = graft.queries.TextQueries.DupOffset
+    val cluster = spark.range(50000).select((col("id") + off).as("doc_id"),
       lit("the same boilerplate license header repeated across every corpus mirror").as("text"))
     val edges = graft.ext.Dedup.minhashClusterEdges(
       base.unionByName(cluster), "doc_id", "text", k = 16, bands = 8)
     val cc = graft.ext.Dedup.connectedComponents(edges)
-    val planted = cc.filter(col("id") >= 1000000L)
+    val planted = cc.filter(col("id") >= off)
       .select("cluster_id").distinct().count()
     require(planted == 1, s"expected 1 planted component, got $planted")
     val secs = (System.nanoTime() - t0) / 1e9

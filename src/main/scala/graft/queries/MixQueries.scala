@@ -15,6 +15,13 @@ object MixQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted-copy id offset — shared with [[TextQueries.DupOffset]] so
+    * every synthetic near-dup family clears the real id space at every
+    * tier (the sf10 gate caught the old 100000 colliding with genuine
+    * doc_ids past 100k docs).
+    */
+  private val Off = TextQueries.DupOffset
+
   /** 8-token boilerplate line prepended to every 3rd doc for d20 — the
     * repeated-across-corpus header that line dedup must strip everywhere
     * but its first occurrence.
@@ -48,19 +55,19 @@ object MixQueries {
     }),
 
     "d17_dup_clusters" -> ((spark, dir) => {
-      // candidate pairs chain: doc -> +100000 copy (%7 docs) -> +200000
-      // copy (%14 docs); resolution must group chains transitively and
-      // pick the min id as canonical
+      // candidate pairs chain: doc -> +DupOffset copy (%7 docs) ->
+      // +2*DupOffset copy (%14 docs); resolution must group chains
+      // transitively and pick the min id as canonical
       val docs = t(spark, dir, "documents").select("doc_id")
       val m1 = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"))
+        .select((col("doc_id") + Off).as("doc_id"))
       val m2 = docs.filter(col("doc_id") % 14 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"))
+        .select((col("doc_id") + 2 * Off).as("doc_id"))
       val corpus = docs.unionByName(m1).unionByName(m2)
       val pairs = docs.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + Off).as("id_b"))
         .unionByName(docs.filter(col("doc_id") % 14 === 0)
-          .select((col("doc_id") + 100000).as("id_a"), (col("doc_id") + 200000).as("id_b")))
+          .select((col("doc_id") + Off).as("id_a"), (col("doc_id") + 2 * Off).as("id_b")))
       Dedup.resolveDuplicates(corpus, pairs, "doc_id")
         .select("doc_id", "cluster_id", "is_canonical")
         .orderBy("doc_id")
@@ -241,14 +248,14 @@ object MixQueries {
     "d17_dup_clusters" ->
       // transitive closure by label propagation: every node reaches its
       // component's min id; UNION (distinct) terminates the recursion
-      """WITH RECURSIVE corpus AS (
+      s"""WITH RECURSIVE corpus AS (
         |  SELECT doc_id FROM documents
-        |  UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id % 7 = 0
-        |  UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id % 14 = 0),
+        |  UNION ALL SELECT doc_id + $Off FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + ${2 * Off} FROM documents WHERE doc_id % 14 = 0),
         |pairs AS (
-        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id AS id_a, doc_id + $Off AS id_b FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 100000, doc_id + 200000 FROM documents WHERE doc_id % 14 = 0),
+        |  SELECT doc_id + $Off, doc_id + ${2 * Off} FROM documents WHERE doc_id % 14 = 0),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |reach AS (
         |  SELECT doc_id AS id, doc_id AS comp FROM corpus
@@ -262,7 +269,7 @@ object MixQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+         |  SELECT doc_id + $Off, substr(text, instr(text, ' ') + 1)
          |  FROM documents WHERE doc_id % 7 = 0),
          |cg AS (SELECT doc_id, ${gramsSql("tk")} AS g
          |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM corpus)),

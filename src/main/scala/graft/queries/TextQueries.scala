@@ -15,13 +15,24 @@ object TextQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Synthetic-copy id offset for planted near-dups. Must clear the real
+    * doc/vec id space at EVERY tier: the old 100000 collided with genuine
+    * doc_ids once the corpus passed 100k docs (sf10's 500k), making the
+    * planted copy share an id with an unrelated real document — Spark
+    * kept both corpus rows while the recursive oracle's UNION collapsed
+    * them (d17), and duplicate-id grouping picked between two different
+    * texts (d18). 10^9 leaves three more decades of headroom; ids are
+    * int64 end-to-end so the sum can't overflow either engine.
+    */
+  private[graft] val DupOffset = 1000000000L
+
   /** documents ∪ a mutated copy (first token dropped) of every 7th doc —
     * guaranteed near-duplicates so the near-dup pipelines have signal.
     */
   private[graft] def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     val mutated = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + DupOffset).as("doc_id"),
         expr("substr(text, instr(text, ' ') + 1)").as("text"))
     docs.unionByName(mutated)
   }
@@ -102,7 +113,7 @@ object TextQueries {
       val emb = t(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       val perturbed = emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + DupOffset).as("vec_id"),
           concat(array(element_at(col("e"), 1) + 0.1), slice(col("e"), 2, 63)).as("e"))
       Dedup.embeddingCosinePairs(emb.unionByName(perturbed), "vec_id", "e", threshold = 0.95)
         .orderBy("id_a", "id_b")
@@ -114,7 +125,7 @@ object TextQueries {
       val emb = t(spark, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       val perturbed = emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + DupOffset).as("vec_id"),
           concat(array(element_at(col("e"), 1) + 0.1), slice(col("e"), 2, 63)).as("e"))
       Dedup.embeddingCosinePairsLSH(emb.unionByName(perturbed), "vec_id", "e",
           dim = 64, nBits = 8, threshold = 0.95)
@@ -165,7 +176,7 @@ object TextQueries {
       val corpus = corpusWithNearDups(spark, dir)
       val docs = t(spark, dir, "documents")
       val planted = docs.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + DupOffset).as("id_b"))
       val background = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") > 0)
         .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
       Dedup.ngramJaccard(planted.unionByName(background), corpus, "doc_id", "text")
@@ -237,9 +248,9 @@ object TextQueries {
 
   /** corpus CTE body shared by d08/d09 oracles (docs + planted near-dups). */
   private val corpusSql =
-    """SELECT doc_id, text FROM documents
+    s"""SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+      |  SELECT doc_id + $DupOffset, substr(text, instr(text, ' ') + 1)
       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -453,9 +464,9 @@ object TextQueries {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "e05_embedding_dedup_lsh" -> Similarity.lshPairsOracleSql(
-      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      s"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000, list_prepend(e[1] + 0.1, e[2:])
+        |  SELECT vec_id + $DupOffset, list_prepend(e[1] + 0.1, e[2:])
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |  WHERE vec_id % 10 = 0""".stripMargin,
       dim = 64, nBits = 8, threshold = 0.95),
@@ -526,8 +537,8 @@ object TextQueries {
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "e03_embedding_dedup" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |pert AS (SELECT vec_id + 100000 AS vec_id, list_prepend(e[1] + 0.1, e[2:]) AS e
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pert AS (SELECT vec_id + $DupOffset AS vec_id, list_prepend(e[1] + 0.1, e[2:]) AS e
         |         FROM base WHERE vec_id % 10 = 0),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
         |sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -559,10 +570,10 @@ object TextQueries {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "d08_ngram_jaccard" ->
-      """WITH corpus AS (
+      raw"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, substr(text, instr(text, ' ') + 1)
+        |  SELECT doc_id + $DupOffset, substr(text, instr(text, ' ') + 1)
         |  FROM documents WHERE doc_id % 7 = 0),
         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
         |sh AS (SELECT doc_id,
@@ -572,7 +583,7 @@ object TextQueries {
         |       ELSE [array_to_string(tk, ' ')] END AS s
         |  FROM toks),
         |pairs AS (
-        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+        |  SELECT doc_id AS id_a, doc_id + $DupOffset AS id_b
         |  FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
         |  SELECT doc_id - 1, doc_id FROM documents WHERE doc_id % 50 = 0 AND doc_id > 0)

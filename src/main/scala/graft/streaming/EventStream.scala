@@ -105,11 +105,14 @@ object EventStream {
   }
 
   /** The derived user dimension: deterministic segments from user_id.
-    * Sized well past any SF's user-id space — an id outside the dim
-    * would left-join to a NULL segment and silently grow the group
-    * count (caught at sf0.1, whose user space exceeds 1000).
+    * Sized to the DATA (a batch peek at the max event user id before the
+    * stream starts — the production shape: a dim table covers the real
+    * user population). Any fixed ceiling is a saturation bug in waiting:
+    * 1000 broke at sf0.1, and the 100000 that replaced it broke at sf10
+    * — each time as a silent NULL-segment band from the left join,
+    * caught only by the oracle gate at the next decade.
     */
-  def userSegments(spark: SparkSession, nUsers: Int = 100000): DataFrame =
+  def userSegments(spark: SparkSession, nUsers: Long = 100000L): DataFrame =
     spark.range(0, nUsers).select(col("id").as("user_id"),
       concat(lit("seg"), (col("id") % 7).cast("string")).as("segment"))
 
@@ -122,8 +125,12 @@ object EventStream {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
+      val maxUser = spark.read.schema(eventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .agg(max(col("user_id"))).head().getLong(0)
       val stream = spark.readStream.schema(eventsRawSchema).parquet(s"$dir/events*.parquet")
-      val agg = enrichedCounts(toTimestamp(stream), userSegments(spark), withWatermark = true)
+      val agg = enrichedCounts(toTimestamp(stream),
+        userSegments(spark, maxUser + 1), withWatermark = true)
       val q = agg.writeStream.outputMode("complete").format("memory")
         .queryName(queryName).start()
       try q.processAllAvailable()

@@ -20,7 +20,7 @@ object GenFixture {
       .orderBy("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
       .collect()
-    val planted = out.count(r => r.getLong(1) == r.getLong(0) + 100000)
+    val planted = out.count(r => r.getLong(1) == r.getLong(0) + graft.queries.TextQueries.DupOffset)
     println(s"pairs=${out.length} planted=$planted")
     val w = new java.io.PrintWriter("src/test/resources/d06_simhash_sf0001.csv")
     w.println("id_a,id_b,hamming")

@@ -47,7 +47,7 @@ class DedupFastPathSpec extends AnyFunSuite {
     assert(got === want)
     // contract: banding + hamming cutoff keep >= 85% of the planted
     // near-dup pairs (first-token-dropped mutations of every 7th doc)
-    val planted = got.count { case (a, b, _) => b == a + 100000 }
+    val planted = got.count { case (a, b, _) => b == a + graft.queries.TextQueries.DupOffset }
     val plantedTotal = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
       .filter(col("doc_id") % 7 === 0).count()
     assert(planted >= (plantedTotal * 85) / 100, s"$planted of $plantedTotal planted pairs")
