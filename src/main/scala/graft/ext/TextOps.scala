@@ -129,6 +129,9 @@ object TextOps {
     * CodegenFallback) and was O(len²) in characters (every `substr(i,3)`
     * rescans the UTF-8 bytes to find character i); identical output
     * including the <3-char contract (one-element array of the string).
+    * ONE deliberate divergence: null input yields NULL (the standard
+    * Spark scalar null-in/null-out), where the legacy `otherwise(
+    * array(norm))` branch yielded `[null]` — spec-pinned in ExtSpec.
     */
   def trigramsOfNormalized(norm: Column): Column =
     org.apache.spark.sql.graft.CharNGrams.charNGrams(norm, 3)

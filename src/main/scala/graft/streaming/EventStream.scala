@@ -125,9 +125,14 @@ object EventStream {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
-      val maxUser = spark.read.schema(eventsRawSchema)
-        .parquet(s"$dir/events.parquet")
-        .agg(max(col("user_id"))).head().getLong(0)
+      // Peek with the SAME glob the stream reads — a second matching file
+      // with higher user_ids would otherwise reintroduce the silent
+      // NULL-segment saturation this sizing exists to prevent. max() is
+      // null on an empty source; -1 + 1 = 0 users then (empty dim, no rows).
+      val maxUser = Option(spark.read.schema(eventsRawSchema)
+        .parquet(s"$dir/events*.parquet")
+        .agg(max(col("user_id"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
       val stream = spark.readStream.schema(eventsRawSchema).parquet(s"$dir/events*.parquet")
       val agg = enrichedCounts(toTimestamp(stream),
         userSegments(spark, maxUser + 1), withWatermark = true)

@@ -75,10 +75,15 @@ object ZarrStreamSink {
     */
   private def readNamesBloom(path: String):
       Option[(Long, Long, org.apache.spark.util.sketch.BloomFilter)] =
-    ZarrStore.readBytes(path, NamesBloomName).map { b =>
-      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
-      val cap = in.readLong(); val cnt = in.readLong()
-      (cap, cnt, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    ZarrStore.readBytes(path, NamesBloomName).flatMap { b =>
+      // a crash mid-PUT can leave a torn object; the sketch is fully
+      // reconstructible from the store, so an unparsable file routes to
+      // the bootstrap rebuild instead of failing every later trigger
+      scala.util.Try {
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+        val cap = in.readLong(); val cnt = in.readLong()
+        (cap, cnt, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      }.toOption
     }
 
   private def writeNamesBloom(path: String, cap: Long, cnt: Long,
@@ -186,6 +191,8 @@ object ZarrStreamSink {
               // fpp of the batch) pays the exact column-pruned scan
               val spark = batch.sparkSession
               val names = obs.select("obs_name").collect().map(_.getString(0))
+              require(!names.contains(null), s"batch $batchId: null obs_name " +
+                "— every appended row needs a non-null name under assertNewNames")
               def storeNames() = spark.read.format("zarr").option("slot", "obs")
                 .load(path).select("obs_name")
               val n0Guard = ZarrStore.openArray(path, "obs/_index").shape.head

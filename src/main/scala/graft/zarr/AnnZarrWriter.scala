@@ -334,7 +334,14 @@ object AnnZarrWriter {
     // persist makes every later pass (collect / dictionaries / the
     // chunk shuffle) a cache read, spec-pinned to exactly one upstream
     // execution.
-    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a caller-cached frame is left alone: persisting again at a
+    // different level throws, and unpersisting here would silently drop
+    // the CALLER's shared cache entry — route on its existing cache
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val mat =
+      if (callerCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = mat.count()
       if (n > chunkLen)
@@ -342,7 +349,7 @@ object AnnZarrWriter {
           chunkLen, catCols, n)
       else
         writeFrameDriver(root, rel, mat, rowIdName, idName, v3, chunkLen, catCols)
-    } finally { mat.unpersist(blocking = false); () }
+    } finally { if (!callerCached) { mat.unpersist(blocking = false); () } }
   }
 
   /** Single-chunk driver path: the collect is bounded by one chunk

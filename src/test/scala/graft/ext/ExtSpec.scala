@@ -145,6 +145,14 @@ class ExtSpec extends AnyFunSuite {
       TextOps.trigramsOfNormalized(col("s")).as("native"), legacy(col("s")).as("ref"))
     raw.collect().foreach { r =>
       assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString) }
+    // null input is the ONE pinned divergence from the legacy
+    // composition: native is null-in/null-out (standard Spark scalar
+    // semantics); legacy's otherwise-branch produced [null]
+    val nullRow = Seq(Tuple1(null: String)).toDF("s").select(
+      TextOps.trigramsOfNormalized(col("s")).as("native"), legacy(col("s")).as("ref"))
+      .head()
+    assert(nullRow.isNullAt(0), "native: null text -> NULL array")
+    assert(nullRow.getSeq[String](1) === Seq(null), "legacy: null text -> [null]")
     // stays inside whole-stage codegen (the point of the native
     // expression) — over a non-foldable source so the project survives
     // to the physical plan instead of constant-folding away
