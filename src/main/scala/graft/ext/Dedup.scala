@@ -863,6 +863,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cardinality-adaptive gram-df cap — the gram family's
+    * `simhashBandPlan`: `max(base, nDocs / freqDenom)`, exact integer
+    * arithmetic so the generated DuckDB oracle replays it bit-for-bit
+    * without knowing n in advance.
+    *
+    * Why adaptive: the cap bounds the gram-hash self-join (a kept gram
+    * at document frequency df contributes ~df² candidate pairs), but it
+    * is ALSO the largest duplicate-cluster size the operator can SEE —
+    * every copy of a k-duplicated span raises its grams' df to ~k, so a
+    * FIXED cap freezes the recallable cluster size at 50 while the
+    * corpus grows: proportionally sized clusters (boilerplate, licenses,
+    * templates — the things a 100 TB corpus is deduplicated FOR)
+    * silently vanish one decade in. That is the fixture-constant
+    * saturation class the sf10 gate exists to kill (SCALING.md
+    * round-13b). Scaling the cap as a RELATIVE frequency (default 0.1%
+    * of corpus docs, floor `base`) makes the dropped class
+    * scale-invariant: "grams occupying >0.1% of the corpus are
+    * background" means the same thing at every n, so recall no longer
+    * decays with corpus size. Cost trade, stated honestly: worst-case
+    * Σdf² over kept grams is cap·Σdf — quadratic only when the corpus
+    * is wall-to-wall boilerplate sitting exactly at the threshold; the
+    * synthetic tiers measure max df 4 (sf1.0) / 12 (sf10), so the
+    * adaptive cap changes nothing on natural text, and the
+    * planted-cluster recall contract (`graft.tools.RecallContract`,
+    * SCALING.md) bounds the real candidate counts at each tier.
+    */
+  def gramDfCap(nDocs: Long, base: Long = 50L, freqDenom: Long = 1000L): Long =
+    math.max(base, nDocs / freqDenom)
+
   /** Exact substring-span dedup — maximal shared token spans across
     * document pairs (the suffix-array dedup of Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",
@@ -874,16 +903,24 @@ object Dedup {
     * `gramLen + k` consecutive tokens are identical between the docs.
     *
     * Scale shape: gram hashing is map-side; the only wide operation is
-    * the gram-hash self-join, and `maxGramDf` caps each join group —
-    * stop-phrase grams above the cap are dropped exactly like the
-    * suffix-array method's frequent-substring cutoff (and like d17's
-    * star-edge skew treatment). One more shuffle groups the diagonal
-    * islands per pair. At 100 TB the cap bounds every group, so no
-    * bucket explodes; raise `gramLen` like a minhash band width as the
-    * corpus grows.
+    * the gram-hash self-join, and the gram-df cap bounds each join
+    * group — stop-phrase grams above the cap are dropped exactly like
+    * the suffix-array method's frequent-substring cutoff (and like
+    * d17's star-edge skew treatment). The cap is CARDINALITY-ADAPTIVE
+    * by default (`gramDfCap`: max(50, n/1000), one count job over the
+    * input to size it — the same pattern as `simhashBandPlan`), so the
+    * largest duplicate cluster the operator can see scales with the
+    * corpus instead of freezing at a constant; pass `maxGramDf` to pin
+    * a fixed cap (fixed recall ceiling, hard cost bound). One more
+    * shuffle groups the diagonal islands per pair. Raise `gramLen`
+    * like a minhash band width as the corpus grows. The chosen cap is
+    * logged per run (slf4j INFO) so runs are auditable.
     */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
-                     gramLen: Int = 13, maxGramDf: Int = 50): DataFrame = {
+                     gramLen: Int = 13, maxGramDf: Option[Long] = None): DataFrame = {
+    val cap = maxGramDf.getOrElse(gramDfCap(docs.count()))
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"substringSpans: gram-df cap $cap (adaptive=${maxGramDf.isEmpty})")
     val toks = docs
       .select(col(idCol).cast("long").as("doc"),
         split(trim(col(textCol)), "\\s+").as("tk"))
@@ -894,7 +931,7 @@ object Dedup {
         i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
         .as(Seq("pos", "gh")))
     val rare = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxGramDf)
+      .filter(col("df") <= cap)
       .select("gh")
     val g = grams.join(rare, "gh")
     val pairs = g.as("a").join(g.as("b"),

@@ -342,15 +342,19 @@ object MixQueries {
         |FROM r ORDER BY pos""".stripMargin,
 
     "d24_substring_spans" ->
-      // replays substringSpans: 13-gram md5 windows, gram-df cap 50,
-      // diagonal gaps-and-islands merge
+      // replays substringSpans: 13-gram md5 windows, the CARDINALITY-
+      // ADAPTIVE gram-df cap (gramDfCap: greatest(50, n_docs // 1000),
+      // integer-exact — the oracle derives n from the same table so it
+      // picks the identical cap at every scale factor), diagonal
+      // gaps-and-islands merge
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |grams AS (
         |  SELECT doc_id, i AS pos, md5(array_to_string(l[i+1:i+13], ' ')) AS gh
         |  FROM toks, unnest(range(len(l) - 12)) AS t(i)
         |  WHERE len(l) >= 13),
-        |rare AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) <= 50),
+        |rare AS (SELECT gh FROM grams GROUP BY gh
+        |  HAVING count(*) <= greatest(50, (SELECT count(*) FROM documents) // 1000)),
         |g AS (SELECT grams.* FROM grams JOIN rare USING (gh)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

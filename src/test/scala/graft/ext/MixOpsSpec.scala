@@ -344,9 +344,36 @@ class MixOpsSpec extends AnyFunSuite {
     val phrase = (1 to 13).map(i => s"p$i").mkString(" ")
     val docs = (0L until 10L).map(i => (i, s"$phrase tail$i")).toDF("doc_id", "text")
     // df of the shared gram = 10 > cap 5: no pairs survive
-    assert(Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = 5).count() == 0)
+    assert(Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = Some(5L)).count() == 0)
     // with the cap lifted, all 45 pairs emerge
-    assert(Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = 50).count() == 45)
+    assert(Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = Some(50L)).count() == 45)
+  }
+
+  test("gramDfCap: integer-exact, relative-frequency rule with a floor") {
+    // the tier counts the oracle replays: greatest(50, n // 1000)
+    assert(Dedup.gramDfCap(500L) === 50L)       // sf0.01
+    assert(Dedup.gramDfCap(50000L) === 50L)     // sf1.0: exactly at the floor
+    assert(Dedup.gramDfCap(50999L) === 50L)     // integer division, no rounding up
+    assert(Dedup.gramDfCap(51000L) === 51L)     // first step past the floor
+    assert(Dedup.gramDfCap(500000L) === 500L)   // sf10
+    assert(Dedup.gramDfCap(5000000L) === 5000L) // sf100
+    // monotone in n — a growing corpus never SHRINKS the recallable
+    // cluster size
+    val caps = (1 to 25).map(e => Dedup.gramDfCap(1L << e))
+    assert(caps === caps.sorted)
+  }
+
+  test("substringSpans default cap routes through the adaptive rule") {
+    val phrase = (1 to 13).map(i => s"q$i").mkString(" ")
+    // 60-doc cluster sharing a 13-token phrase in a 200-doc corpus:
+    // adaptive cap = max(50, 200/1000) = 50 < 60 -> cluster dropped
+    val docs = ((0L until 60L).map(i => (i, s"$phrase solo$i")) ++
+      (100L until 240L).map(i => (i, s"unique${i}a " + (1 to 13).map(j => s"u$i-$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringSpans(docs, "doc_id", "text").count() === 0L)
+    // a pinned cap above the cluster size sees all 1770 pairs
+    assert(Dedup.substringSpans(docs, "doc_id", "text",
+      maxGramDf = Some(60L)).count() === 60L * 59L / 2L)
   }
 
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
