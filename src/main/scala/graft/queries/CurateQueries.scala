@@ -22,7 +22,59 @@ object CurateQueries {
       col("r_name").as("name"),
       concat_ws("|", lower(col("r_name")), regexp_replace(col("r_name"), " ", "_")).as("synonyms"))
 
+  /** c07's fixture: the curation MUTATION set end-to-end
+    * (`curators/core.py:834-881` standardize, `CatVector.standardize`
+    * `:1505-2028`, `DataFrameCatManager.add_new`) — a lang registry with
+    * uppercase synonyms; a dataset column where doc_id%7 rows carry an
+    * unknown `x`-prefixed lang and the remaining doc_id%3 rows an
+    * uppercase synonym form; `standardizeDataset` fills the missing
+    * `quality` column with its schema default, `standardizeColumn` maps
+    * the synonym forms back in place, `addNew` registers the leftover
+    * unknowns. Cached per sf dir: the registry mutates exactly once.
+    */
+  private val mutCat = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.catalog.Catalog, DataFrame)]
+
+  private def mutationFixture(spark: SparkSession, dir: String)
+      : (graft.catalog.Catalog, DataFrame) =
+    mutCat.getOrElseUpdate(dir, {
+      val root = LifecycleQueries.TempRoot.dir("graft_cur")
+      val cat = graft.catalog.Catalog.deterministic(spark, root)
+      val d = t(spark, dir, "documents")
+      d.select("lang").distinct().orderBy("lang").collect().map(_.getString(0))
+        .foreach(l => cat.insert("ulabel",
+          Map("name" -> l, "synonyms" -> l.toUpperCase)): Unit)
+      val messy = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("x"), col("lang")))
+          .when(col("doc_id") % 3 === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("lang"))
+      val spec = graft.curate.SchemaSpec(Seq(
+        graft.curate.FeatureSpec("doc_id", "int"),
+        graft.curate.FeatureSpec("lang", "str"),
+        graft.curate.FeatureSpec("quality", "num")))
+      val conformed = Curate.standardizeDataset(messy, spec, Map("quality" -> 1.0))
+      val std = Curate.standardizeColumn(conformed, "lang", cat.table("ulabel"), "name")
+      val created = Curate.addNew(std, "lang", cat, "ulabel")
+      require(created.nonEmpty, "add_new must register the unknown values")
+      (cat, std)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c07_curate_mutations" -> ((spark, dir) => {
+      // end state of the mutation pipeline: per-value counts of the
+      // standardized column (synonym forms folded back, unknowns passed
+      // through) with the schema-default quality sum riding along, plus
+      // the registry after add_new
+      val (cat, std) = mutationFixture(spark, dir)
+      val colAgg = std.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("quality")).as("q"))
+        .select(lit("col").as("kind"), col("lang").as("value"), col("n"), col("q"))
+      val regRows = cat.table("ulabel").select(
+        lit("reg").as("kind"), col("name").as("value"),
+        lit(1L).as("n"), lit(null).cast("double").as("q"))
+      colAgg.unionByName(regRows).orderBy("kind", "value")
+    }),
+
     "c01_validate" -> ((spark, dir) => {
       val values = t(spark, dir, "part").select(col("p_type").as("value")).distinct()
         .unionByName(Seq("PLASTIC", "WOODEN").toDF(spark)("value"))
@@ -96,6 +148,25 @@ object CurateQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "c07_curate_mutations" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'x' || lang
+        |              ELSE lang END AS value
+        |  FROM documents),
+        |colagg AS (
+        |  SELECT 'col' AS kind, value, count(*) AS n,
+        |         CAST(count(*) AS DOUBLE) AS q
+        |  FROM m GROUP BY value),
+        |reg AS (
+        |  SELECT 'reg' AS kind, value, CAST(1 AS BIGINT) AS n,
+        |         CAST(NULL AS DOUBLE) AS q
+        |  FROM (SELECT DISTINCT lang AS value FROM documents
+        |        UNION
+        |        SELECT DISTINCT 'x' || lang FROM documents WHERE doc_id % 7 = 0))
+        |SELECT kind, value, n, q FROM colagg
+        |UNION ALL SELECT kind, value, n, q FROM reg
+        |ORDER BY kind, value""".stripMargin,
+
     "c01_validate" ->
       """WITH vals AS (
         |  SELECT DISTINCT p_type AS value FROM part

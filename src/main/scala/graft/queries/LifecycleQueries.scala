@@ -340,6 +340,46 @@ object LifecycleQueries {
     * source (never versioned). uids are generated, so the query projects
     * the closed-form columns only.
     */
+  /** q54's catalog: a versioned transform registry split across two
+    * branches — every family has its versions 1..mx on main; even-suffix
+    * families carry one NEWER version (mx+1) on a `feature` branch — then
+    * `BranchOps.merge(feature → main)`: rows move to main, `is_latest`
+    * reconciles per uid family (newest created_at wins, the old main head
+    * is demoted), and the source branch is marked `merged`
+    * (`_is_versioned.py:338` + `setup/_merge.py`).
+    */
+  private val mergeCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  private def mergeCatalog(spark: SparkSession, dir: String): Catalog =
+    buildLock.synchronized(mergeCat.getOrElseUpdate(dir, {
+      val root = TempRoot.dir("graft_mg")
+      val cat = Catalog.deterministic(spark, root)
+      cat.insert("branch", Map("name" -> "main", "status_code" -> 0))
+      val featId = cat.insert("branch", Map("name" -> "feature", "status_code" -> 1))("id")
+        .asInstanceOf[Long]
+      val fams = docs(spark, dir).select("source", "lang").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, ps) => s -> ps.map(_._2).sorted.toSeq }
+      fams.foreach { case (s, langs) =>
+        val stem = graft.core.Hashing.md5String(s).take(16)
+        def ins(rn: Int, head: Boolean, branch: Long): Unit =
+          cat.insert("transform", Map(
+            "uid" -> f"$stem$rn%04d", "key" -> s,
+            "is_latest" -> head, "branch_id" -> branch,
+            "created_at" -> new java.sql.Timestamp((1700000000L + rn) * 1000L)
+          )): Unit
+        langs.indices.foreach(i => ins(i + 1, i + 1 == langs.length, 1L))
+        if (s.drop(3).toInt % 2 == 0) ins(langs.length + 1, head = true, featId)
+      }
+      graft.catalog.BranchOps.merge(cat, "feature", Some("main"))
+      val merged = cat.table("branch").filter(col("name") === "feature")
+        .head().getAs[Int]("status_code")
+      require(merged == graft.catalog.BranchOps.StatusMerged,
+        "merge must mark the source branch merged")
+      cat
+    }))
+
   private val blocksCat = scala.collection.concurrent.TrieMap.empty[String, Catalog]
 
   private def blocksCatalog(spark: SparkSession, dir: String): Catalog =
@@ -377,6 +417,17 @@ object LifecycleQueries {
       cat.table("block")
         .select(col("key"), col("kind"), col("content"), col("is_latest"))
         .orderBy("key", "kind", "content")
+    }),
+
+    "q54_branch_merge" -> ((spark, dir) => {
+      // branch-merge end state: every row lands on main; within each uid
+      // family the newest created_at head survives reconcile (the feature
+      // branch's extra version demotes the old main head on even-suffix
+      // families); the feature branch itself is require()d merged
+      val cat = mergeCatalog(spark, dir)
+      cat.table("transform")
+        .select(col("key"), col("uid"), col("is_latest"), col("branch_id"))
+        .orderBy("uid")
     }),
 
     "q48_label_manager" -> ((spark, dir) => {
@@ -628,6 +679,29 @@ object LifecycleQueries {
         |  SELECT 'notes/' || source, 'comment', 'c ' || source, TRUE FROM s)
         |SELECT key, kind, content, is_latest FROM r
         |ORDER BY key, kind, content""".stripMargin,
+
+    "q54_branch_merge" ->
+      """WITH fam AS (SELECT DISTINCT source, lang FROM documents),
+        |v AS (SELECT source,
+        |        row_number() OVER (PARTITION BY source ORDER BY lang) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS mx
+        |      FROM fam),
+        |ext AS (
+        |  SELECT source, rn, mx FROM v
+        |  UNION ALL
+        |  SELECT source, mx + 1 AS rn, mx
+        |  FROM (SELECT DISTINCT source, mx FROM v)
+        |  WHERE CAST(SUBSTRING(source, 4) AS INT) % 2 = 0),
+        |t AS (SELECT source,
+        |        concat(substr(md5(source), 1, 16),
+        |               lpad(CAST(rn AS VARCHAR), 4, '0')) AS uid,
+        |        rn, mx,
+        |        CAST(SUBSTRING(source, 4) AS INT) % 2 = 0 AS ev
+        |      FROM ext)
+        |SELECT source AS key, uid,
+        |       CASE WHEN ev THEN rn = mx + 1 ELSE rn = mx END AS is_latest,
+        |       CAST(1 AS BIGINT) AS branch_id
+        |FROM t ORDER BY uid""".stripMargin,
 
     "q48_label_manager" ->
       """WITH langs AS (SELECT DISTINCT source, lang FROM documents),
