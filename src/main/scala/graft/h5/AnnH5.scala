@@ -55,6 +55,33 @@ object AnnH5 {
             f.attrString(g, "encoding-type").getOrElse("<none>"))
     }
 
+  /** Row ceiling for the driver-side axis-frame decode; larger frames
+    * route through the DSv2 row-range frame scan
+    * ([[graft.h5.datasource.H5adFrame]]). Shared contract with
+    * [[graft.zarr.AnnZarr.driverFrameRowLimit]].
+    */
+  private[graft] var driverFrameRowLimit: Long = 1L << 16
+
+  private[graft] val driverFrameRowsProbe = new java.util.concurrent.atomic.AtomicLong
+
+  /** [[dataFrameGroup]] with size routing: frames over
+    * [[driverFrameRowLimit]] rows whose axis naming matches the DSv2
+    * convention are served by the distributed `h5ad` frame scan instead
+    * of a driver decode.
+    */
+  private def dataFrameGroupAt(spark: SparkSession, f: H5File, path: String,
+                               slot: String, rowIdName: String, idName: String): DataFrame = {
+    val g = f.group(slot)
+    val indexCol = f.attrString(g, "_index").getOrElse("_index")
+    val n = f.node(g.children(indexCol), indexCol).asInstanceOf[H5DatasetMeta].dims(0)
+    val dsNaming =
+      if (slot == "var" || slot.endsWith("/var")) ("var_id", "var_name")
+      else ("obs_id", "obs_name")
+    if (n > driverFrameRowLimit && (rowIdName, idName) == dsNaming)
+      spark.read.format("h5ad").option("slot", slot).load(path)
+    else dataFrameGroup(spark, f, g, rowIdName, idName)
+  }
+
   /** An anndata `dataframe` group as a Spark DataFrame. The `_index`
     * column surfaces under `idName`; a monotone `rowIdName` long id is
     * prepended (the bridge's axis key).
@@ -72,6 +99,7 @@ object AnnH5 {
     }
     val n = f.node(g.children(indexCol), indexCol)
       .asInstanceOf[H5DatasetMeta].dims(0).toInt
+    driverFrameRowsProbe.addAndGet(n)
     val schema = StructType(
       StructField(rowIdName, LongType, nullable = false) +:
         cols.map { case (nm, t, _) => StructField(nm, t, nullable = true) })
@@ -335,8 +363,8 @@ object AnnH5 {
     val f = H5File.open(path)
     val (obs, vars, obsmNames, layerNames, varmNames, obspNames, uns, rawInfo) =
       try {
-        val obs = dataFrameGroup(spark, f, f.group(p + "obs"), "obs_id", "obs_name")
-        val varsRaw = dataFrameGroup(spark, f, f.group(p + "var"), "var_id", "var_name")
+        val obs = dataFrameGroupAt(spark, f, path, p + "obs", "obs_id", "obs_name")
+        val varsRaw = dataFrameGroupAt(spark, f, path, p + "var", "var_id", "var_name")
         val container = if (p.isEmpty) f.root else f.group(prefix)
         def slotNames(slot: String): Seq[String] =
           if (container.children.contains(slot))
@@ -351,7 +379,7 @@ object AnnH5 {
         val rawInfo =
           if (container.children.contains("raw")) {
             val rg = f.group(p + "raw")
-            Some((dataFrameGroup(spark, f, f.group(p + "raw/var"), "var_id", "var_name"),
+            Some((dataFrameGroupAt(spark, f, path, p + "raw/var", "var_id", "var_name"),
               if (rg.children.contains("varm"))
                 f.group(p + "raw/varm").children.keys.toSeq.sorted
               else Nil))

@@ -15,11 +15,13 @@ import graft.artifact.{AnnDataset, RawSlots, UnsValue}
   * here both front the one [[AnnDataset]] surface, so downstream
   * slicing / stats / ingest are container-agnostic.
   *
-  * Scale shape mirrors the HDF5 path: obs/var/uns are axis-metadata
-  * sized and decode driver-side; X and every matrix slot decode
-  * executor-side, one task bundle per chunk set (dense) or per row
-  * range (CSR), so tasks scale with the chunk grid and no matrix byte
-  * crosses the driver.
+  * Scale shape mirrors the HDF5 path: uns is metadata-sized and decodes
+  * driver-side; obs/var route on size — at or under
+  * [[AnnZarr.driverFrameRowLimit]] rows they decode driver-side (no job),
+  * above it through the DSv2 row-range frame scan — and X and every
+  * matrix slot decode executor-side, one task bundle per chunk set
+  * (dense) or per row range (CSR), so tasks scale with the chunk grid
+  * and no matrix or large-axis byte crosses the driver.
   */
 object AnnZarr {
 
@@ -51,15 +53,39 @@ object AnnZarr {
       s"dataframe column '$rel' has unsupported encoding " +
         ZarrStore.attrString(root, rel, "encoding-type").getOrElse("<none>"))
 
+  /** Row ceiling for the driver-side axis-frame decode: frames at or
+    * under it (the metadata-sized common case) materialize on the driver
+    * with no job; larger frames route through the DSv2 row-range frame
+    * scan ([[graft.zarr.datasource.ZarrFrame]]) so no axis byte crosses
+    * the driver and tasks never carry a LocalRelation payload (a 571k-row
+    * obs frame rode task binaries at ~21 MB before this routing — the
+    * read-side twin of the writer's `appendRows` routing).
+    */
+  private[graft] var driverFrameRowLimit: Long = 1L << 16
+
+  /** Rows decoded through the driver path — spec probe, same contract as
+    * [[AnnZarrWriter.driverAxisRowsProbe]].
+    */
+  private[graft] val driverFrameRowsProbe = new java.util.concurrent.atomic.AtomicLong
+
   /** An anndata `dataframe` group as a Spark DataFrame (same shape as
     * [[graft.h5.AnnH5.dataFrameGroup]]: `_index` under `idName`, a
-    * monotone `rowIdName` long prepended).
+    * monotone `rowIdName` long prepended). Routes on frame size — see
+    * [[driverFrameRowLimit]].
     */
   def dataFrameGroup(spark: SparkSession, root: String, rel: String,
                      rowIdName: String, idName: String): DataFrame = {
     require(ZarrStore.attrString(root, rel, "encoding-type").contains("dataframe"),
       s"group '$rel' is not an anndata dataframe")
     val indexCol = ZarrStore.attrString(root, rel, "_index").getOrElse("_index")
+    val n = ZarrStore.openArray(root, s"$rel/$indexCol").shape.head
+    // the DSv2 derives the same axis naming from the slot path; any other
+    // naming request keeps the driver path regardless of size
+    val dsNaming =
+      if (rel == "var" || rel.endsWith("/var")) ("var_id", "var_name")
+      else ("obs_id", "obs_name")
+    if (n > driverFrameRowLimit && (rowIdName, idName) == dsNaming)
+      return spark.read.format("zarr").option("slot", rel).load(root)
     val order = ZarrStore.attrStrings(root, rel, "column-order")
       .getOrElse(ZarrStore.children(root, rel).filterNot(_ == indexCol))
     val present = ZarrStore.children(root, rel).toSet
@@ -67,11 +93,11 @@ object AnnZarr {
       val (tpe, get) = column(root, s"$rel/$nm")
       (if (nm == indexCol) idName else nm, tpe, get)
     }
-    val n = ZarrStore.openArray(root, s"$rel/$indexCol").shape.head.toInt
+    driverFrameRowsProbe.addAndGet(n)
     val schema = StructType(
       StructField(rowIdName, LongType, nullable = false) +:
         cols.map { case (nm, t, _) => StructField(nm, t, nullable = true) })
-    val rows = (0 until n).map(i => Row.fromSeq(i.toLong +: cols.map(_._3(i))))
+    val rows = (0 until n.toInt).map(i => Row.fromSeq(i.toLong +: cols.map(_._3(i))))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

@@ -270,4 +270,26 @@ class H5WriterSpec extends AnyFunSuite {
       assert(r.getAs[String]("cell_type") == s"type_${i % 3}")
     }
   }
+
+  test("AnnH5.open routes large axis frames through the DSv2 scan") {
+    // round-14: same size routing as the zarr open — a frame past
+    // driverFrameRowLimit reads via the h5ad row-range frame scan, not a
+    // driver decode; results are identical either way
+    val p = writeTemp()
+    val keep = AnnH5.driverFrameRowLimit
+    try {
+      AnnH5.driverFrameRowLimit = 50 // 120-row obs exceeds it, 30-row var doesn't
+      AnnH5.driverFrameRowsProbe.set(0)
+      val ds = AnnH5.open(spark, p)
+      assert(ds.obs.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.getClass.getSimpleName.contains("DataSourceV2")),
+        s"obs must read through the DSv2 scan:\n${ds.obs.queryExecution.optimizedPlan}")
+      assert(AnnH5.driverFrameRowsProbe.get() == nVar, // var only
+        s"driver path decoded ${AnnH5.driverFrameRowsProbe.get()} rows")
+      val viaDs = ds.obs.orderBy("obs_id").collect()
+      AnnH5.driverFrameRowLimit = keep
+      val viaDriver = AnnH5.open(spark, p).obs.orderBy("obs_id").collect()
+      assert(viaDs.toSeq == viaDriver.toSeq)
+    } finally AnnH5.driverFrameRowLimit = keep
+  }
 }

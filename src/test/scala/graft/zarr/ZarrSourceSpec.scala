@@ -199,6 +199,39 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(math.abs(total - expect) < 1e-9)
   }
 
+  test("AnnZarr.open routes large axis frames through the DSv2 scan") {
+    // round-14: a frame past driverFrameRowLimit must NOT materialize on
+    // the driver (no LocalRelation payload in task binaries) — it reads
+    // through the row-range DSv2 plan; results are identical either way
+    val p = TestSpark.tmpDir("graft_rt_route") + "/route.zarr"
+    val n = 120
+    val obs = spark.range(n).select(col("id").as("obs_id"),
+      concat(lit("c"), col("id")).as("obs_name"),
+      (col("id") % 7).as("batch"))
+    val vars = spark.range(3).select(col("id").as("var_id"),
+      concat(lit("g"), col("id")).as("var_name"))
+    val x = spark.range(n).select(col("id").as("obs_id"),
+      (col("id") % 3).as("var_id"), lit(1.0).as("value"))
+    AnnZarrWriter.write(graft.artifact.AnnDataset(obs, vars, x), p,
+      chunkElems = 64, frameChunkLen = 32)
+    val keep = AnnZarr.driverFrameRowLimit
+    try {
+      AnnZarr.driverFrameRowLimit = 50 // 120-row obs exceeds it, 3-row var doesn't
+      AnnZarr.driverFrameRowsProbe.set(0)
+      val ds = AnnZarr.open(spark, p)
+      assert(ds.obs.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.getClass.getSimpleName.contains("DataSourceV2")),
+        s"obs must read through the DSv2 scan:\n${ds.obs.queryExecution.optimizedPlan}")
+      assert(ds.obs.rdd.getNumPartitions > 1, "DSv2 frame scan must parallelize")
+      assert(AnnZarr.driverFrameRowsProbe.get() == 3, // var only
+        s"driver path decoded ${AnnZarr.driverFrameRowsProbe.get()} rows")
+      val viaDs = ds.obs.orderBy("obs_id").collect()
+      AnnZarr.driverFrameRowLimit = keep // driver path for comparison
+      val viaDriver = AnnZarr.open(spark, p).obs.orderBy("obs_id").collect()
+      assert(viaDs.toSeq == viaDriver.toSeq)
+    } finally AnnZarr.driverFrameRowLimit = keep
+  }
+
   test("format-transparent: same scans over the v3 store (sharded csr X)") {
     val v3 = "fixtures/zarr/pbmc_v3.zarr"
     val dsv2 = spark.read.format("zarr").load(v3)
