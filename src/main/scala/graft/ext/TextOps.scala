@@ -262,12 +262,16 @@ object TextOps {
   /** TF-IDF top-k terms per document (sklearn-style smoothed idf:
     * ln((N+1)/(df+1)) + 1). Two doc-keyed/term-keyed shuffles with
     * map-side partial aggregation; the per-term document-frequency table
-    * is corpus-vocabulary-sized and joins broadcast.
+    * is corpus-vocabulary-sized and joins broadcast. The tf table feeds
+    * both the document-frequency aggregate and the final join, so it is
+    * persisted — without it the scan + tokenize + doc-keyed aggregate
+    * (the dominant cost at corpus scale) executes twice.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val id = col(idCol)
     val terms = df.select(id, explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = df.select(id).distinct().count()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
