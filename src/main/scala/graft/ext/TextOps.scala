@@ -264,24 +264,34 @@ object TextOps {
     * map-side partial aggregation; the per-term document-frequency table
     * is corpus-vocabulary-sized and joins broadcast. The tf table feeds
     * both the document-frequency aggregate and the final join, so it is
-    * persisted — without it the scan + tokenize + doc-keyed aggregate
-    * (the dominant cost at corpus scale) executes twice.
+    * persisted for the duration of the call — without it the scan +
+    * tokenize + doc-keyed aggregate (the dominant cost at corpus scale)
+    * executes twice. Cache lifetime is deterministic, not leaked: the
+    * (k-per-doc, small) result is eagerly materialized via
+    * localCheckpoint — the job that consumes the cached tf frame — and
+    * the tf persist is released before returning, the same
+    * `Dedup.finishPairs` contract every LSH pipeline in this repo uses.
+    * The returned frame is self-contained; its checkpoint blocks are
+    * reclaimed by the ContextCleaner when the caller drops it.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val id = col(idCol)
     val terms = df.select(id, explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = df.select(id).distinct().count()
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
-    tf.join(broadcast(dfreq), "term")
-      .withColumn("tfidf", round(col("tf") * col("idf"), 9))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(id)
-          .orderBy(col("tfidf").desc, col("term"))))
-      .filter(col("rn") <= k)
-      .select(id, col("rn").as("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+    try {
+      val nDocs = df.select(id).distinct().count()
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("idf", log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("tfidf", round(col("tf") * col("idf"), 9))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(id)
+            .orderBy(col("tfidf").desc, col("term"))))
+        .filter(col("rn") <= k)
+        .select(id, col("rn").as("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .localCheckpoint(true)
+    } finally tf.unpersist(blocking = false)
   }
 
   /** Deterministic hash split — the train/val/test assignment step.

@@ -21,24 +21,22 @@ object ScaleQueries {
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val c = t(spark, dir, "customer")
       val n = t(spark, dir, "nation")
-      // pre-join partial aggregation: the final group key (n_name) is
-      // functionally determined by the ORDER side, so collapsing
-      // lineitem to one row per order BEFORE the wide joins is
-      // semantics-preserving — and the scaled-long revenue sum is exact
-      // integer math, so two-stage summation is bit-equal to one-stage.
-      // The map-side combine rides the same l_orderkey hash partitioning
-      // the join needs (no extra exchange), and the join then processes
-      // ~4x fewer rows (one per order instead of one per lineitem).
-      val liAgg = li.groupBy(col("l_orderkey")).agg(
-        sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_scaled"),
-        count(lit(1)).as("n_li"))
-      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+      // Single-stage plan: fact joins (orders date-filtered, nation
+      // broadcast), one final 25-group aggregate. A round-14 rewrite
+      // pre-aggregated lineitem by l_orderkey before the joins on the
+      // theory that ~4x fewer join rows would win; measured head-to-head
+      // in fresh JVMs (tools/ProfQ21, SCALING.md) it LOST at both tiers —
+      // 2.4x slower at sf0.1 and 3.3x at sf10 (25.3 s vs 7.5 s median) —
+      // because a hash aggregate over the full lineitem keyspace (one
+      // group PER ORDER: 15M groups at sf10, growing linearly forever)
+      // costs far more than the join-row reduction saves, at every scale.
+      // The 25-group final aggregate already does its reduction map-side.
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg((sum(col("rev_scaled")).cast("double") / lit(10000.0)).as("revenue"),
-          sum(col("n_li")).as("n_items"))
+        .agg(ExactSum.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
 
