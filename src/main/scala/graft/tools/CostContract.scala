@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Worst-case COST contract for the cardinality-adaptive gram-df cap
+  * (`Dedup.gramDfCap`) — the `RecallContract` pattern pointed at cost
+  * instead of recall.
+  *
+  * The adaptive cap `max(50, n/1000)` made recall scale-invariant
+  * (round 14) at an acknowledged price: a kept gram at document
+  * frequency df contributes df·(df-1)/2 candidate pairs, so the
+  * worst-case corpus — ONE boilerplate block sitting on exactly 0.1% of
+  * docs, i.e. df == cap — pays ~(n/1000)² candidates per block gram
+  * where the fixed cap 50 would have dropped the grams entirely (zero
+  * cost, zero recall). This tool makes that envelope a measured number
+  * instead of a comment:
+  *
+  * Protocol: plant k = cap copies of a fixed 30-token license block
+  * (collision-free ids in the `TextQueries.DupOffset` space) over the
+  * real documents table, so every block gram lands at df == cap — kept
+  * under the adaptive rule, dropped under fixed 50 whenever cap > 50.
+  * Report, for both rules: the EXACT candidate-pair count
+  * Σ_{kept grams} df(df-1)/2 (computed from the gram-df aggregate — the
+  * same formula that bounds the self-join, no join executed) and the
+  * wall-clock of the full `substringSpans` run. Contract assertions:
+  * the planted block must be recalled (>0 plant-pair spans) under the
+  * adaptive rule at every tier, and the block's candidate cost must be
+  * exactly nGrams·k(k-1)/2 — the closed form SCALING.md extrapolates to
+  * sf100.
+  *
+  * Run at sf1.0 (cap == floor 50: both rules identical, the baseline
+  * row) and sf10 (cap ≈ 501: the first tier where the trade is live);
+  * one JSON line per run, recorded in SCALING.md.
+  */
+object CostContract {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-local/sf1.0"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val gramLen = 13
+    // fixed 30-token block -> 30 - 13 + 1 = 18 block grams, each at df=k
+    val block = (1 to 30).map(i => s"licensetoken$i").mkString(" ")
+    val nBlockGrams = 30 - gramLen + 1
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val nDocs = docs.count()
+    // k copies so that post-plant cap == k exactly: iterate once
+    def capFor(extra: Long) = graft.ext.Dedup.gramDfCap(nDocs + extra)
+    var k = capFor(0L)
+    k = capFor(k)
+
+    val dup = graft.queries.TextQueries.DupOffset
+    import spark.implicits._
+    val plants = (0L until k).map(j => (dup + j, block)).toDF("doc_id", "text")
+    val corpus = docs.unionByName(plants)
+    val nCorpus = nDocs + k
+    val cap = graft.ext.Dedup.gramDfCap(nCorpus)
+    require(cap == k, s"plant sizing drifted: cap=$cap k=$k")
+
+    // exact candidate-pair count from the gram-df aggregate: the
+    // self-join's group sizes, no join executed
+    val gramDf = corpus
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= gramLen)
+      .select(posexplode(transform(
+        sequence(lit(0), size(col("tk")) - gramLen),
+        i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
+        .as(Seq("pos", "gh")))
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sum df(df-1) as exact longs, halve driver-side (Spark's `/` on
+    // integral operands returns double)
+    def candidates(capRule: Long): Long = gramDf
+      .filter(col("df") <= capRule)
+      .select(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("c"))
+      .collect()(0).getLong(0) / 2
+    val candAdaptive = candidates(cap)
+    val candFixed50 = candidates(50L)
+    gramDf.unpersist(blocking = false)
+
+    // planted-block closed form: nBlockGrams * k(k-1)/2 kept iff cap>=k
+    val blockCand = nBlockGrams.toLong * k * (k - 1) / 2
+
+    def plantPairSpans(spans: DataFrame): Long =
+      spans.filter(col("doc_a") >= dup && col("doc_b") >= dup).count()
+    def timedRun(fixed: Option[Long]): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = plantPairSpans(graft.ext.Dedup.substringSpans(
+        corpus, "doc_id", "text", maxGramDf = fixed))
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (spansAdaptive, tAdaptive) = timedRun(None)
+    val (spansFixed, tFixed) = timedRun(Some(50L))
+
+    println(s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_corpus":$nCorpus,"cap":$cap,""" +
+      s""""planted_copies":$k,"block_candidates_closed_form":$blockCand,""" +
+      s""""candidates_adaptive":$candAdaptive,"candidates_fixed50":$candFixed50,""" +
+      s""""plant_pair_spans_adaptive":$spansAdaptive,"plant_pair_spans_fixed50":$spansFixed,""" +
+      f""""secs_adaptive":$tAdaptive%.1f,"secs_fixed50":$tFixed%.1f}""")
+    // contracts: adaptive must SEE the planted block (recall), and its
+    // extra cost over fixed-50 must be exactly the closed form when the
+    // trade is live (cap > 50), zero when cap == 50
+    require(spansAdaptive > 0, "COST CONTRACT: adaptive rule lost the planted block")
+    val extra = candAdaptive - candFixed50
+    if (cap > 50L) require(extra == blockCand && spansFixed == 0,
+      s"COST CONTRACT: extra=$extra expected=$blockCand fixedSpans=$spansFixed")
+    else require(extra == 0L, s"COST CONTRACT: cap at floor but extra=$extra")
+    spark.stop()
+  }
+}
