@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
   * schema validation), printing ONE JSON line for the driver.
   */
 object Bench {
+  /** Parse per-entry baseline medians from BASELINE.md's measured table
+    * (`| entry | median | floor |` rows). Entry cells start lowercase
+    * (a01_…, q21_…, x00_…), which excludes the prose tables above it.
+    */
+  private[graft] def parseBaselineMedians(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists) Map.empty
+    else {
+      val R = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|""".r
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().collect { case R(n, med, _) => n -> med.toDouble }.toMap
+      finally src.close()
+    }
+  }
+
+  /** Contention flag for the end-of-suite retry pass: an entry is
+    * re-measured when its median lands >2x its baseline row (with a
+    * 0.25 s absolute guard so sub-100 ms entries don't retry on noise)
+    * or — baseline or not — >2x its own in-run floor plus 0.2 s (the
+    * three same-session runs disagreeing is itself the contention
+    * signature the round-14 artifact showed).
+    */
+  private[graft] def isContended(baseline: Option[Double], med: Double, mn: Double): Boolean =
+    med > 0 && (baseline.exists(b => med > 2 * b && med > b + 0.25) ||
+      med > 2 * mn + 0.2)
+
   /** Committed 20000x256 native-HDF5 bench fixture (tools/gen_h5ad.py). */
   private def h5adBenchFixture: String =
     Seq("fixtures/h5ad/bench.h5ad", "/root/repo/fixtures/h5ad/bench.h5ad")
@@ -290,22 +316,10 @@ object Bench {
     // sf0.1 baseline medians from the BASELINE.md measured table
     val baselineMed: Map[String, Double] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
-      else {
-        val p = new java.io.File(
-          sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "/root/repo/BASELINE.md"))
-        if (!p.exists) Map.empty
-        else {
-          val R = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|""".r
-          val src = scala.io.Source.fromFile(p)
-          try src.getLines().collect { case R(n, med, _) => n -> med.toDouble }.toMap
-          finally src.close()
-        }
-      }
-    def contended(n: String, med: Double, mn: Double): Boolean = med > 0 && (
-      baselineMed.get(n).exists(b => med > 2 * b && med > b + 0.25) ||
-        med > 2 * mn + 0.2)
+      else parseBaselineMedians(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "/root/repo/BASELINE.md"))
     val retryNames = firstPass.collect {
-      case (n, (med, mn)) if contended(n, med, mn) => n
+      case (n, (med, mn)) if isContended(baselineMed.get(n), med, mn) => n
     }.take(16)
     val retryTimes: Map[String, (Double, Double)] =
       retryNames.map(n => n -> median3(bodyByName(n)())).toMap
