@@ -11,17 +11,32 @@ object Bench {
   /** Parse per-entry baseline medians from BASELINE.md's measured table
     * (`| entry | median | floor |` rows). Entry cells start lowercase
     * (a01_…, q21_…, x00_…), which excludes the prose tables above it.
+    * Decoded as UTF-8 via `new String` (replaces malformed sequences):
+    * the doc's prose contains multibyte chars and the bench JVM runs
+    * without a UTF-8 default charset, so a charset-sensitive reader
+    * throws MalformedInputException mid-suite (round-15 run-1 crash).
     */
   private[graft] def parseBaselineMedians(path: String): Map[String, Double] = {
     val f = new java.io.File(path)
     if (!f.exists) Map.empty
     else {
       val R = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|""".r
-      val src = scala.io.Source.fromFile(f)
-      try src.getLines().collect { case R(n, med, _) => n -> med.toDouble }.toMap
-      finally src.close()
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      text.linesIterator.collect { case R(n, med, _) => n -> med.toDouble }.toMap
     }
   }
+
+  /** Fixed-cost calibration workload: 64M xxhash64 in 8 fixed partitions,
+    * reduced by bit_xor — NOT sum, which overflows a long essentially
+    * surely over uniform 64-bit hashes and is a task failure under
+    * Spark 4's ANSI default (the round-15 run-1 artifact recorded both
+    * calibration entries as -1). XOR is closed over Long, same scan cost.
+    */
+  private[graft] def calibrationHash(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.range(0, 64000000L, 1, 8)
+      .select(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id))").as("h"))
+      .collect()(0).getLong(0)
 
   /** Contention flag for the end-of-suite retry pass: an entry is
     * re-measured when its median lands >2x its baseline row (with a
@@ -299,8 +314,7 @@ object Bench {
     //     (within-JVM end-of-suite re-runs matched the judge's isolated
     //     fresh-JVM numbers to ~1.2x on every flagged entry).
     val calibBody: () => Any = () => {
-      val h = spark.range(0, 64000000L, 1, 8)
-        .select(sum(xxhash64(col("id"))).as("h")).collect()(0).getLong(0)
+      val h = calibrationHash(spark)
       require(h != 0L, "calibration hash degenerate")
     }
     val calibrate = only.isEmpty // skip in BENCH_ONLY debug runs

@@ -11,8 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchGovernanceSpec extends AnyFunSuite {
 
   test("parseBaselineMedians reads entry rows, skips prose tables and headers") {
+    // the prose includes multibyte UTF-8 (×, →) on purpose: the bench JVM
+    // runs without a UTF-8 default charset and a charset-sensitive reader
+    // threw MalformedInputException mid-suite (round-15 run-1 crash) —
+    // the parser must decode UTF-8 bytes regardless of file.encoding
     val md =
       """# BASELINE
+        |Round-14 medians were up to 5.5× their isolated truth → re-based.
         || Metric | Value | Config | Source (file:line) |
         ||---|---|---|---|
         || Default search limit | 20 rows | `LIMIT` | `query.py:33` |
@@ -25,7 +30,8 @@ class BenchGovernanceSpec extends AnyFunSuite {
         |""".stripMargin
     val f = java.io.File.createTempFile("baseline", ".md")
     try {
-      java.nio.file.Files.writeString(f.toPath, md)
+      java.nio.file.Files.write(f.toPath,
+        md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val parsed = Bench.parseBaselineMedians(f.getPath)
       assert(parsed === Map(
         "a01_anndata_obs_filter" -> 0.21,
@@ -45,6 +51,15 @@ class BenchGovernanceSpec extends AnyFunSuite {
     assert(!Bench.isContended(Some(0.06), 0.144, 0.14))
     // within 2x of baseline: no retry even if absolute delta is large
     assert(!Bench.isContended(Some(5.0), 9.0, 8.8))
+  }
+
+  test("calibration workload completes under ANSI mode (no sum overflow)") {
+    // the original sum(xxhash64) formulation overflowed a long over 64M
+    // uniform hashes and ANSI mode turned that into a task failure; the
+    // bit_xor reduction must produce a stable nonzero hash
+    val h = Bench.calibrationHash(TestSpark.spark)
+    assert(h != 0L)
+    assert(Bench.calibrationHash(TestSpark.spark) === h) // deterministic
   }
 
   test("isContended: own-floor disagreement fires without a baseline") {
