@@ -915,12 +915,31 @@ object Dedup {
     * shuffle groups the diagonal islands per pair. Raise `gramLen`
     * like a minhash band width as the corpus grows. The chosen cap is
     * logged per run (slf4j INFO) so runs are auditable.
+    *
+    * `pairBudget` is the quadratic-worst-case knob the SCALING.md
+    * countdown names: a kept gram at document frequency df normally
+    * contributes df·(df−1)/2 candidate pairs, so a boilerplate block on
+    * exactly the cap fraction of a 10⁹-doc corpus pays (n/1000)² pairs.
+    * With a budget B, grams at df > B switch to STAR pairing — every
+    * occurrence pairs only with the gram's canonical occurrence (the
+    * minimum doc id, then the minimum position inside it), df−1 pairs
+    * instead of df²/2 — the same star-edge treatment d17's
+    * connected-components skew guard uses. Cluster RECALL is preserved
+    * exactly (every copy of a shared block still spans against the
+    * canonical copy, so CC over the pair graph keeps one component);
+    * what is given up is the non-canonical pair spans between two
+    * later copies, which downstream span-cutting never needed. The
+    * rule is integer-exact and deterministic, so a DuckDB oracle
+    * replays it bit-for-bit (see d26). Default `None` keeps the
+    * all-pairs semantics (d24's oracle shape).
     */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
-                     gramLen: Int = 13, maxGramDf: Option[Long] = None): DataFrame = {
+                     gramLen: Int = 13, maxGramDf: Option[Long] = None,
+                     pairBudget: Option[Long] = None): DataFrame = {
     val cap = maxGramDf.getOrElse(gramDfCap(docs.count()))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"substringSpans: gram-df cap $cap (adaptive=${maxGramDf.isEmpty})")
+      s"substringSpans: gram-df cap $cap (adaptive=${maxGramDf.isEmpty})" +
+        pairBudget.fold("")(b => s", per-gram pair budget $b (star above)"))
     val toks = docs
       .select(col(idCol).cast("long").as("doc"),
         split(trim(col(textCol)), "\\s+").as("tk"))
@@ -930,21 +949,54 @@ object Dedup {
         sequence(lit(0), size(col("tk")) - gramLen),
         i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
         .as(Seq("pos", "gh")))
-    val rare = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
-      .select("gh")
-    val g = grams.join(rare, "gh")
-    val pairs = g.as("a").join(g.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.pos").cast("long").as("pos_a"), col("b.pos").cast("long").as("pos_b"))
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-      .orderBy(col("pos_a"))
-    pairs.withColumn("diag", col("pos_a") - col("pos_b"))
-      .withColumn("island", col("pos_a") - row_number().over(w))
-      .groupBy("doc_a", "doc_b", "diag", "island")
-      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
-        (max("pos_a") - min("pos_a") + gramLen).as("len_tokens"))
-      .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    val kept = grams.join(
+      grams.groupBy("gh").agg(count(lit(1)).as("df")).filter(col("df") <= cap),
+      "gh")
+    def allPairs(occ: DataFrame): DataFrame =
+      occ.as("a").join(occ.as("b"),
+          col("a.gh") === col("b.gh") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+          col("a.pos").cast("long").as("pos_a"), col("b.pos").cast("long").as("pos_b"))
+    def islands(pairs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pos_a"))
+      pairs.withColumn("diag", col("pos_a") - col("pos_b"))
+        .withColumn("island", col("pos_a") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+          (max("pos_a") - min("pos_a") + gramLen).as("len_tokens"))
+        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    }
+    pairBudget match {
+      // all-pairs: the self-join shuffles both sides of the SAME subtree
+      // on gh, so ReuseExchange serves it from one shuffle — no persist
+      // needed
+      case None => islands(allPairs(kept.drop("df")))
+      case Some(b) =>
+        // the two-tier pair join consumes `kept` from four differently-
+        // filtered subtrees (no exchange reuse across them), so the
+        // tokenize + gram-explode + df-join — the dominant corpus-scale
+        // cost — is persisted for the duration of the call and released
+        // before returning (the tfidfTopTerms/finishPairs contract): the
+        // span result is eagerly materialized via localCheckpoint, the
+        // cache freed, and the returned frame self-contained
+        val k2 = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // dense tier: grams within budget keep the exact all-pairs join
+          val dense = allPairs(k2.filter(col("df") <= b).drop("df"))
+          // star tier: canonical occurrence = (min doc, then min pos in
+          // it); three gh-keyed ops over the cached occurrences
+          val over = k2.filter(col("df") > b).drop("df")
+          val canonDoc = over.groupBy("gh").agg(min("doc").as("m_doc"))
+          val canon = over.join(canonDoc, "gh")
+            .filter(col("doc") === col("m_doc"))
+            .groupBy("gh", "m_doc").agg(min("pos").as("m_pos"))
+          val star = over.join(canon, "gh")
+            .filter(col("doc") > col("m_doc"))
+            .select(col("m_doc").as("doc_a"), col("doc").as("doc_b"),
+              col("m_pos").cast("long").as("pos_a"), col("pos").cast("long").as("pos_b"))
+          islands(dense.unionByName(star)).localCheckpoint(true)
+        } finally k2.unpersist(blocking = false)
+    }
   }
 }

@@ -28,6 +28,12 @@ object MixQueries {
     */
   private val Header = "alpha beta gamma delta epsilon zeta eta theta"
 
+  /** 30-token license block appended to every 25th doc for d26 — a gram
+    * family whose df sits far above any natural gram at every tier, so
+    * the per-gram pair budget's star tier is what resolves it.
+    */
+  private val Lic = (1 to 30).map(i => f"lic$i%02d").mkString(" ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e10_hybrid_rrf" -> ((spark, dir) => {
       // hybrid search: sparse BM25 candidates + dense brute-force ANN
@@ -113,6 +119,23 @@ object MixQueries {
     // maximal runs of >=13 identical consecutive tokens across doc pairs
     "d24_substring_spans" -> ((spark, dir) => {
       Dedup.substringSpans(t(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
+    // the gram family's quadratic-worst-case knob, end-to-end: a
+    // 30-token license block planted on every 25th doc puts 18 grams at
+    // a df far above any natural gram; the per-gram pair budget (8)
+    // resolves them on the STAR tier — candidates linear in cluster
+    // size, every copy spanning against the canonical first occurrence
+    // — while natural grams (df <= 8) keep exact all-pairs. The cap is
+    // pinned high so the budget, not the background cutoff, is the
+    // operator under test.
+    "d26_substring_spans_budget" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Lic)))
+          .otherwise(col("text")).as("text"))
+      Dedup.substringSpans(docs, "doc_id", "text",
+          maxGramDf = Some(100000L), pairBudget = Some(8L))
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     }),
 
@@ -371,6 +394,53 @@ object MixQueries {
         |       CAST(max(pos_a) - min(pos_a) + 13 AS BIGINT) AS len_tokens
         |FROM isl GROUP BY doc_a, doc_b, diag, island
         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "d26_substring_spans_budget" ->
+      // replays the budgeted substringSpans: same 13-gram md5 windows as
+      // d24, cap pinned at 100000, then a TWO-TIER pair join — exact
+      // all-pairs for grams at df <= 8, star-to-canonical (min doc, then
+      // min pos within it) above — before the same diagonal
+      // gaps-and-islands merge
+      ("""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 25 = 0 THEN text || ' """ + Lic + """' ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(l[i+1:i+13], ' ')) AS gh
+        |  FROM toks, unnest(range(len(l) - 12)) AS t(i)
+        |  WHERE len(l) >= 13),
+        |kept AS (
+        |  SELECT g.doc_id, g.pos, g.gh, d.df
+        |  FROM grams g JOIN (SELECT gh, count(*) AS df FROM grams
+        |                     GROUP BY gh HAVING count(*) <= 100000) d USING (gh)),
+        |dense AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+        |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 8),
+        |canon AS (
+        |  SELECT k.gh, m.m_doc, min(k.pos) AS m_pos
+        |  FROM kept k JOIN (SELECT gh, min(doc_id) AS m_doc FROM kept
+        |                    WHERE df > 8 GROUP BY gh) m
+        |    ON k.gh = m.gh AND k.doc_id = m.m_doc
+        |  GROUP BY k.gh, m.m_doc),
+        |star AS (
+        |  SELECT c.m_doc AS doc_a, k.doc_id AS doc_b, c.m_pos AS pos_a, k.pos AS pos_b
+        |  FROM kept k JOIN canon c ON k.gh = c.gh
+        |  WHERE k.df > 8 AND k.doc_id > c.m_doc),
+        |pairs AS (SELECT * FROM dense UNION ALL SELECT * FROM star),
+        |isl AS (
+        |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+        |         pos_a - row_number() OVER (
+        |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+        |  FROM pairs)
+        |SELECT doc_a, doc_b,
+        |       CAST(min(pos_a) AS BIGINT) AS start_a,
+        |       CAST(min(pos_b) AS BIGINT) AS start_b,
+        |       CAST(max(pos_a) - min(pos_a) + 13 AS BIGINT) AS len_tokens
+        |FROM isl GROUP BY doc_a, doc_b, diag, island
+        |ORDER BY doc_a, doc_b, start_a, start_b""").stripMargin,
 
     "d20_line_dedup" ->
       """WITH corpus AS (

@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   * Run at sf1.0 (cap == floor 50: both rules identical, the baseline
   * row) and sf10 (cap ≈ 501: the first tier where the trade is live);
   * one JSON line per run, recorded in SCALING.md.
+  *
+  * Round 15 adds the THIRD column: `pairBudget = 64` (the sf1,000 knob
+  * SCALING.md named). Grams above the budget resolve on the star tier —
+  * df−1 pairs against the canonical occurrence instead of df(df−1)/2 —
+  * so the planted block's candidate cost collapses from quadratic to
+  * linear while every planted copy still spans against the canonical
+  * copy (contract: exactly k−1 plant-pair spans). At sf1.0 the block
+  * df (50) sits under the budget, so the budgeted run is bit-identical
+  * to adaptive — the trade only goes live when a cluster outgrows the
+  * budget, which is the point.
   */
 object CostContract {
   def main(args: Array[String]): Unit = {
@@ -84,6 +94,22 @@ object CostContract {
       .collect()(0).getLong(0) / 2
     val candAdaptive = candidates(cap)
     val candFixed50 = candidates(50L)
+    // budgeted rule: all-pairs below the budget, star (df-1 pairs to the
+    // canonical occurrence) above it — the star term is an upper bound
+    // (exact when the canonical doc holds the gram once, true for the
+    // planted block)
+    val budget = 64L
+    def candidatesBudget(capRule: Long, b: Long): Long = {
+      val dense = gramDf.filter(col("df") <= b)
+        .select(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)))
+        .collect()(0).getLong(0) / 2
+      val star = gramDf.filter(col("df") > b && col("df") <= capRule)
+        .select(coalesce(sum(col("df") - 1), lit(0L)))
+        .collect()(0).getLong(0)
+      dense + star
+    }
+    val candBudget = candidatesBudget(cap, budget)
+    val nStarGrams = gramDf.filter(col("df") > budget && col("df") <= cap).count()
     gramDf.unpersist(blocking = false)
 
     // planted-block closed form: nBlockGrams * k(k-1)/2 kept iff cap>=k
@@ -91,20 +117,23 @@ object CostContract {
 
     def plantPairSpans(spans: DataFrame): Long =
       spans.filter(col("doc_a") >= dup && col("doc_b") >= dup).count()
-    def timedRun(fixed: Option[Long]): (Long, Double) = {
+    def timedRun(fixed: Option[Long], b: Option[Long] = None): (Long, Double) = {
       val t0 = System.nanoTime()
       val n = plantPairSpans(graft.ext.Dedup.substringSpans(
-        corpus, "doc_id", "text", maxGramDf = fixed))
+        corpus, "doc_id", "text", maxGramDf = fixed, pairBudget = b))
       (n, (System.nanoTime() - t0) / 1e9)
     }
     val (spansAdaptive, tAdaptive) = timedRun(None)
     val (spansFixed, tFixed) = timedRun(Some(50L))
+    val (spansBudget, tBudget) = timedRun(None, Some(budget))
 
     println(s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_corpus":$nCorpus,"cap":$cap,""" +
       s""""planted_copies":$k,"block_candidates_closed_form":$blockCand,""" +
       s""""candidates_adaptive":$candAdaptive,"candidates_fixed50":$candFixed50,""" +
+      s""""candidates_budget$budget":$candBudget,""" +
       s""""plant_pair_spans_adaptive":$spansAdaptive,"plant_pair_spans_fixed50":$spansFixed,""" +
-      f""""secs_adaptive":$tAdaptive%.1f,"secs_fixed50":$tFixed%.1f}""")
+      s""""plant_pair_spans_budget$budget":$spansBudget,""" +
+      f""""secs_adaptive":$tAdaptive%.1f,"secs_fixed50":$tFixed%.1f,"secs_budget$budget":$tBudget%.1f}""")
     // contracts: adaptive must SEE the planted block (recall), and its
     // extra cost over fixed-50 must be exactly the closed form when the
     // trade is live (cap > 50), zero when cap == 50
@@ -113,6 +142,20 @@ object CostContract {
     if (cap > 50L) require(extra == blockCand && spansFixed == 0,
       s"COST CONTRACT: extra=$extra expected=$blockCand fixedSpans=$spansFixed")
     else require(extra == 0L, s"COST CONTRACT: cap at floor but extra=$extra")
+    // budget contracts: when the block outgrows the budget the star tier
+    // must keep exactly one span per non-canonical copy (linear recall
+    // of the whole cluster); when it doesn't, the budgeted run is the
+    // adaptive run
+    if (k > budget) {
+      require(spansBudget == k - 1,
+        s"COST CONTRACT: star tier spans=$spansBudget expected=${k - 1}")
+      // when the only over-budget grams are the block's, the collapse is
+      // exactly quadratic -> linear: blockCand - nBlockGrams*(k-1)
+      if (nStarGrams == nBlockGrams.toLong)
+        require(candAdaptive - candBudget == blockCand - nBlockGrams.toLong * (k - 1),
+          s"COST CONTRACT: budget collapse mismatch adaptive=$candAdaptive budget=$candBudget")
+    } else require(spansBudget == spansAdaptive,
+      s"COST CONTRACT: budget inert but spans $spansBudget != $spansAdaptive")
     spark.stop()
   }
 }

@@ -376,6 +376,38 @@ class MixOpsSpec extends AnyFunSuite {
       maxGramDf = Some(60L)).count() === 60L * 59L / 2L)
   }
 
+  test("substringSpans pairBudget: over-budget grams star against the canonical copy") {
+    val phrase = (1 to 20).map(i => s"s$i").mkString(" ") // 20 shared tokens
+    // 10 copies of the block, each with a unique tail; df of every block
+    // gram = 10
+    val docs = (0L until 10L).map(i => (i, s"$phrase tail$i end$i more$i"))
+      .toDF("doc_id", "text")
+    val full = Dedup.substringSpans(docs, "doc_id", "text",
+      maxGramDf = Some(50L))
+    assert(full.count() === 45L) // all-pairs: 10·9/2 spans
+    // budget 3 < df 10: star tier — every later copy spans ONLY against
+    // doc 0 (min doc, min pos), and the span is still the full 20 tokens
+    val star = Dedup.substringSpans(docs, "doc_id", "text",
+      maxGramDf = Some(50L), pairBudget = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(star.toSeq.sorted ===
+      (1L until 10L).map(b => (0L, b, 0L, 0L, 20L)).sorted)
+    // cluster recall preserved: every copy connects to the canonical doc
+    assert(star.map(_._2).toSet === (1L until 10L).toSet)
+  }
+
+  test("substringSpans pairBudget at or above every df is exact all-pairs") {
+    val shared = (1 to 15).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared a1 a2"), (2L, s"$shared b1 b2"), (3L, s"$shared c1 c2"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.substringSpans(docs, "doc_id", "text").collect().toSeq
+    val budgeted = Dedup.substringSpans(docs, "doc_id", "text",
+      pairBudget = Some(3L)).collect().toSeq
+    assert(budgeted.map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.mkString(","))) ===
+      exact.map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.mkString(","))))
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
