@@ -480,12 +480,15 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs agreeing on any band of the 64-bit
     * simhash. The band plan is cardinality-adaptive (`simhashBandPlan`
-    * over 64 bits, width 16–30): small corpora get the legacy 4×16-bit
+    * over 64 bits, width 16–32): small corpora get the legacy 4×16-bit
     * quarters, large corpora get fewer, wider bands so background
-    * collisions stay ~linear in n. Width 30 covers n ≈ 2^30/16 ≈ 67M
-    * docs before the plan saturates; the earlier ceiling of 21 saturated
-    * at ~131k docs, letting per-bucket load — and with it the
-    * `maxBucketDf` recall loss — grow linearly on any real corpus.
+    * collisions stay ~linear in n. Width 32 (2×32 — every signature bit
+    * banded) covers n ≈ 2^32/16 ≈ 268M docs before the plan saturates;
+    * past that the 64-bit signature itself is the bound (the portable
+    * 60-bit variant tops out at 2×30 ≈ 67M for the same reason). The
+    * earlier ceilings — 21 (saturated at ~131k docs) and 30 (67M) — let
+    * per-bucket load, and with it the `maxBucketDf` recall loss, grow
+    * linearly on any real corpus.
     *
     * RECALL CONTRACT (read before relying on this across corpus sizes):
     * by pigeonhole, a pair is GUARANTEED to surface only when its hamming
@@ -514,7 +517,7 @@ object Dedup {
     // adaptive plan sizes off the SIGNATURE frame (one row per doc) so
     // the count materializes the persist instead of re-reading the source
     val (bands, bw) = bandPlan.getOrElse(
-      simhashBandPlan(withSim.count(), totalBits = 64, minWidth = 16, maxWidth = 30))
+      simhashBandPlan(withSim.count(), totalBits = 64, minWidth = 16, maxWidth = 32))
     logBandPlan("simhashCandidates", bands, bw)
     finishPairs(bandPairs(withSim, bands, bw, maxBucketDf), withSim)
   }

@@ -32,10 +32,29 @@ class SimhashBandPlanSpec extends AnyFunSuite {
                                        // round-12 ceiling of 20 saturated here
     assert(plan(60_000_000L) === (2, 30))  // ~2^30/16 docs: widest plan
     assert(plan(1_000_000_000L) === (2, 30)) // clamped at the new maxWidth
-    // fast-path layout: 64 bits, widths 16..30
-    assert(Dedup.simhashBandPlan(1000L, 64, 16, 30) === (4, 16))
-    assert(Dedup.simhashBandPlan(1_000_000L, 64, 16, 30) === (2, 24))
-    assert(Dedup.simhashBandPlan(100_000_000L, 64, 16, 30) === (2, 30)) // clamp
+    // fast-path layout: 64 bits, widths 16..32 (round 15: ceiling lifted
+    // 30 -> 32 — the 2x32 plan bands every signature bit, saturation
+    // moves from 2^30/16 = 67M to 2^32/16 = 268M docs; beyond that the
+    // 64-bit signature itself is the bound)
+    assert(Dedup.simhashBandPlan(1000L, 64, 16, 32) === (4, 16))
+    assert(Dedup.simhashBandPlan(1_000_000L, 64, 16, 32) === (2, 24))
+    assert(Dedup.simhashBandPlan(100_000_000L, 64, 16, 32) === (2, 31))
+    assert(Dedup.simhashBandPlan(268_435_456L, 64, 16, 32) === (2, 32)) // 16n = 2^32 exactly
+    assert(Dedup.simhashBandPlan(1_000_000_000L, 64, 16, 32) === (2, 32)) // clamp
+  }
+
+  test("a 2x32 band plan is executable: banding covers all 64 signature bits") {
+    import spark.implicits._
+    // identical docs collide on every band at ANY width; distinct docs
+    // must not. This exercises the bw=32 mask/shift path end-to-end
+    // (mask = 2^32-1 in a Long, arithmetic shiftright + mask on the
+    // high band of negative simhashes).
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "wholly different tokens here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(df, "doc_id", "text", bandPlan = Some((2, 32)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("plan invariants: bands*width <= totalBits, width monotone in n") {
