@@ -1002,4 +1002,45 @@ object Dedup {
         } finally k2.unpersist(blocking = false)
     }
   }
+
+  /** Apply a span table to the corpus — the cut step of Lee et al. 2022
+    * (reference `substring` dedup removes all but ONE occurrence of each
+    * duplicated span): for every span row, the NON-canonical side
+    * (`doc_b`, the larger id) loses tokens `[start_b, start_b+len)`;
+    * `doc_a` keeps its copy, and the globally smallest doc of a clique
+    * never appears as `doc_b`, so exactly one occurrence survives.
+    * Spans shorter than `minLen` tokens are ignored (the paper cuts
+    * ≥ 50-token runs; default keeps everything the 13-gram spans found).
+    *
+    * Shape: one distinct+collect aggregate keyed on the cut doc (cut
+    * lists are per-doc small — bounded by the doc's own span count),
+    * one join back to the corpus, then a map-only indexed array filter
+    * (`transform`/`filter`/`exists` — codegen'd higher-order functions,
+    * no explode, no per-token shuffle). Docs without cuts pass through
+    * the left join untouched. Output: original token count, kept token
+    * count, and the rebuilt text.
+    */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+               textCol: String, minLen: Long = 13L): DataFrame = {
+    val cuts = spans.filter(col("len_tokens") >= minLen)
+      .select(col("doc_b").as("__doc"), col("start_b").as("s"),
+        (col("start_b") + col("len_tokens")).as("e"))
+      .distinct()
+      .groupBy("__doc")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__cuts"))
+    val indexed = transform(col("__tk"),
+      (t, i) => struct(t.as("t"), i.cast("long").as("p")))
+    val keptArr = transform(
+      filter(indexed, x => not(exists(col("__cuts"), c =>
+        x.getField("p") >= c.getField("s") && x.getField("p") < c.getField("e")))),
+      x => x.getField("t"))
+    docs.join(cuts, col(idCol).cast("long") === col("__doc"), "left")
+      .withColumn("__tk", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__kept",
+        when(col("__cuts").isNull, col("__tk")).otherwise(keptArr))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        concat_ws(" ", col("__kept")).as("text_dedup"))
+  }
 }

@@ -34,6 +34,60 @@ object MixQueries {
     */
   private val Lic = (1 to 30).map(i => f"lic$i%02d").mkString(" ")
 
+  /** DuckDB CTE: the d26/d27 planted corpus (license block on every 25th
+    * doc). Interpolated into oracle templates before stripMargin.
+    */
+  private def plantedCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 25 = 0 THEN text || ' """ + Lic + """' ELSE text END AS text
+      |  FROM documents)"""
+
+  /** DuckDB CTE chain replaying the budgeted `substringSpans` run over
+    * `corpus` (13-gram md5 windows, cap 100000, pair budget 8: exact
+    * all-pairs at df <= 8, star-to-canonical above) ending in a `spans`
+    * CTE with the operator's output columns. Shared by d26 (emits the
+    * spans) and d27 (cuts them). Plain string — no interpolator — so the
+    * `\s+` regex survives verbatim.
+    */
+  private def budgetSpanCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM corpus),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(l[i+1:i+13], ' ')) AS gh
+      |  FROM toks, unnest(range(len(l) - 12)) AS t(i)
+      |  WHERE len(l) >= 13),
+      |kept AS (
+      |  SELECT g.doc_id, g.pos, g.gh, d.df
+      |  FROM grams g JOIN (SELECT gh, count(*) AS df FROM grams
+      |                     GROUP BY gh HAVING count(*) <= 100000) d USING (gh)),
+      |dense AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+      |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      |  WHERE a.df <= 8),
+      |canon AS (
+      |  SELECT k.gh, m.m_doc, min(k.pos) AS m_pos
+      |  FROM kept k JOIN (SELECT gh, min(doc_id) AS m_doc FROM kept
+      |                    WHERE df > 8 GROUP BY gh) m
+      |    ON k.gh = m.gh AND k.doc_id = m.m_doc
+      |  GROUP BY k.gh, m.m_doc),
+      |star AS (
+      |  SELECT c.m_doc AS doc_a, k.doc_id AS doc_b, c.m_pos AS pos_a, k.pos AS pos_b
+      |  FROM kept k JOIN canon c ON k.gh = c.gh
+      |  WHERE k.df > 8 AND k.doc_id > c.m_doc),
+      |pairs AS (SELECT * FROM dense UNION ALL SELECT * FROM star),
+      |isl AS (
+      |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+      |         pos_a - row_number() OVER (
+      |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+      |  FROM pairs),
+      |spans AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(min(pos_a) AS BIGINT) AS start_a,
+      |         CAST(min(pos_b) AS BIGINT) AS start_b,
+      |         CAST(max(pos_a) - min(pos_a) + 13 AS BIGINT) AS len_tokens
+      |  FROM isl GROUP BY doc_a, doc_b, diag, island)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e10_hybrid_rrf" -> ((spark, dir) => {
       // hybrid search: sparse BM25 candidates + dense brute-force ANN
@@ -137,6 +191,20 @@ object MixQueries {
       Dedup.substringSpans(docs, "doc_id", "text",
           maxGramDf = Some(100000L), pairBudget = Some(8L))
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
+    // the CUT step over the budgeted span table (Lee et al.: remove all
+    // but one occurrence of each duplicated span): same planted corpus
+    // as d26; every planted doc except the canonical first copy loses
+    // the license block, natural >=13-token spans cut the same way
+    "d27_span_cut" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, concat(col("text"), lit(" " + Lic)))
+          .otherwise(col("text")).as("text"))
+      val spans = Dedup.substringSpans(docs, "doc_id", "text",
+        maxGramDf = Some(100000L), pairBudget = Some(8L))
+      Dedup.cutSpans(docs, spans, "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     "d20_line_dedup" -> ((spark, dir) => {
@@ -401,46 +469,38 @@ object MixQueries {
       // all-pairs for grams at df <= 8, star-to-canonical (min doc, then
       // min pos within it) above — before the same diagonal
       // gaps-and-islands merge
-      ("""WITH corpus AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 25 = 0 THEN text || ' """ + Lic + """' ELSE text END AS text
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM corpus),
-        |grams AS (
-        |  SELECT doc_id, i AS pos, md5(array_to_string(l[i+1:i+13], ' ')) AS gh
-        |  FROM toks, unnest(range(len(l) - 12)) AS t(i)
-        |  WHERE len(l) >= 13),
-        |kept AS (
-        |  SELECT g.doc_id, g.pos, g.gh, d.df
-        |  FROM grams g JOIN (SELECT gh, count(*) AS df FROM grams
-        |                     GROUP BY gh HAVING count(*) <= 100000) d USING (gh)),
-        |dense AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
-        |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
-        |  WHERE a.df <= 8),
-        |canon AS (
-        |  SELECT k.gh, m.m_doc, min(k.pos) AS m_pos
-        |  FROM kept k JOIN (SELECT gh, min(doc_id) AS m_doc FROM kept
-        |                    WHERE df > 8 GROUP BY gh) m
-        |    ON k.gh = m.gh AND k.doc_id = m.m_doc
-        |  GROUP BY k.gh, m.m_doc),
-        |star AS (
-        |  SELECT c.m_doc AS doc_a, k.doc_id AS doc_b, c.m_pos AS pos_a, k.pos AS pos_b
-        |  FROM kept k JOIN canon c ON k.gh = c.gh
-        |  WHERE k.df > 8 AND k.doc_id > c.m_doc),
-        |pairs AS (SELECT * FROM dense UNION ALL SELECT * FROM star),
-        |isl AS (
-        |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
-        |         pos_a - row_number() OVER (
-        |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
-        |  FROM pairs)
-        |SELECT doc_a, doc_b,
-        |       CAST(min(pos_a) AS BIGINT) AS start_a,
-        |       CAST(min(pos_b) AS BIGINT) AS start_b,
-        |       CAST(max(pos_a) - min(pos_a) + 13 AS BIGINT) AS len_tokens
-        |FROM isl GROUP BY doc_a, doc_b, diag, island
+      (s"""WITH $plantedCorpusCte,
+        |$budgetSpanCtes
+        |SELECT doc_a, doc_b, start_a, start_b, len_tokens FROM spans
         |ORDER BY doc_a, doc_b, start_a, start_b""").stripMargin,
+
+    "d27_span_cut" ->
+      // the cut step over the same span table: every span's doc_b side
+      // loses tokens [start_b, start_b+len) (>=13-token spans), the
+      // doc_a side keeps its copy — rebuilt text via an ANTI JOIN of
+      // token positions against the distinct cut intervals
+      (s"""WITH $plantedCorpusCte,
+        |$budgetSpanCtes,
+        |cuts AS (
+        |  SELECT DISTINCT doc_b AS doc, start_b AS s, start_b + len_tokens AS e
+        |  FROM spans WHERE len_tokens >= 13),
+        |toks2 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus),
+        |pos AS (
+        |  SELECT doc_id, i AS p, l[CAST(i + 1 AS INT)] AS tkn
+        |  FROM toks2, unnest(range(len(l))) AS u(i)),
+        |keptpos AS (
+        |  SELECT p.doc_id, p.p, p.tkn FROM pos p
+        |  ANTI JOIN cuts c ON c.doc = p.doc_id AND p.p >= c.s AND p.p < c.e),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         array_to_string(list(tkn ORDER BY p), ' ') AS text_dedup
+        |  FROM keptpos GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(len(t.l) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |       coalesce(a.text_dedup, '') AS text_dedup
+        |FROM toks2 t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""").stripMargin,
 
     "d20_line_dedup" ->
       """WITH corpus AS (

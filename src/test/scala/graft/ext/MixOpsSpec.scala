@@ -408,6 +408,34 @@ class MixOpsSpec extends AnyFunSuite {
       exact.map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.mkString(","))))
   }
 
+  test("cutSpans removes every non-canonical occurrence, keeps the first") {
+    val block = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block alpha beta"),          // canonical: keeps the block
+      (2L, s"pre1 pre2 $block mid after"), // loses tokens 2..21
+      (3L, s"$block"),                     // fully cut
+      (4L, "unrelated words only here"))   // untouched (no spans)
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = Some(50L))
+    val rows = Dedup.cutSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) === ((22L, 22L, s"$block alpha beta")))
+    assert(rows(2L) === ((24L, 4L, "pre1 pre2 mid after")))
+    assert(rows(3L) === ((20L, 0L, "")))
+    assert(rows(4L) === ((4L, 4L, "unrelated words only here")))
+  }
+
+  test("cutSpans minLen ignores short spans") {
+    val short = (1 to 14).map(i => s"m$i").mkString(" ") // 14-token span
+    val docs = Seq((1L, s"$short tailA"), (2L, s"$short tailB")).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", maxGramDf = Some(50L))
+    // span is 14 tokens: cut at the default threshold, kept at minLen=20
+    assert(Dedup.cutSpans(docs, spans, "doc_id", "text")
+      .filter(col("doc_id") === 2L).head().getLong(2) === 1L)
+    assert(Dedup.cutSpans(docs, spans, "doc_id", "text", minLen = 20L)
+      .filter(col("doc_id") === 2L).head().getLong(2) === 15L)
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
