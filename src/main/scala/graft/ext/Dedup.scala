@@ -609,6 +609,188 @@ object Dedup {
        |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ----- 128-bit simhash tier: the signature-bound lift ------------------
+  //
+  // The 64-bit plans above saturate when the band key space runs out of
+  // signature: 2 bands × 32 bits tops out at 2^32/16 ≈ 268M docs (fast
+  // path; the 60-bit portable at 67M). This tier doubles the signature to
+  // TWO words, and restricts band widths to divisors of the word so no
+  // band ever straddles a word boundary — banding stays shift+mask on one
+  // Long, and at the widest plan each WORD is a band (2×64: saturation
+  // ~2^64/16 ≈ 10^18 docs). Wider signature also means more bands at the
+  // same width (8×16 vs 4×16), so small-corpus guaranteed recall IMPROVES
+  // (hamming ≤ bands−1 = 7 vs 3) while the scale ceiling moves out by ten
+  // decades. Same Manku et al. trade at the wide end.
+
+  /** Adaptive plan for a two-word signature: smallest width in the word's
+    * divisor ladder with `2^bw >= loadFactor·n`, else the word itself.
+    * wordBits = 64 (fast, xxhash64 words) or 60 (portable, md5 words —
+    * the ladder the generated DuckDB oracle replays verbatim).
+    */
+  def simhash128BandPlan(nDocs: Long, wordBits: Int = 64,
+                         loadFactor: Long = 16L): (Int, Int) = {
+    val widths = wordBits match {
+      case 64 => Seq(16, 32, 64)
+      case 60 => Seq(15, 30, 60)
+      case w  => throw new IllegalArgumentException(s"unsupported word width $w")
+    }
+    val bw = widths.find(w => w <= 62 && (1L << w) >= loadFactor * nDocs)
+      .getOrElse(widths.last)
+    (2 * wordBits / bw, bw)
+  }
+
+  /** 128-bit SimHash signature: two independent 64-bit word hashes per
+    * token (xxhash64 with and without a salt column), 128 per-bit votes
+    * in ONE hash aggregate — the same explode → narrow-sums → reassemble
+    * shape as [[simhashDf]] (the per-row fold form breaks codegen).
+    */
+  def simhash128Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = df
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("h1", xxhash64(col("tok"), lit(1L)))
+    val votes = (0 until 128).map { bit =>
+      val w = if (bit < 64) col("h0") else col("h1")
+      sum(when(shiftright(w, bit % 64).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$bit")
+    }
+    tokenHashes.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim0"),
+        (64 until 128).map(b =>
+          when(col(s"v$b") > 0, lit(1L << (b - 64))).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim1"))
+  }
+
+  /** Band a two-word signature frame; same bucket-df guard and one
+    * band-key shuffle as [[bandPairs]]. Hamming = popcount over both
+    * words.
+    */
+  private def bandPairs128(withSim: DataFrame, bands: Int, bw: Int, wordBits: Int,
+                           maxBucketDf: Option[Int]): DataFrame = {
+    require(wordBits % bw == 0, s"band width $bw must divide the word ($wordBits)")
+    val perWord = wordBits / bw
+    val mask = if (bw == 64) lit(-1L) else lit((1L << bw) - 1)
+    val bandCols = (0 until bands).map { b =>
+      val w = if (b < perWord) col("sim0") else col("sim1")
+      shiftright(w, (b % perWord) * bw).bitwiseAND(mask)
+    }
+    val banded0 = withSim.select(col("id"), col("sim0"), col("sim1"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_bits")))
+    val banded = maxBucketDf match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_bits")
+        banded0.withColumn("bucket_df", count(lit(1)).over(w))
+          .filter(col("bucket_df") <= cap).drop("bucket_df")
+      case None => banded0
+    }
+    val a = banded.select(col("band"), col("band_bits"), col("id").as("id_a"),
+      col("sim0").as("sa0"), col("sim1").as("sa1"))
+    val b2 = banded.select(col("band"), col("band_bits"), col("id").as("id_b"),
+      col("sim0").as("sb0"), col("sim1").as("sb1"))
+    a.join(b2, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("sa0").bitwiseXOR(col("sb0"))) +
+          bit_count(col("sa1").bitwiseXOR(col("sb1")))).cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** 128-bit fast-path candidates (xxhash64 words). Guaranteed recall
+    * hamming ≤ bands−1 (7 at 8×16, 3 at 4×32, 1 at 2×64); saturation
+    * ~10^18 docs at the widest plan. Same persist/finishPairs lifecycle
+    * as [[simhashCandidates]].
+    */
+  def simhash128Candidates(df: DataFrame, idCol: String, textCol: String,
+                           bandPlan: Option[(Int, Int)] = None,
+                           maxBucketDf: Option[Int] = None): DataFrame = {
+    val withSim = simhash128Df(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bands, bw) = bandPlan.getOrElse(simhash128BandPlan(withSim.count(), wordBits = 64))
+    logBandPlan("simhash128Candidates", bands, bw)
+    finishPairs(bandPairs128(withSim, bands, bw, 64, maxBucketDf), withSim)
+  }
+
+  /** Portable 120-bit variant: two 60-bit md5-prefix words per token
+    * (hex chars 1–15 and 17–31 — disjoint halves of the same digest), so
+    * the whole pipeline — votes, signature, the {15,30,60} divisor
+    * ladder, banding, hamming — replays in DuckDB
+    * ([[simhash128PortableOracleSql]]). Saturation at the 2×60 plan:
+    * 2^60/16 ≈ 7·10^16 docs.
+    */
+  def simhash128CandidatesPortable(df: DataFrame, idCol: String, textCol: String,
+                                   bandPlan: Option[(Int, Int)] = None,
+                                   maxBucketDf: Option[Int] = None): DataFrame = {
+    val wb = 60
+    val tok = df
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("m", md5(col("tok")))
+      .withColumn("h0", conv(substring(col("m"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h1", conv(substring(col("m"), 17, 15), 16, 10).cast("long"))
+    val votes = (0 until 2 * wb).map { bit =>
+      val w = if (bit < wb) col("h0") else col("h1")
+      sum(when(shiftright(w, bit % wb).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$bit")
+    }
+    val withSim = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until wb).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim0"),
+        (wb until 2 * wb).map(b =>
+          when(col(s"v$b") > 0, lit(1L << (b - wb))).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bands, bw) = bandPlan.getOrElse(simhash128BandPlan(withSim.count(), wordBits = wb))
+    logBandPlan("simhash128CandidatesPortable", bands, bw)
+    finishPairs(bandPairs128(withSim, bands, bw, wb, maxBucketDf), withSim)
+  }
+
+  /** DuckDB replica of [[simhash128CandidatesPortable]] (+ hamming
+    * cutoff): two 60-bit md5 words, 120 votes, the same integer-exact
+    * {15,30,60} divisor ladder sized from the corpus inside SQL, banding
+    * by word + offset, two-word popcount hamming.
+    */
+  def simhash128PortableOracleSql(corpusSql: String, maxHamming: Int,
+                                  maxBucketDf: Option[Int] = None): String = {
+    val wb = 60
+    val voteExprs = (0 until 2 * wb).map { bit =>
+      val w = if (bit < wb) "h0" else "h1"
+      s"SUM(CASE WHEN ($w >> ${bit % wb}) & 1 = 1 THEN 1 ELSE -1 END) AS v$bit"
+    }.mkString(",\n  ")
+    val sim0 = (0 until wb).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" | ")
+    val sim1 = (wb until 2 * wb).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << ${b - wb}) ELSE 0::BIGINT END)").mkString(" | ")
+    val dfGuard = maxBucketDf
+      .map(cap => s"\n  QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap")
+      .getOrElse("")
+    s"""WITH corpus AS ($corpusSql),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus),
+       |h AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h0,
+       |  CAST(('0x' || substr(md5(tok), 17, 15)) AS BIGINT) AS h1 FROM tok),
+       |votes AS (SELECT doc_id,
+       |  $voteExprs
+       |  FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $sim0 AS s0, $sim1 AS s1 FROM votes),
+       |params AS (SELECT CAST(COALESCE(
+       |    MIN(CASE WHEN (1::BIGINT << bw) >= 16 * n THEN bw END), 60) AS INT) AS bw
+       |  FROM (SELECT unnest([15, 30, 60]) AS bw), (SELECT count(*) AS n FROM sim)),
+       |bands AS (
+       |  SELECT doc_id, s0, s1, bd.band AS band,
+       |    ((CASE WHEN bd.band < ($wb // p.bw) THEN s0 ELSE s1 END)
+       |      >> ((bd.band % ($wb // p.bw)) * p.bw)) & ((1::BIGINT << p.bw) - 1) AS key
+       |  FROM sim, params p, (SELECT CAST(unnest(range(0, 8)) AS INT) AS band) bd
+       |  WHERE bd.band < (${2 * wb} // p.bw)$dfGuard),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    (bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)))::BIGINT AS hamming
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
     * threshold. Exact all-pairs form (the oracle-checkable baseline);
     * at corpus scale, generate candidates with `Similarity.lshTopK`

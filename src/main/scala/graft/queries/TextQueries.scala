@@ -164,6 +164,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the 128-bit (2x60 portable words) signature tier: twice the bands
+    // at the same width, so guaranteed recall improves at every corpus
+    // size while the widest plan's saturation moves out ten decades;
+    // hamming cutoff doubles with the signature (12 vs d10's 6)
+    "d28_simhash128_portable" -> ((spark, dir) => {
+      Dedup.simhash128CandidatesPortable(corpusWithNearDups(spark, dir), "doc_id", "text")
+        .filter(col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    }),
+
     "d09_minhash_portable" -> ((spark, dir) => {
       Dedup.minhashPairsPortable(corpusWithNearDups(spark, dir), "doc_id", "text",
           k = 16, bands = 4, threshold = 0.4)
@@ -503,6 +513,7 @@ object TextQueries {
         |  predicted_lang = actual_lang AS correct
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d10_simhash_portable" -> Dedup.simhashPortableOracleSql(corpusSql, maxHamming = 6),
+    "d28_simhash128_portable" -> Dedup.simhash128PortableOracleSql(corpusSql, maxHamming = 12),
     "d01_exact_dedup" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,

@@ -43,6 +43,43 @@ class SimhashBandPlanSpec extends AnyFunSuite {
     assert(Dedup.simhashBandPlan(1_000_000_000L, 64, 16, 32) === (2, 32)) // clamp
   }
 
+  test("simhash128BandPlan: divisor ladder, word-aligned bands, 10^18 reach") {
+    // portable two-word layout (60-bit md5 words): widths {15, 30, 60}
+    def p(n: Long) = Dedup.simhash128BandPlan(n, wordBits = 60)
+    assert(p(500L) === (8, 15))            // twice d10's bands at the same width
+    assert(p(2048L) === (8, 15))           // 16·2048 = 2^15 exactly
+    assert(p(2049L) === (4, 30))           // ladder skips straight to the divisor
+    assert(p(67_108_864L) === (4, 30))     // 16n = 2^30 exactly
+    assert(p(67_108_865L) === (2, 60))     // each word is a band
+    assert(p(1_000_000_000_000L) === (2, 60)) // clamp: 2^60/16 ≈ 7·10^16 docs
+    // fast-path two-word layout (64-bit xxhash words): widths {16, 32, 64}
+    def f(n: Long) = Dedup.simhash128BandPlan(n, wordBits = 64)
+    assert(f(1000L) === (8, 16))
+    assert(f(1_000_000L) === (4, 32))
+    assert(f(268_435_456L) === (4, 32))    // 16n = 2^32 exactly
+    assert(f(268_435_457L) === (2, 64))    // the word-as-band plan
+    // every plan is word-aligned: width divides the word
+    Seq(60, 64).foreach { wb =>
+      (1L to 60L).map(e => Dedup.simhash128BandPlan(1L << e, wb)).foreach {
+        case (bands, bw) => assert(wb % bw === 0 && bands * bw === 2 * wb)
+      }
+    }
+  }
+
+  test("2x64 word-as-band plan is executable; identical docs collide, hamming sums both words") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "wholly different tokens here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhash128Candidates(df, "doc_id", "text", bandPlan = Some((2, 64)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // portable twin at the widest divisor plan
+    val pp = Dedup.simhash128CandidatesPortable(df, "doc_id", "text", bandPlan = Some((2, 60)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pp.toSeq.contains((1L, 2L, 0L)))
+  }
+
   test("a 2x32 band plan is executable: banding covers all 64 signature bits") {
     import spark.implicits._
     // identical docs collide on every band at ANY width; distinct docs
