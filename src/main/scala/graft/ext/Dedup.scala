@@ -842,12 +842,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Embedding near-dup pairs via LSH buckets — the LINEAR-scale path:
+  /** Embedding near-dup pairs via a SINGLE fixed-width LSH table:
     * candidate pairs come only from rows sharing a random-hyperplane
-    * bucket (one shuffle on the bucket key, never O(n²)); exact cosine +
-    * threshold applies within buckets. Recall is governed by nBits
-    * (fewer bits → bigger buckets → higher recall, more compute).
+    * bucket; exact cosine + threshold applies within buckets. Recall is
+    * governed by nBits (fewer bits → bigger buckets → higher recall,
+    * more compute).
+    *
+    * SCALE BOUND (measured, SCALING.md round-15 sf100 probe): a FIXED
+    * nBits is a fixed bucket count, so bucket load grows linearly with
+    * the corpus and candidate cosines quadratically — 32× the sf10 wall
+    * for 10× the vectors at nBits=8/2.2M rows. This form is the
+    * bounded-tier/oracle twin; unbounded corpora go through
+    * [[embeddingCosinePairsLSHBanded]], whose per-band width scales with
+    * n (and which measured FASTER with HIGHER recall from sf10 up).
     */
+  /** Banded embedding near-dup pairs — the SCALE-TRUE form of
+    * [[embeddingCosinePairsLSH]]. The sf100 probe measured the fixed
+    * single-table version's ceiling: nBits=8 is 256 buckets at every n,
+    * so bucket load grows linearly and candidate cosines quadratically
+    * (~9.5G pair evaluations at 2.2M vectors — 32× the sf10 wall for 10×
+    * data). This form is the minhash-LSH banding shape on embeddings:
+    * `bands` independent keys per vector (disjoint hyperplane sets), one
+    * shuffle on (band, key), DISTINCT candidates joined back to the
+    * vector table, exact cosine ≥ threshold. `bitsPerBand` defaults to
+    * the adaptive `Similarity.lshBandBits` rule (2^w ≥ 16n — bucket load
+    * bounded, candidates ~linear); pass a fixed width to pin a layout
+    * the DuckDB oracle can replay (e11 pins 4×16).
+    *
+    * Recall contract (the standard hyperplane-LSH trade): a pair at
+    * angle θ agrees on one sign bit with p = 1−θ/π, on a w-bit band
+    * with p^w, and surfaces with 1−(1−p^w)^bands — exact duplicates
+    * (θ→0) always surface;
+    * threshold-boundary pairs are SAMPLED, with the sampling rate set by
+    * w. Raising `bands` buys recall at linear cost; the adaptive w keeps
+    * the candidate set linear at any corpus size.
+    */
+  def embeddingCosinePairsLSHBanded(df: DataFrame, idCol: String, vecCol: String,
+                                    dim: Int, threshold: Double, bands: Int = 4,
+                                    bitsPerBand: Option[Int] = None): DataFrame = {
+    val w = bitsPerBand.getOrElse(Similarity.lshBandBits(df.count()))
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"embeddingCosinePairsLSHBanded: ${bands}x$w-bit plan (adaptive=${bitsPerBand.isEmpty})")
+    // signature table read by the band join AND both sides of the
+    // vector join-back: persisted for the call, released via finishPairs
+    val sig = Similarity.withBandKeys(df, idCol, vecCol, dim, bands, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sig.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val out = cand
+      .join(sig.select(col("id").as("id_a"), col("e").as("ea"), col("nrm").as("na")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("e").as("eb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    finishPairs(out, sig)
+  }
+
   def embeddingCosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                               dim: Int, nBits: Int, threshold: Double): DataFrame = {
     val sig = Similarity.withSignatures(df, idCol, vecCol, dim, nBits)

@@ -128,6 +128,86 @@ object Similarity {
       .toDF(idCol, vecCol, "nrm", "bucket")
   }
 
+  /** Adaptive per-band signature width for banded hyperplane LSH — the
+    * `simhashBandPlan` rule applied to embedding buckets: smallest w with
+    * `2^w >= loadFactor·n`, so expected bucket load stays ≤ 1/loadFactor
+    * and background candidate pairs stay ~linear in n. The sf100 probe
+    * measured the fixed-width alternative's failure: e05's pinned 8-bit
+    * signature is 256 buckets forever, so candidate pairs grow n²/256 —
+    * 32× the wall for 10× the vectors at the third decade. Integer-exact
+    * (oracle-replayable).
+    */
+  def lshBandBits(n: Long, minBits: Int = 8, maxBits: Int = 40,
+                  loadFactor: Long = 16L): Int =
+    (minBits to maxBits).find(w => (1L << w) >= loadFactor * n).getOrElse(maxBits)
+
+  /** Banded signature kernel: band b's key is bitsPerBand hyperplane sign
+    * bits from planes [b·w, (b+1)·w) of the same deterministic
+    * `planeCoef` grid (bands use DISJOINT plane sets, so band keys are
+    * independent). Returns (id, e, nrm, keys[bands]) — the minhash-LSH
+    * banding shape applied to embeddings.
+    */
+  private[ext] def withBandKeys(df: DataFrame, idCol: String, vecCol: String,
+                                dim: Int, bands: Int, bitsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(bands * bitsPerBand, dim)(planeCoef)
+    df.select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var nrm = 0.0
+          var j = 0
+          while (j < v.length) { nrm += v(j) * v(j); j += 1 }
+          val keys = new Array[Long](bands)
+          var b = 0
+          while (b < bands) {
+            var key = 0L
+            var i = 0
+            while (i < bitsPerBand) {
+              val p = planes(b * bitsPerBand + i)
+              var proj = 0.0
+              var d = 0
+              while (d < dim) { proj += v(d) * p(d); d += 1 }
+              if (proj > 0) key |= (1L << i)
+              i += 1
+            }
+            keys(b) = key
+            b += 1
+          }
+          (id, v, math.sqrt(nrm), keys)
+        }
+      }
+      .toDF("id", "e", "nrm", "keys")
+  }
+
+  /** DuckDB replica of the banded pair pipeline (fixed bands×w layout):
+    * per-band key exprs generated from the same `planeCoef` grid, bucket
+    * join per band, distinct candidates, exact cosine ≥ threshold.
+    */
+  def lshBandedPairsOracleSql(corpusSql: String, dim: Int, bands: Int, w: Int,
+                              threshold: Double): String = {
+    val keySelects = (0 until bands).map { b =>
+      val expr = (0 until w).map { i =>
+        val coefs = (0 until dim).map(j => planeCoef(b * w + i, j).toString).mkString(", ")
+        s"(CASE WHEN list_inner_product(e, [$coefs]) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+      }.mkString(" | ")
+      s"SELECT vec_id, $b AS band, $expr AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH corpus AS ($corpusSql),
+       |sig AS (SELECT vec_id, e FROM corpus),
+       |keys AS ($keySelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a, id_b, list_cosine_similarity(sa.e, sb.e) AS s
+       |  FROM cand JOIN sig sa ON sa.vec_id = cand.id_a
+       |            JOIN sig sb ON sb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(s, 4) AS sim FROM pairs
+       |WHERE s >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** ANN via LSH buckets: corpus and queries hashed to nBits-bit buckets;
     * cosine computed only within matching buckets (plus
     * single-bit-flipped probes for recall), then per-query top-k.

@@ -132,6 +132,21 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "e11_embedding_dedup_banded" -> ((spark, dir) => {
+      // the scale-true banded form of e05 (the sf100 probe measured the
+      // fixed 256-bucket e05 going quadratic at 2.2M vectors): 4 bands x
+      // 16 bits pinned so the oracle replays the exact layout; the
+      // production default sizes bits adaptively (lshBandBits)
+      val emb = t(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + DupOffset).as("vec_id"),
+          concat(array(element_at(col("e"), 1) + 0.1), slice(col("e"), 2, 63)).as("e"))
+      Dedup.embeddingCosinePairsLSHBanded(emb.unionByName(perturbed), "vec_id", "e",
+          dim = 64, threshold = 0.95, bands = 4, bitsPerBand = Some(16))
+        .orderBy("id_a", "id_b")
+    }),
+
     "e06_pq_adc" -> ((spark, dir) => {
       // PQ with iters=0: codebooks ARE the 16 lowest-id vectors'
       // sub-slices, so the whole encode + ADC scan is SQL-replayable;
@@ -480,6 +495,14 @@ object TextQueries {
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |  WHERE vec_id % 10 = 0""".stripMargin,
       dim = 64, nBits = 8, threshold = 0.95),
+
+    "e11_embedding_dedup_banded" -> Similarity.lshBandedPairsOracleSql(
+      s"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + $DupOffset, list_prepend(e[1] + 0.1, e[2:])
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |  WHERE vec_id % 10 = 0""".stripMargin,
+      dim = 64, bands = 4, w = 16, threshold = 0.95),
 
     "d07_langid" ->
       // replica of TextOps.langId: top-40 trigram profiles per language

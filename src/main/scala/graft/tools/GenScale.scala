@@ -25,13 +25,20 @@ import org.apache.spark.sql.functions._
   *
   * Copy 0 is the identity — the original tier embeds verbatim.
   *
-  * Usage: GenScale <inDir> <outDir> [copies=10]
+  * Usage: GenScale <inDir> <outDir> [copies=10] [tables=t1,t2,...]
+  * The optional 4th arg restricts generation to the named tables — the
+  * sf100 doc-family spot tier scales only documents+embeddings (the
+  * tables its probes read) instead of paying for a 600M-row lineitem.
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val inDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/testdata-local/sf1.0"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,8 +60,10 @@ object GenScale {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    def shifted(name: String, keys: Seq[(String, Long)], parts: Int,
+    def shifted(name: String, keysByName: => Seq[(String, Long)], parts: Int,
                 extra: DataFrame => DataFrame = identity): Unit = {
+      if (!wanted(name)) return
+      val keys = keysByName
       val src = table(name)
       val rep = keys.foldLeft(src.crossJoin(cp)) { case (df, (k, s)) =>
         df.withColumn(k, col(k) + col("cp").cast("long") * s)
@@ -66,19 +75,21 @@ object GenScale {
     }
 
     // dimension tables replicate verbatim (TPC-H doesn't scale them)
-    for (t <- Seq("region", "nation")) {
+    for (t <- Seq("region", "nation") if wanted(t)) {
       table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"$t: copied")
     }
 
-    val custS = stride(table("customer"), "c_custkey")
-    val suppS = stride(table("supplier"), "s_suppkey")
-    val partS = stride(table("part"), "p_partkey")
-    val ordS = stride(table("orders"), "o_orderkey")
-    val evS = stride(table("events"), "event_id")
-    val userS = stride(table("events"), "user_id")
-    val docS = stride(table("documents"), "doc_id")
-    val vecS = stride(table("embeddings"), "vec_id")
+    // strides are computed lazily so a table-filtered run never reads
+    // tables it won't write
+    lazy val custS = stride(table("customer"), "c_custkey")
+    lazy val suppS = stride(table("supplier"), "s_suppkey")
+    lazy val partS = stride(table("part"), "p_partkey")
+    lazy val ordS = stride(table("orders"), "o_orderkey")
+    lazy val evS = stride(table("events"), "event_id")
+    lazy val userS = stride(table("events"), "user_id")
+    lazy val docS = stride(table("documents"), "doc_id")
+    lazy val vecS = stride(table("embeddings"), "vec_id")
 
     shifted("customer", Seq("c_custkey" -> custS), 4)
     shifted("supplier", Seq("s_suppkey" -> suppS), 2)

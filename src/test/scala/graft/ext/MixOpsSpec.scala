@@ -436,6 +436,35 @@ class MixOpsSpec extends AnyFunSuite {
       .filter(col("doc_id") === 2L).head().getLong(2) === 15L)
   }
 
+  test("lshBandBits: adaptive bucket-width ladder, integer-exact") {
+    import graft.ext.Similarity
+    assert(Similarity.lshBandBits(16L) === 8)        // floor
+    assert(Similarity.lshBandBits(4096L) === 16)     // 16n = 2^16 exactly
+    assert(Similarity.lshBandBits(4097L) === 17)
+    assert(Similarity.lshBandBits(2_200_000L) === 26) // the sf100 probe's n
+    assert(Similarity.lshBandBits(1L << 50) === 40)  // clamp
+    val ws = (1 to 40).map(e => Similarity.lshBandBits(1L << e))
+    assert(ws === ws.sorted, "width monotone in n")
+  }
+
+  test("embeddingCosinePairsLSHBanded finds exact dups, skips unrelated vectors") {
+    def vec(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextDouble() - 0.5)
+    }
+    // 5 base vectors, each with an exact duplicate at id+100
+    val rows = (0 until 5).flatMap { i =>
+      Seq((i.toLong, vec(i)), (i + 100L, vec(i)))
+    } :+ (500L, vec(999))
+    val df = rows.toDF("vec_id", "e")
+    val pairs = Dedup.embeddingCosinePairsLSHBanded(df, "vec_id", "e",
+        dim = 8, threshold = 0.999, bands = 4, bitsPerBand = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every exact-dup pair surfaces (identical vectors share every band)
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 100L))))
+    assert(!pairs.exists(p => p._1 == 500L || p._2 == 500L))
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
