@@ -58,6 +58,77 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** Temperature-scaled mixture at α = 1/2 — the standard multilingual
+    * upweighting (mT5-style p_d ∝ n_d^α with α < 1 lifts low-resource
+    * domains): per-domain quota = min(n_d, totalKeep · w_d / Σw) with
+    * INTEGER weights w_d = floor(sqrt(n_d)), rows ranked by the same
+    * md5(id‖salt) order as [[domainMix]].
+    *
+    * Why sqrt and not a general α: IEEE-754 `sqrt` is CORRECTLY ROUNDED
+    * on every platform, so the JVM and DuckDB compute bit-identical
+    * weights from the same counts — a general `pow` is not, and one ULP
+    * on a weight flips a quota by 1 and breaks the oracle hash. For
+    * arbitrary mixtures compute the target fractions yourself and call
+    * [[domainMix]]. Overflow headroom: totalKeep·w stays under 2^63 up
+    * to ~10^12 rows.
+    *
+    * Plan: one count aggregate (domain-cardinality rows to the driver),
+    * broadcast quota join, per-domain rank — the [[domainMix]] shape; at
+    * 100 TB use [[temperatureMixThreshold]], the map-only twin.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     totalKeep: Long, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = sqrtQuotas(df, domainCol, totalKeep).toDF(domainCol, "__quota")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashOrder(df, idCol, salt), col(idCol))
+    df.join(broadcast(quotaDf), Seq(domainCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Map-only twin of [[temperatureMix]] (the 100 TB path): the same
+    * sqrt-weight quotas become per-domain hash-bucket rates; each task
+    * filters locally, no per-domain sort. Realized sizes deviate from
+    * quotas by O(√quota), same contract as [[domainMixThreshold]].
+    */
+  def temperatureMixThreshold(df: DataFrame, idCol: String, domainCol: String,
+                              totalKeep: Long, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = 1L << 20
+    val counts = domainCounts(df, domainCol)
+    val rateDf = sqrtQuotasFrom(counts, totalKeep).map { case (d, q) =>
+      val n = counts.toMap.apply(d)
+      (d, if (n == 0) 0L else math.round(q.toDouble / n * buckets))
+    }.toDF(domainCol, "__cut")
+    val bucket = pmod(
+      conv(substring(hashOrder(df, idCol, salt), 1, 15), 16, 10).cast("long"),
+      lit(buckets))
+    df.join(broadcast(rateDf), Seq(domainCol))
+      .filter(bucket < col("__cut"))
+      .drop("__cut")
+  }
+
+  private def domainCounts(df: DataFrame, domainCol: String): Seq[(String, Long)] =
+    df.groupBy(domainCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toSeq.sortBy(_._1)
+
+  private def sqrtQuotas(df: DataFrame, domainCol: String,
+                         totalKeep: Long): Seq[(String, Long)] =
+    sqrtQuotasFrom(domainCounts(df, domainCol), totalKeep)
+
+  private def sqrtQuotasFrom(counts: Seq[(String, Long)],
+                             totalKeep: Long): Seq[(String, Long)] = {
+    require(totalKeep >= 0, "totalKeep must be non-negative")
+    val weights = counts.map { case (d, n) => (d, n, math.sqrt(n.toDouble).toLong) }
+    val sumW = weights.map(_._3).sum
+    require(sumW > 0, "temperatureMix over an empty corpus")
+    weights.map { case (d, n, w) => (d, math.min(n, totalKeep * w / sumW)) }
+  }
+
   /** Map-only mix: keep a row iff bucket(md5(id‖salt)) < rate_d · 2^20,
     * rate_d = quota_d / count_d. No per-domain sort — each task filters
     * locally, so the plan is a scan + filter regardless of corpus size.

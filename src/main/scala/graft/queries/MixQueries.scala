@@ -160,6 +160,18 @@ object MixQueries {
         "text", "doc_id", isTarget = col("lang") === "en", k = 50)
     }),
 
+    // temperature-scaled mixture (alpha = 1/2, mT5-style low-resource
+    // upweighting): integer sqrt weights keep the quota math bit-equal
+    // across engines; keep half the corpus, ranked by the same md5
+    // order as d19
+    "d29_temperature_mix" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      Sampling.temperatureMix(docs, "doc_id", "source",
+          totalKeep = docs.count() / 2, salt = "tmp1")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // curriculum ordering: quality-tier round-robin interleave — the
     // emitted pos-order carries the full quality mix in every window
     "d25_curriculum_order" -> ((spark, dir) => {
@@ -393,6 +405,24 @@ object MixQueries {
         |  FROM documents)
         |SELECT doc_id, lang FROM ranked JOIN quota ON lang = quota.domain
         |WHERE rn <= q ORDER BY doc_id""".stripMargin,
+
+    "d29_temperature_mix" ->
+      // replays temperatureMix: integer sqrt weights (IEEE sqrt is
+      // correctly rounded, so floor(sqrt(n)) is bit-equal across
+      // engines), integer-division quotas, md5(id||'tmp1') rank
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM c),
+        |tot AS (SELECT (SELECT count(*) FROM documents) // 2 AS keepn,
+        |               (SELECT sum(wt) FROM w) AS sw),
+        |q AS (SELECT source,
+        |        least(n, (SELECT keepn FROM tot) * wt // (SELECT sw FROM tot)) AS quota
+        |      FROM w),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR) || 'tmp1'), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE r.rn <= q.quota ORDER BY r.doc_id""".stripMargin,
 
     "d23_dsir_topk" ->
       // exact replay of importanceTopK: md5-hashed unigram buckets,

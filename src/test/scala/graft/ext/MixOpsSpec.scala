@@ -465,6 +465,39 @@ class MixOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 500L || p._2 == 500L))
   }
 
+  test("temperatureMix: sqrt-weight quotas upweight low-resource domains") {
+    // counts 400/100/16 -> weights 20/10/4 -> with totalKeep 170:
+    // quotas = 170*20/34=100, 170*10/34=50, 170*4/34=20 capped to n=16
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (2000 until 2016).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    val kept = Sampling.temperatureMix(docs, "id", "dom", totalKeep = 170L, salt = "t1")
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom === Map("big" -> 100L, "mid" -> 50L, "small" -> 16L))
+    // proportional keep would give small 170*16/516 = 5 rows; sqrt
+    // weighting keeps the whole low-resource domain
+    // determinism: the same call returns the same ids
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.temperatureMix(docs, "id", "dom", 170L, "t1")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
+  test("temperatureMixThreshold: map-only twin lands near the exact quotas") {
+    val docs = ((0 until 4000).map(i => (i.toLong, "big")) ++
+      (10000 until 10400).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    val kept = Sampling.temperatureMixThreshold(docs, "id", "dom",
+      totalKeep = 2000L, salt = "t2")
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights 63/20 -> quotas 1518 and min(400, 481) = 400: the small
+    // domain's rate caps at 1.0, so it is kept WHOLE (deterministic);
+    // big lands within binomial deviation O(sqrt(q)) of its quota
+    assert(byDom("small") === 400L)
+    assert(math.abs(byDom("big") - 1518L) < 120, s"big=${byDom("big")}")
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
