@@ -1102,6 +1102,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Broder CONTAINMENT for candidate pairs: c_a = |A∩B| / |A| (the
+    * fraction of a's n-gram shingles that appear in b) plus the
+    * symmetric c_b — the partial-copy detector symmetric Jaccard
+    * misses: a document wholly embedded in one 10× larger has
+    * jaccard ≈ 0.1 but containment 1.0, and training-data dedup wants
+    * to catch exactly that (quoted articles, concatenated dumps).
+    * Same plan shape as [[ngramJaccard]]: shingling is map-side, the
+    * pair list joins the shingle table twice.
+    */
+  def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), shinglesFromTokens(col("__toks"), n).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__i") / size(col("sh_a")), 4).as("containment_a"),
+        round(col("__i") / size(col("sh_b")), 4).as("containment_b"))
+  }
+
   /** Cardinality-adaptive gram-df cap — the gram family's
     * `simhashBandPlan`: `max(base, nDocs / freqDenom)`, exact integer
     * arithmetic so the generated DuckDB oracle replays it bit-for-bit

@@ -208,6 +208,22 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Broder containment on planted PARTIAL copies: every 9th doc gets a
+    // half-length prefix copy — containment_b ~ 1 (the half lives inside
+    // the original) while containment_a ~ 0.5, the asymmetry symmetric
+    // Jaccard cannot express
+    "d30_ngram_containment" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val halves = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3 * DupOffset).as("doc_id"),
+          expr("substring(text, 1, cast(length(text) / 2 as int))").as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(halves)
+      val pairs = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 3 * DupOffset).as("id_b"))
+      Dedup.ngramContainment(pairs, corpus, "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
     "d13_chunking" -> ((spark, dir) => {
       // sliding 24-token windows, stride 16 (8-token overlap) — small
       // enough that the ~30-token synthetic docs produce multiple chunks
@@ -624,6 +640,30 @@ object TextQueries {
         |SELECT p.id_a, p.id_b,
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d30_ngram_containment" ->
+      raw"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + ${3 * DupOffset}, substr(text, 1, len(text) // 2)
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 3
+        |       THEN list_distinct(list_transform(range(1, len(tk) - 1),
+        |            i -> array_to_string(tk[i:i+2], ' ')))
+        |       ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + ${3 * DupOffset} AS id_b
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT p.id_a, p.id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 4) AS containment_a,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 4) AS containment_b
         |FROM pairs p
         |JOIN sh a ON a.doc_id = p.id_a
         |JOIN sh b ON b.doc_id = p.id_b

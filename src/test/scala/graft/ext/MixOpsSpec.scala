@@ -498,6 +498,20 @@ class MixOpsSpec extends AnyFunSuite {
     assert(math.abs(byDom("big") - 1518L) < 120, s"big=${byDom("big")}")
   }
 
+  test("ngramContainment: asymmetric partial-copy signal Jaccard misses") {
+    val full = (1 to 22).map(i => s"w$i").mkString(" ")    // 20 distinct 3-grams
+    val half = (1 to 12).map(i => s"w$i").mkString(" ")    // first 10 of them
+    val docs = Seq((1L, full), (2L, half)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramContainment(pairs, docs, "doc_id", "text").head()
+    // token-aligned prefix: every shingle of the half is in the full
+    assert(r.getDouble(3) === 1.0)                         // containment_b
+    assert(r.getDouble(2) === 0.5)                         // containment_a = 10/20
+    // symmetric jaccard on the same pair reads as a weak 0.5 overlap
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text").head().getDouble(2)
+    assert(j === 0.5)
+  }
+
   test("newDocs bloom-negative rows bypass the verify join (exactness parity)") {
     val corpus = (0L until 500L).map(i => (i, s"base-$i")).toDF("id", "content")
     val batch = (0L until 500L).map(i => (i + 5000, s"new-$i")).toDF("id", "content")
