@@ -842,20 +842,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Embedding near-dup pairs via a SINGLE fixed-width LSH table:
-    * candidate pairs come only from rows sharing a random-hyperplane
-    * bucket; exact cosine + threshold applies within buckets. Recall is
-    * governed by nBits (fewer bits → bigger buckets → higher recall,
-    * more compute).
-    *
-    * SCALE BOUND (measured, SCALING.md round-15 sf100 probe): a FIXED
-    * nBits is a fixed bucket count, so bucket load grows linearly with
-    * the corpus and candidate cosines quadratically — 32× the sf10 wall
-    * for 10× the vectors at nBits=8/2.2M rows. This form is the
-    * bounded-tier/oracle twin; unbounded corpora go through
-    * [[embeddingCosinePairsLSHBanded]], whose per-band width scales with
-    * n (and which measured FASTER with HIGHER recall from sf10 up).
-    */
   /** Banded embedding near-dup pairs — the SCALE-TRUE form of
     * [[embeddingCosinePairsLSH]]. The sf100 probe measured the fixed
     * single-table version's ceiling: nBits=8 is 256 buckets at every n,
@@ -902,6 +888,20 @@ object Dedup {
     finishPairs(out, sig)
   }
 
+  /** Embedding near-dup pairs via a SINGLE fixed-width LSH table:
+    * candidate pairs come only from rows sharing a random-hyperplane
+    * bucket; exact cosine + threshold applies within buckets. Recall is
+    * governed by nBits (fewer bits → bigger buckets → higher recall,
+    * more compute).
+    *
+    * SCALE BOUND (measured, SCALING.md round-15 sf100 probe): a FIXED
+    * nBits is a fixed bucket count, so bucket load grows linearly with
+    * the corpus and candidate cosines quadratically — 32× the sf10 wall
+    * for 10× the vectors at nBits=8/2.2M rows. This form is the
+    * bounded-tier/oracle twin; unbounded corpora go through
+    * [[embeddingCosinePairsLSHBanded]], whose per-band width scales with
+    * n (and which measured FASTER with HIGHER recall from sf10 up).
+    */
   def embeddingCosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                               dim: Int, nBits: Int, threshold: Double): DataFrame = {
     val sig = Similarity.withSignatures(df, idCol, vecCol, dim, nBits)

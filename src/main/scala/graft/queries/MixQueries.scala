@@ -172,6 +172,38 @@ object MixQueries {
         .orderBy("doc_id")
     }),
 
+    // map-only twin of d29 (the 100 TB path): the same sqrt-weight
+    // quotas become per-domain hash-bucket acceptance rates — a scan +
+    // filter with no per-domain sort. Deterministic (md5-bucket
+    // thresholds), so it gets the same hash-match bar as the rank tier.
+    "d31_temperature_mix_threshold" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      Sampling.temperatureMixThreshold(docs, "doc_id", "source",
+          totalKeep = docs.count() / 2, salt = "tmp1")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // map-only twin of d19: quota/count acceptance rates over the same
+    // md5(id||salt) bucket, same targets/salt as the exact-quota tier
+    "d32_domain_mix_threshold" -> ((spark, dir) => {
+      Sampling.domainMixThreshold(t(spark, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          targets = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+          salt = "mix1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // map-only twin of d25: curriculum KEY (bucket*nTiers + tier) — no
+    // rank window; sorting by the key approximates the round-robin mix
+    "d33_curriculum_key" -> ((spark, dir) => {
+      Sampling.curriculumKeyMapOnly(
+        t(spark, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", thresholds = Seq(500, 1000, 2000), salt = "cur1")
+        .orderBy("doc_id")
+    }),
+
     // curriculum ordering: quality-tier round-robin interleave — the
     // emitted pos-order carries the full quality mix in every window
     "d25_curriculum_order" -> ((spark, dir) => {
@@ -423,6 +455,60 @@ object MixQueries {
         |      FROM documents)
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE r.rn <= q.quota ORDER BY r.doc_id""".stripMargin,
+
+    "d31_temperature_mix_threshold" ->
+      // replays temperatureMixThreshold: d29's sqrt-weight quotas turned
+      // into per-domain bucket rates cut = round(quota/n * 2^20); the
+      // quota/n division and the multiply are the same left-to-right
+      // IEEE double ops the JVM runs, and round() ties away from zero ==
+      // Math.round for positive values, so the cuts are bit-equal
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM c),
+        |tot AS (SELECT (SELECT count(*) FROM documents) // 2 AS keepn,
+        |               (SELECT sum(wt) FROM w) AS sw),
+        |q AS (SELECT source, n,
+        |        least(n, (SELECT keepn FROM tot) * wt // (SELECT sw FROM tot)) AS quota
+        |      FROM w),
+        |cuts AS (SELECT source,
+        |        CAST(round(CAST(quota AS DOUBLE) / n * 1048576) AS BIGINT) AS cut
+        |      FROM q)
+        |SELECT doc_id, source FROM documents JOIN cuts USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'tmp1'), 1, 15)) AS BIGINT)
+        |        % 1048576 < cut
+        |ORDER BY doc_id""".stripMargin,
+
+    "d32_domain_mix_threshold" ->
+      // replays domainMixThreshold: d19's quota math (T = min(count/frac),
+      // quota = floor(frac*T)) turned into bucket rates over the same
+      // md5(id||'mix1') hash order
+      """WITH targets(domain, frac) AS (VALUES
+        |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |  ('zh', CAST(0.15 AS DOUBLE))),
+        |counts AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY 1),
+        |tm AS (SELECT min(CAST(c AS DOUBLE) / frac) AS t
+        |       FROM counts JOIN targets USING (domain)),
+        |cuts AS (SELECT domain,
+        |    CAST(round(CAST(CAST(floor(frac * (SELECT t FROM tm)) AS BIGINT) AS DOUBLE)
+        |               / c * 1048576) AS BIGINT) AS cut
+        |  FROM targets JOIN counts USING (domain))
+        |SELECT doc_id, lang FROM documents JOIN cuts ON lang = cuts.domain
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 15)) AS BIGINT)
+        |        % 1048576 < cut
+        |ORDER BY doc_id""".stripMargin,
+
+    "d33_curriculum_key" ->
+      // replays curriculumKeyMapOnly: same tier thresholds as d25, key =
+      // bucket(md5(id||'cur1')) * nTiers + tier, no rank window
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars >= 500 AS INT) + CAST(n_chars >= 1000 AS INT)
+        |      + CAST(n_chars >= 2000 AS INT) AS tier
+        |  FROM documents)
+        |SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+        |  CAST((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cur1'), 1, 15)) AS BIGINT)
+        |        % 1048576) * 4 + tier AS BIGINT) AS curriculum_key
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "d23_dsir_topk" ->
       // exact replay of importanceTopK: md5-hashed unigram buckets,

@@ -100,7 +100,11 @@ object CostContract {
     // planted block)
     val budget = 64L
     def candidatesBudget(capRule: Long, b: Long): Long = {
-      val dense = gramDf.filter(col("df") <= b)
+      // dense tier bounded by BOTH rules: the operator drops grams above
+      // the cap before the budget split, so when cap < budget, grams with
+      // df in (cap, budget] contribute nothing (round-15 ADVICE: the
+      // unbounded filter overstated the metric at tiers where cap < b)
+      val dense = gramDf.filter(col("df") <= math.min(b, capRule))
         .select(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)))
         .collect()(0).getLong(0) / 2
       val star = gramDf.filter(col("df") > b && col("df") <= capRule)

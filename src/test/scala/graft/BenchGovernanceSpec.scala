@@ -44,6 +44,33 @@ class BenchGovernanceSpec extends AnyFunSuite {
     assert(Bench.parseBaselineMedians("/nonexistent/BASELINE.md").isEmpty)
   }
 
+  test("parseBaselineMedians: first (newest-table) occurrence wins over older tables") {
+    // BASELINE.md keeps the newest measured table at the top and older
+    // rounds' tables below; an entry present in both must resolve to the
+    // TOP row. The original toMap kept the last (= oldest) occurrence,
+    // so the retry pass governed against round-10 rows — round-16 fix.
+    val md =
+      """## Measured numbers (round 16)
+        || entry | sec | floor |
+        ||---|---|---|
+        || b12_zarr_native_scan | 0.40 | 0.35 |
+        |
+        |## Measured numbers (round 10)
+        || entry | sec | floor |
+        ||---|---|---|
+        || b12_zarr_native_scan | 0.50 | 0.32 |
+        || b07_cc_190k_edges | 5.46 | 5.28 |
+        |""".stripMargin
+    val f = java.io.File.createTempFile("baseline", ".md")
+    try {
+      java.nio.file.Files.write(f.toPath,
+        md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val parsed = Bench.parseBaselineMedians(f.getPath)
+      assert(parsed("b12_zarr_native_scan") === 0.40) // newest, not 0.50
+      assert(parsed("b07_cc_190k_edges") === 5.46) // present only below: kept
+    } finally f.delete()
+  }
+
   test("isContended: >2x baseline with the absolute guard") {
     // 2.4x a 0.56s baseline: retry
     assert(Bench.isContended(Some(0.56), 1.35, 1.30))
@@ -51,6 +78,21 @@ class BenchGovernanceSpec extends AnyFunSuite {
     assert(!Bench.isContended(Some(0.06), 0.144, 0.14))
     // within 2x of baseline: no retry even if absolute delta is large
     assert(!Bench.isContended(Some(5.0), 9.0, 8.8))
+  }
+
+  test("isContended: absolute guard scales with the baseline (round-15 verdict)") {
+    // the b12 case verbatim: 0.404 s in-suite median over an (anomalous)
+    // 0.16 s baseline row — the old constant-0.25 guard missed the retry
+    // by 6 ms (0.404 < 0.16 + 0.25); the scaled guard fires
+    assert(Bench.isContended(Some(0.16), 0.404, 0.35))
+    // the verdict's acceptance test: a sustained 2.5x drift on a 0.3-s
+    // baseline entry triggers a retry
+    assert(Bench.isContended(Some(0.30), 0.75, 0.72))
+    // large baseline: 0.5*b dominates — 2.1x an 8-s entry still retries
+    // (delta 8.8 s >> the guard), but 2.1x that lands under b + 0.5b
+    // cannot happen (2.1b > 1.5b), so the guard never suppresses a >2x
+    // drift on entries above 0.3 s
+    assert(Bench.isContended(Some(8.0), 16.8, 16.5))
   }
 
   test("calibration workload completes under ANSI mode (no sum overflow)") {

@@ -53,6 +53,28 @@ class DedupFastPathSpec extends AnyFunSuite {
     assert(planted >= (plantedTotal * 85) / 100, s"$planted of $plantedTotal planted pairs")
   }
 
+  test("simhash128 fast path matches the golden snapshot; planted dups recalled") {
+    // the d34 bench entry's correctness pin, mirroring d06: the two-word
+    // xxhash64 signature isn't DuckDB-replayable (d28 oracles the
+    // portable md5 twin), so the output is snapshot-pinned at sf0.001
+    // with the same planted-near-dup recall contract. The 128-bit family
+    // doubles the guaranteed-recall radius, hence hamming <= 12 (vs 6).
+    val got = Dedup.simhash128Candidates(corpus, "doc_id", "text")
+      .filter(col("hamming") <= 12)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong)).toSet
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/d34_simhash128_sf0001.csv"))
+    val want = try src.getLines().drop(1).map { l =>
+      val Array(a, b, h) = l.split(","); (a.toLong, b.toLong, h.toLong)
+    }.toSet finally src.close()
+    assert(got === want)
+    val planted = got.count { case (a, b, _) => b == a + graft.queries.TextQueries.DupOffset }
+    val plantedTotal = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(planted >= (plantedTotal * 85) / 100, s"$planted of $plantedTotal planted pairs")
+  }
+
   test("simhash signature pipeline materializes the input once (persisted self-join)") {
     // the band self-join reads the signature frame on both sides; without
     // the persist each side re-runs tokenize -> 64-vote aggregation from
