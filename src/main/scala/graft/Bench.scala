@@ -365,6 +365,16 @@ object Bench {
     val retriedLog = retryNames.flatMap { n =>
       retryTimes.get(n).map(r => n -> (firstPass.toMap.apply(n), r))
     }
+    // calib_drift: the suite-START calibration's FIRST-PASS median over
+    // its baseline row — a run-level contention self-flag (round 16: a
+    // co-tenant steal episode inflated two full-suite runs 1.6–2.8×
+    // while the end-of-suite retries looked healthy; the first-pass x00
+    // ratio was 2.1–2.4 both times and is the cheapest honest marker).
+    // ~1.0 = trustworthy box; >2 = read the artifact with suspicion.
+    val calibDrift: Option[Double] = for {
+      first <- firstPass.toMap.get("x00_calibration").map(_._1)
+      b <- baselineMed.get("x00_calibration") if b > 0 && first > 0
+    } yield first / b
     val all: Map[String, (Double, Double)] = firstPass.toMap.map { case (n, first) =>
       n -> retryTimes.get(n).filter(r => r._1 > 0 && r._1 < first._1).getOrElse(first)
     }
@@ -412,12 +422,13 @@ object Bench {
     // calibration entries are governance instrumentation, not workload
     val total = all.collect { case (k, v) if !k.startsWith("x") && v._1 > 0 => v._1 }.sum
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    val driftField = calibDrift.map(d => s""""calib_drift":${r3(d)},""").getOrElse("")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${all.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${all.size},""" + driftField +
         s""""queries":$medians,"queries_min":$mins,"retried":$retriedJson,"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_entries":${all.size},""" +
-      s""""fam":$fams,"queries":$qs,"n_retried":${retriedLog.size},""" +
+      s""""fam":$fams,"queries":$qs,"n_retried":${retriedLog.size},""" + driftField +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
