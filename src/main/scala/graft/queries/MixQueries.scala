@@ -480,14 +480,18 @@ object MixQueries {
     "d32_domain_mix_threshold" ->
       // replays domainMixThreshold: d19's quota math (T = min(count/frac),
       // quota = floor(frac*T)) turned into bucket rates over the same
-      // md5(id||'mix1') hash order
+      // md5(id||'mix1') hash order. tm LEFT-joins targets to counts with
+      // COALESCE(c,0): a target domain with ZERO documents must drive
+      // T to 0 (empty output), matching the Scala quotasFor — an inner
+      // join would silently drop the empty domain from the min and keep
+      // sampling the others (round-16 ADVICE)
       """WITH targets(domain, frac) AS (VALUES
         |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
         |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
         |  ('zh', CAST(0.15 AS DOUBLE))),
         |counts AS (SELECT lang AS domain, count(*) AS c FROM documents GROUP BY 1),
-        |tm AS (SELECT min(CAST(c AS DOUBLE) / frac) AS t
-        |       FROM counts JOIN targets USING (domain)),
+        |tm AS (SELECT min(CAST(COALESCE(c, 0) AS DOUBLE) / frac) AS t
+        |       FROM targets LEFT JOIN counts USING (domain)),
         |cuts AS (SELECT domain,
         |    CAST(round(CAST(CAST(floor(frac * (SELECT t FROM tm)) AS BIGINT) AS DOUBLE)
         |               / c * 1048576) AS BIGINT) AS cut

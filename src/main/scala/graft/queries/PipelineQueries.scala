@@ -173,11 +173,19 @@ object PipelineQueries {
       cooRna.repartitionByRange(3, col("obs_name")).write
         .mode("overwrite").parquet(s"$stage/src")
       val mu = s"$stage/mu.zarr"
-      // static adt modality derived from the sources table
-      val srcW = org.apache.spark.sql.expressions.Window.orderBy("source")
-      val adtObs = docs.select("source").distinct()
-        .withColumn("obs_id", row_number().over(srcW).cast("long") - 1)
-        .select(col("obs_id"), col("source").as("obs_name"))
+      // static adt modality derived from the sources table: obs_id must
+      // be a DENSE 0..n-1 row index (the zarr writer addresses X rows by
+      // it), and sources is a bounded domain (a handful of values at
+      // every tier) — assign ids driver-side over the sorted distinct
+      // set rather than row_number() over a global window, which forces
+      // a single-partition WindowExec and printed its warning into every
+      // bench artifact tail (round-16 verdict ask #5). Same sorted
+      // order, bit-identical output.
+      val srcNames = docs.select("source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val adtObs = spark.createDataFrame(
+        srcNames.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toSeq)
+        .toDF("obs_id", "obs_name")
       val adtVars = spark.range(4).select(col("id").as("var_id"),
         concat(lit("p"), col("id")).as("var_name"))
       val adtX = adtObs

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Threshold-boundary recall contract for the banded embedding LSH
@@ -25,71 +25,94 @@ import org.apache.spark.sql.functions._
   * whose planted pairs must never reach the output (the exact-cosine
   * verify step is the precision guarantee, independent of banding).
   *
-  * Contract assertions:
+  * Contract assertions (`check`):
   *  - exact-dup surfaced fraction == 1.0;
   *  - below-threshold planted pairs in the output == 0;
   *  - each boundary level's surfaced fraction within
   *    max(0.08, 5σ) of the closed form (σ = binomial error at nBases).
   *
-  * Run at sf1.0 and sf10 (adaptive w differs: the contract holds at
-  * BOTH widths); one JSON line per run, recorded in SCALING.md.
+  * The core is `run`/`check` so the contract is BOTH a scale tool
+  * (sf1.0/sf10 via `main`, adaptive w differs — the contract holds at
+  * both widths; JSON lines recorded in SCALING.md) and a per-commit
+  * spec (RecallContractSpec at the sf0.001 fixture, round-16 verdict
+  * ask #3 — a change to `lshBandBits`/band planning can't silently
+  * degrade recall between probe runs).
   */
 object EmbRecallContract {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-local/sf1.0"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+  /** One planted cosine level's outcome vs the closed form. */
+  case class LevelRow(level: Int, cosine: Double, above: Boolean,
+      observed: Double, closedForm: Double)
 
-    val threshold = 0.95
-    val bands = 4
-    // (level index, cosine, aboveThreshold)
-    val levels = Seq((1, 1.0, true), (2, 0.98, true), (3, 0.96, true),
+  case class Result(nVecs: Long, nCorpus: Long, bandBits: Int, bands: Int,
+      nBases: Int, rows: Seq[LevelRow], secs: Double)
+
+  /** (level index, exact cosine, aboveThreshold) for threshold 0.95. */
+  val DefaultLevels: Seq[(Int, Double, Boolean)] =
+    Seq((1, 1.0, true), (2, 0.98, true), (3, 0.96, true),
       (4, 0.951, true), (5, 0.93, false))
+
+  /** Deterministic unit vector orthogonal to v̂ (shader-style hash for
+    * the raw direction; no Random so reruns are bit-stable). */
+  private def orthoUnit(id: Long, v: Array[Double]): Array[Double] = {
+    val dim = v.length
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val vh = v.map(_ / nv)
+    val w0 = Array.tabulate(dim) { d =>
+      val x = math.sin(id * 12.9898 + d * 78.233) * 43758.5453
+      x - math.floor(x) - 0.5
+    }
+    val proj = (0 until dim).map(d => w0(d) * vh(d)).sum
+    val w = Array.tabulate(dim)(d => w0(d) - proj * vh(d))
+    val nw = math.sqrt(w.map(x => x * x).sum)
+    w.map(_ / nw)
+  }
+
+  /** Plant partners at each level's exact cosine and measure surfaced
+    * fractions through the production banded-LSH path.
+    *
+    * @param emb `(vec_id: long, embedding: array<float>)`, all ids below
+    *            `TextQueries.DupOffset` (required — plants live above it)
+    */
+  def run(spark: SparkSession, emb: DataFrame, threshold: Double = 0.95,
+      bands: Int = 4, maxBases: Int = 1000,
+      levels: Seq[(Int, Double, Boolean)] = DefaultLevels): Result = {
+    import spark.implicits._
     val off = graft.queries.TextQueries.DupOffset
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val nVecs = emb.count()
-    val nBases = math.min(1000L, nVecs / 10).toInt
+    // floor at 1: fixtures under 10 vectors used to make nBases 0 and
+    // step = nVecs/0 throw (round-16 ADVICE); a 1-base contract is
+    // degenerate but defined
+    require(nVecs > 0, "recall contract needs a non-empty embedding table")
+    val nBases = math.max(1L, math.min(maxBases.toLong, nVecs / 10)).toInt
     val step = math.max(1L, nVecs / nBases)
 
     val bases = emb.filter(col("vec_id") % step === 0)
       .as[(Long, Array[Float])].collect().sortBy(_._1).take(nBases)
 
-    /** Deterministic unit vector orthogonal to v̂ (shader-style hash for
-      * the raw direction; no Random so reruns are bit-stable). */
-    def orthoUnit(id: Long, v: Array[Double]): Array[Double] = {
-      val dim = v.length
-      val nv = math.sqrt(v.map(x => x * x).sum)
-      val vh = v.map(_ / nv)
-      val w0 = Array.tabulate(dim) { d =>
-        val x = math.sin(id * 12.9898 + d * 78.233) * 43758.5453
-        x - math.floor(x) - 0.5
-      }
-      val proj = (0 until dim).map(d => w0(d) * vh(d)).sum
-      val w = Array.tabulate(dim)(d => w0(d) - proj * vh(d))
-      val nw = math.sqrt(w.map(x => x * x).sum)
-      w.map(_ / nw)
-    }
+    // per-level plant-id stride: the smallest power of 10 above every
+    // base id (floored at 10^7), so level-l ids can never collide with
+    // level-(l+1) ids at corpora past 10M vectors (round-16 ADVICE:
+    // the fixed 10^7 stride silently corrupted counts above that)
+    val maxBaseId = bases.map(_._1).max
+    require(maxBaseId < off,
+      s"vec_id space reaches the plant offset $off — contract ids would collide")
+    val stride = Iterator.iterate(10000000L)(_ * 10).dropWhile(_ <= maxBaseId).next()
+    def plantId(lvl: Int, id: Long): Long = off + lvl * stride + id
 
     val plants: Seq[(Long, Array[Float])] = for {
       (lvl, c, _) <- levels
       (id, vf) <- bases
     } yield {
       val v = vf.map(_.toDouble)
-      val plantId = off + lvl * 10000000L + id
-      if (c == 1.0) (plantId, vf)
+      if (c == 1.0) (plantId(lvl, id), vf)
       else {
         val nv = math.sqrt(v.map(x => x * x).sum)
         val vh = v.map(_ / nv)
         val wh = orthoUnit(id, v)
         val s = math.sqrt(1.0 - c * c)
-        (plantId, Array.tabulate(v.length)(d => (nv * (c * vh(d) + s * wh(d))).toFloat))
+        (plantId(lvl, id),
+          Array.tabulate(v.length)(d => (nv * (c * vh(d) + s * wh(d))).toFloat))
       }
     }
 
@@ -111,32 +134,52 @@ object EmbRecallContract {
     }
 
     val rows = levels.map { case (lvl, c, above) =>
-      val surfaced = bases.count { case (id, _) => out((id, off + lvl * 10000000L + id)) }
-      val frac = surfaced.toDouble / bases.length
-      val pred = if (above) closedForm(c) else 0.0
-      (lvl, c, above, frac, pred)
+      val surfaced = bases.count { case (id, _) => out((id, plantId(lvl, id))) }
+      LevelRow(lvl, c, above, surfaced.toDouble / bases.length,
+        if (above) closedForm(c) else 0.0)
     }
+    Result(nVecs, nCorpus, w, bands, bases.length, rows, secs)
+  }
 
-    val levelJson = rows.map { case (_, c, above, frac, pred) =>
-      f""""c$c%.3f":{"observed":$frac%.4f,"closed_form":$pred%.4f,"above_threshold":$above}"""
+  /** The contract assertions; throws with a named level on violation. */
+  def check(res: Result): Unit = res.rows.foreach { r =>
+    if (r.cosine == 1.0)
+      require(r.observed == 1.0,
+        f"EMB RECALL CONTRACT: exact dups ${r.observed}%.4f != 1.0")
+    else if (!r.above)
+      require(r.observed == 0.0,
+        f"EMB RECALL CONTRACT: below-threshold pairs leaked (level ${r.level}: ${r.observed}%.4f)")
+    else {
+      val sigma = math.sqrt(r.closedForm * (1 - r.closedForm) / res.nBases)
+      val tol = math.max(0.08, 5 * sigma)
+      require(math.abs(r.observed - r.closedForm) <= tol,
+        f"EMB RECALL CONTRACT: c=${r.cosine}%.3f observed ${r.observed}%.4f " +
+          f"vs closed form ${r.closedForm}%.4f (tol $tol%.4f)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-local/sf1.0"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val res = run(spark, emb)
+
+    val levelJson = res.rows.map { r =>
+      f""""c${r.cosine}%.3f":{"observed":${r.observed}%.4f,""" +
+        f""""closed_form":${r.closedForm}%.4f,"above_threshold":${r.above}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"sf_dir":"$sfDir","n_vecs":$nVecs,"n_corpus":$nCorpus,""" +
-      f""""bands":$bands,"band_bits":$w,"n_bases":${bases.length},""" +
-      f""""levels":$levelJson,"secs":$secs%.1f}""")
+    println(s"""{"sf_dir":"$sfDir","n_vecs":${res.nVecs},"n_corpus":${res.nCorpus},""" +
+      f""""bands":${res.bands},"band_bits":${res.bandBits},"n_bases":${res.nBases},""" +
+      f""""levels":$levelJson,"secs":${res.secs}%.1f}""")
 
-    rows.foreach { case (lvl, c, above, frac, pred) =>
-      if (c == 1.0)
-        require(frac == 1.0, f"EMB RECALL CONTRACT: exact dups $frac%.4f != 1.0")
-      else if (!above)
-        require(frac == 0.0,
-          f"EMB RECALL CONTRACT: below-threshold pairs leaked (level $lvl: $frac%.4f)")
-      else {
-        val sigma = math.sqrt(pred * (1 - pred) / bases.length)
-        val tol = math.max(0.08, 5 * sigma)
-        require(math.abs(frac - pred) <= tol,
-          f"EMB RECALL CONTRACT: c=$c%.3f observed $frac%.4f vs closed form $pred%.4f (tol $tol%.4f)")
-      }
-    }
+    check(res)
     spark.stop()
   }
 }

@@ -104,6 +104,29 @@ class BenchGovernanceSpec extends AnyFunSuite {
     assert(Bench.calibrationHash(TestSpark.spark) === h) // deterministic
   }
 
+  test("isContaminated: the BENCH_r16 case — clean start, degraded end") {
+    // round 16 verbatim: suite-start calibration at baseline (0.954),
+    // end-of-suite calibration at 2.1x its row, 16 of 170 entries
+    // retried — the box degraded ~2x MID-run. Either signal alone must
+    // fire the flag: the end-drift...
+    assert(Bench.isContaminated(Some(0.954), Some(2.1), 0, 170))
+    // ...and the retry fraction (16 > 5% of 170)
+    assert(Bench.isContaminated(Some(0.954), Some(1.0), 16, 170))
+    // a degraded-from-the-start box (round-14 signature) also fires
+    assert(Bench.isContaminated(Some(2.3), Some(2.2), 3, 170))
+  }
+
+  test("isContaminated: a healthy run does not flag") {
+    // both calibrations near 1.0, retries within the 5% noise allowance
+    assert(!Bench.isContaminated(Some(0.95), Some(1.1), 4, 170))
+    // boundary: exactly 1.5x calibration does not fire (strictly above does)
+    assert(!Bench.isContaminated(Some(1.5), Some(1.5), 0, 170))
+    assert(Bench.isContaminated(Some(1.51), Some(1.0), 0, 170))
+    // missing calibration rows (non-sf0.1 run): only the retry criterion
+    assert(!Bench.isContaminated(None, None, 4, 170))
+    assert(Bench.isContaminated(None, None, 9, 170))
+  }
+
   test("isContended: own-floor disagreement fires without a baseline") {
     // median 3.1x its own min (the r14 d06 signature: 6.36 vs ~1.9 min)
     assert(Bench.isContended(None, 6.36, 2.0))

@@ -19,12 +19,19 @@ done
 for entry in "$@"; do
   for run in 1 2 3; do
     echo "== $entry run $run" >&2
+    # keep each run's output in a log (a crashed JVM used to vanish
+    # silently under >/dev/null and set -e aborted the whole loop at the
+    # final grep — round-16 ADVICE); `|| echo` keeps remaining entries
+    # running after a failed run
     SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
     SPARK_GRAFT_BENCH_ONLY="$entry" \
     SPARK_GRAFT_BENCH_DETAIL="$OUT/${entry}_r${run}.json" \
     java $ADD_OPENS -Xmx${HEAP:-16g} \
       -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-      graft.Bench > /dev/null 2>&1
+      graft.Bench > "$OUT/${entry}_r${run}.log" 2>&1 \
+      || echo "RUN FAILED: $entry run $run (see $OUT/${entry}_r${run}.log)" >&2
   done
-  python3 /root/repo/tools/rebase_baseline.py "$OUT/${entry}"_r*.json | grep "^| $entry"
+  python3 /root/repo/tools/rebase_baseline.py "$OUT/${entry}"_r*.json 2>/dev/null \
+    | grep "^| $entry" \
+    || echo "missing row for $entry (all runs failed?)" >&2
 done
