@@ -127,6 +127,19 @@ class BenchGovernanceSpec extends AnyFunSuite {
     assert(Bench.isContaminated(None, None, 9, 170))
   }
 
+  test("retrySeverity ranks the worst offenders first (r17 artifact case)") {
+    // b04 at 7x its row must outrank an a-family entry at 2.3x — the
+    // r17 full-suite run spent its whole take(16) retry budget on the
+    // a-family (suite order) while b04 went un-retried
+    val b04 = Bench.retrySeverity(Some(1.04), 7.28, 6.9)
+    val a01 = Bench.retrySeverity(Some(0.42), 0.97, 0.9)
+    assert(b04 > a01)
+    // no baseline row: severity falls back to the entry's own floor
+    assert(Bench.retrySeverity(None, 6.0, 2.0) === 3.0)
+    // degenerate floor: severity neutral, never NaN/Inf
+    assert(Bench.retrySeverity(None, 6.0, 0.0) === 1.0)
+  }
+
   test("isContended: own-floor disagreement fires without a baseline") {
     // median 3.1x its own min (the r14 d06 signature: 6.36 vs ~1.9 min)
     assert(Bench.isContended(None, 6.36, 2.0))
