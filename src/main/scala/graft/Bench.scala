@@ -23,17 +23,57 @@ object Bench {
     * governed against round-10 numbers wherever both tables had the
     * entry — found round 16, pinned in BenchGovernanceSpec.
     */
-  private[graft] def parseBaselineMedians(path: String): Map[String, Double] = {
+  private[graft] def parseBaselineMedians(path: String): Map[String, Double] =
+    parseBaselineRows(path).map { case (k, (med, _)) => k -> med }
+
+  /** Median AND floor columns of the measured table, first occurrence
+    * wins (same row-selection semantics as `parseBaselineMedians`, which
+    * derives from this). The floor feeds `governRow`.
+    */
+  private[graft] def parseBaselineRows(path: String): Map[String, (Double, Double)] = {
     val f = new java.io.File(path)
     if (!f.exists) Map.empty
     else {
       val R = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|""".r
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      text.linesIterator.collect { case R(n, med, _) => n -> med.toDouble }
-        .foldLeft(Map.empty[String, Double]) { case (m, (k, v)) =>
+      text.linesIterator.collect { case R(n, med, fl) => n -> (med.toDouble, fl.toDouble) }
+        .foldLeft(Map.empty[String, (Double, Double)]) { case (m, (k, v)) =>
           if (m.contains(k)) m else m + (k -> v)
         }
+    }
+  }
+
+  /** Governance value of a BASELINE row: `min(median, 1.5*floor)`.
+    * Round-17 ADVICE: rows from the r17 wrong-side sweep were measured
+    * under an acknowledged 1.05-1.9x degraded host ("judge against the
+    * FLOOR column"), but feeding their inflated medians into
+    * `isContended` loosens the retry guard on a future healthy box. On
+    * healthy-epoch rows the observed median/floor spread is <= ~1.4x,
+    * so the 1.5x cap leaves them untouched and trims exactly the rows
+    * whose median embeds more host noise than a healthy run could.
+    */
+  private[graft] def governRow(med: Double, floor: Double): Double =
+    if (floor > 0) math.min(med, 1.5 * floor) else med
+
+  /** Piecewise-linear host factor at a workload position, interpolated
+    * between the bracketing calibration probes (round-17 verdict ask #1:
+    * two calibration points 170 entries apart cannot localize a mid-run
+    * host speed-class change — BENCH_r17 went 1.12x at entry 1 to 2.04x
+    * at entry 172 and which families paid was unknowable from the
+    * artifact). Probes are (position, measured/row) pairs; positions
+    * outside the probe span clamp to the nearest probe; no probes = 1.0
+    * (an unnormalized run).
+    */
+  private[graft] def interpolateHostFactor(probes: Seq[(Int, Double)], pos: Int): Double = {
+    val s = probes.filter(_._2 > 0).sortBy(_._1)
+    if (s.isEmpty) 1.0
+    else if (pos <= s.head._1) s.head._2
+    else if (pos >= s.last._1) s.last._2
+    else {
+      val ((p0, f0), (p1, f1)) = s.zip(s.tail)
+        .find { case ((a, _), (b, _)) => pos >= a && pos <= b }.get
+      if (p1 == p0) f0 else f0 + (f1 - f0) * (pos - p0).toDouble / (p1 - p0)
     }
   }
 
@@ -73,9 +113,11 @@ object Bench {
     * the data said "sick host". The flag fires when EITHER calibration
     * entry (suite start x00 or suite end x99, first-pass median over its
     * BASELINE.md row) exceeds 1.5× — the box changed speed class during
-    * or before the run — or when more than 5% of entries needed the
-    * end-of-suite retry pass (pervasive within-run contention, the
-    * round-14 signature). A contaminated artifact's totals must not be
+    * or before the run — or when more than 5% of WORKLOAD entries were
+    * flagged contended (counted before the take(16) retry-budget cap and
+    * excluding calibration rows, so the criterion stays satisfiable as
+    * the suite grows — r17 ADVICE; pervasive within-run contention is
+    * the round-14 signature). A contaminated artifact's totals must not be
     * judged against BASELINE.md rows measured on a healthy box.
     */
   private[graft] def isContaminated(calibStart: Option[Double], calibEnd: Option[Double],
@@ -156,6 +198,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.GateLog.muteBoundedWindowWarning()
 
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -372,19 +415,42 @@ object Bench {
     }
     val calibrate = only.isEmpty // skip in BENCH_ONLY debug runs
 
+    // Mid-suite calibration probes x25/x50/x75 (round-17 verdict ask #1):
+    // the same fixed-cost body as x00/x99, interleaved at the workload's
+    // quarter positions, so a mid-run host speed-class change is
+    // LOCALIZED by the artifact itself (five points instead of two) and
+    // the per-entry host factor can be interpolated between them for the
+    // normalized totals below. Excluded from the workload total like
+    // x00/x99 (everything x-prefixed is instrumentation).
+    val workload: Seq[(String, () => Any)] =
+      (queryBodies ++ catalogBodies).filter(e => wanted(e._1))
     val allBodies: Seq[(String, () => Any)] =
-      (if (calibrate) Seq("x00_calibration" -> calibBody) else Nil) ++
-        (queryBodies ++ catalogBodies).filter(e => wanted(e._1)) ++
-        (if (calibrate) Seq("x99_calibration" -> calibBody) else Nil)
+      if (!calibrate) workload
+      else {
+        val n = workload.size
+        val (q1, q2, q3) = (n / 4, n / 2, 3 * n / 4)
+        Seq("x00_calibration" -> calibBody) ++ workload.take(q1) ++
+          Seq("x25_calibration" -> calibBody) ++ workload.slice(q1, q2) ++
+          Seq("x50_calibration" -> calibBody) ++ workload.slice(q2, q3) ++
+          Seq("x75_calibration" -> calibBody) ++ workload.drop(q3) ++
+          Seq("x99_calibration" -> calibBody)
+      }
     val bodyByName = allBodies.toMap
     val firstPass: Seq[(String, (Double, Double))] =
       allBodies.map { case (n, body) => n -> median3(body()) }
 
-    // sf0.1 baseline medians from the BASELINE.md measured table
-    val baselineMed: Map[String, Double] =
+    // sf0.1 baseline rows from the BASELINE.md measured table. Governance
+    // (retry guard, severity ranking, normalized totals) reads the
+    // governRow value min(median, 1.5*floor): the r17 sweep's medians
+    // carry acknowledged host noise and would loosen the guard raw.
+    val baselineRows: Map[String, (Double, Double)] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
-      else parseBaselineMedians(
+      else parseBaselineRows(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "/root/repo/BASELINE.md"))
+    val baselineMed: Map[String, Double] =
+      baselineRows.map { case (k, (m, _)) => k -> m }
+    val baselineGov: Map[String, Double] =
+      baselineRows.map { case (k, (m, f)) => k -> governRow(m, f) }
     // Retry budget goes to the WORST offenders, not the alphabetically
     // first: the r17 full-suite artifact flagged most of the suite on a
     // degraded-start box and take(16) in suite order spent every retry
@@ -392,10 +458,16 @@ object Bench {
     // drift severity (ratio to baseline row where one exists, else to
     // the entry's own floor) so a contended run re-measures the entries
     // whose numbers are most wrong.
-    val retryNames = firstPass.collect {
-      case (n, (med, mn)) if isContended(baselineMed.get(n), med, mn) =>
-        (n, retrySeverity(baselineMed.get(n), med, mn))
-    }.sortBy(-_._2).map(_._1).take(16)
+    val contended: Seq[(String, Double)] = firstPass.collect {
+      case (n, (med, mn)) if isContended(baselineGov.get(n), med, mn) =>
+        (n, retrySeverity(baselineGov.get(n), med, mn))
+    }
+    // the retry-fraction contamination criterion counts every contended
+    // WORKLOAD entry, before the take(16) budget cap and excluding the
+    // x-prefixed calibration rows — the capped, mixed-scope count made
+    // the >5% criterion unsatisfiable past 320 entries (r17 ADVICE)
+    val nContendedWorkload = contended.count(!_._1.startsWith("x"))
+    val retryNames = contended.sortBy(-_._2).map(_._1).take(16)
     val retryTimes: Map[String, (Double, Double)] =
       retryNames.map(n => n -> median3(bodyByName(n)())).toMap
 
@@ -468,20 +540,71 @@ object Bench {
     // calibration entries are governance instrumentation, not workload
     val total = all.collect { case (k, v) if !k.startsWith("x") && v._1 > 0 => v._1 }.sum
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
-    // nEntries for the retry-fraction criterion excludes the two
+    // nEntries for the retry-fraction criterion excludes the
     // calibration rows — they are instrumentation, not workload
     val workloadN = all.keys.count(!_.startsWith("x"))
     val contaminated =
-      isContaminated(calibDrift, calibDriftEnd, retriedLog.size, workloadN)
-    val driftField = calibDrift.map(d => s""""calib_drift":${r3(d)},""").getOrElse("") +
+      isContaminated(calibDrift, calibDriftEnd, nContendedWorkload, workloadN)
+
+    // ---- host-factor normalization (round-17 verdict ask #1) ----
+    // Each calibration probe yields a (run position, measured/row)
+    // point; mid-suite probes compare against the x99 row (by x25 the
+    // JVM is in the same fully-warm state x99's row was measured in —
+    // x00's row embeds the colder post-warmup state and only prices
+    // x00 itself). Per-entry host factor interpolates between the
+    // bracketing probes; normalized_total is what the run's workload
+    // total WOULD have been on a baseline-speed box, judgeable against
+    // baseline_total (the governRow sum over the same matched entries)
+    // even when the run self-flags contaminated.
+    val posByName: Map[String, Int] = allBodies.map(_._1).zipWithIndex.toMap
+    def calibRowFor(nm: String): Option[Double] =
+      if (nm == "x00_calibration") baselineMed.get("x00_calibration")
+      else baselineMed.get("x99_calibration")
+    val calibPoints: Seq[(String, Int, Double)] = allBodies.map(_._1).collect {
+      case nm if nm.startsWith("x") =>
+        for {
+          m <- firstPass.toMap.get(nm).map(_._1) if m > 0
+          b <- calibRowFor(nm) if b > 0
+        } yield (nm, posByName(nm), m / b)
+    }.flatten
+    val probePts = calibPoints.map { case (_, p, f) => (p, f) }
+    val matched = all.toSeq.collect {
+      case (nm, (med, _)) if !nm.startsWith("x") && med > 0 && baselineGov.contains(nm) =>
+        (nm, med, baselineGov(nm))
+    }
+    val normalizedTotal = matched
+      .map { case (nm, med, _) => med / interpolateHostFactor(probePts, posByName(nm)) }.sum
+    val baselineTotal = matched.map(_._3).sum
+    val normNums =
+      if (matched.isEmpty || probePts.isEmpty) ""
+      else s""""normalized_total":${r3(normalizedTotal)},""" +
+        s""""baseline_total":${r3(baselineTotal)},""" +
+        s""""normalized_ratio":${r3(normalizedTotal / baselineTotal)},""" +
+        s""""n_matched":${matched.size},"""
+    // the full (name, position, factor) probe series goes to the detail
+    // file; the printed line carries a compact position:factor map (the
+    // driver captures only a bounded ~2 KB stdout tail)
+    val normFieldsDetail =
+      if (normNums.isEmpty) ""
+      else calibPoints.map { case (nm, p, f) =>
+        "\"" + nm + "\":{\"pos\":" + p + ",\"factor\":" + r3(f) + "}"
+      }.mkString("\"calib_points\":{", ",", "},") + normNums
+    val normFieldsLine =
+      if (normNums.isEmpty) ""
+      else calibPoints.map { case (_, p, f) => "[" + p + "," + r3(f) + "]" }
+        .mkString("\"calib_points\":[", ",", "],") + normNums
+
+    val driftBase = calibDrift.map(d => s""""calib_drift":${r3(d)},""").getOrElse("") +
       calibDriftEnd.map(d => s""""calib_drift_end":${r3(d)},""").getOrElse("") +
-      s""""contaminated":$contaminated,"""
+      s""""contaminated":$contaminated,"n_contended":$nContendedWorkload,"""
+    val driftField = driftBase + normFieldsDetail
+    val driftFieldLine = driftBase + normFieldsLine
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${all.size},""" + driftField +
         s""""queries":$medians,"queries_min":$mins,"retried":$retriedJson,"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_entries":${all.size},""" +
-      s""""fam":$fams,"queries":$qs,"n_retried":${retriedLog.size},""" + driftField +
+      s""""fam":$fams,"queries":$qs,"n_retried":${retriedLog.size},""" + driftFieldLine +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }

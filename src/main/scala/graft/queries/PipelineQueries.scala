@@ -179,10 +179,20 @@ object PipelineQueries {
       // every tier) — assign ids driver-side over the sorted distinct
       // set rather than row_number() over a global window, which forces
       // a single-partition WindowExec and printed its warning into every
-      // bench artifact tail (round-16 verdict ask #5). Same sorted
-      // order, bit-identical output.
-      val srcNames = docs.select("source").distinct()
-        .collect().map(_.getString(0)).sorted
+      // bench artifact tail (round-16 verdict ask #5). Nulls are
+      // rejected up front (getString(0) would NPE) and the sort compares
+      // UTF-8 bytes unsigned — Java's UTF-16 String ordering diverges
+      // from Spark's UTF8String binary ordering on supplementary
+      // characters, so only the byte sort keeps the replaced
+      // row_number() output bit-identical on any source domain
+      // (r17 ADVICE).
+      val srcRows = docs.select("source").distinct().collect()
+      require(srcRows.forall(!_.isNullAt(0)), "null source in documents")
+      val srcNames = srcRows.map(_.getString(0)).sortWith { (a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }
       val adtObs = spark.createDataFrame(
         srcNames.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toSeq)
         .toDF("obs_id", "obs_name")

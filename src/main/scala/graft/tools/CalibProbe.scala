@@ -27,8 +27,16 @@ object CalibProbe {
       graft.Bench.calibrationHash(spark)
       (System.nanoTime() - t0) / 1e9
     }
-    val med = runs.sorted.apply(runs.size / 2)
-    val base = graft.Bench.parseBaselineMedians("/root/repo/BASELINE.md")
+    // true median (average the two middle runs for even n — the
+    // upper-middle pick biased even-n probes high; r17 ADVICE)
+    val sorted = runs.sorted
+    val med =
+      if (runs.size % 2 == 1) sorted(runs.size / 2)
+      else (sorted(runs.size / 2 - 1) + sorted(runs.size / 2)) / 2.0
+    // honor the same baseline override Bench does, so probe and suite
+    // can never silently compare against different baselines (r17 ADVICE)
+    val base = graft.Bench.parseBaselineMedians(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "/root/repo/BASELINE.md"))
       .getOrElse("x00_calibration", 0.0)
     def r3(v: Double) = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"runs":[${runs.map(r3).mkString(",")}],"median":${r3(med)},""" +

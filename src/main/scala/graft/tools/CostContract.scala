@@ -46,6 +46,15 @@ import org.apache.spark.sql.functions._
 object CostContract {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-local/sf1.0"
+    // budget_only (round-17 verdict ask #4 — execute the pairBudget star
+    // tier at sf1,000): the adaptive and fixed-50 WALLS are skipped —
+    // at 57M docs the adaptive rule admits ~2.9e10 candidate pairs for
+    // the planted block (the closed form below, still computed and
+    // printed from the gram-df aggregate with NO join executed), which
+    // is precisely the cost the star tier exists to refuse. Only the
+    // budgeted substringSpans runs end-to-end; its star-tier contracts
+    // (spans == k-1, quadratic->linear candidate collapse) still hold.
+    val budgetOnly = args.length > 1 && args(1) == "budget_only"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -127,11 +136,14 @@ object CostContract {
         corpus, "doc_id", "text", maxGramDf = fixed, pairBudget = b))
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    val (spansAdaptive, tAdaptive) = timedRun(None)
-    val (spansFixed, tFixed) = timedRun(Some(50L))
+    val (spansAdaptive, tAdaptive) =
+      if (budgetOnly) (-1L, -1.0) else timedRun(None)
+    val (spansFixed, tFixed) =
+      if (budgetOnly) (-1L, -1.0) else timedRun(Some(50L))
     val (spansBudget, tBudget) = timedRun(None, Some(budget))
 
-    println(s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_corpus":$nCorpus,"cap":$cap,""" +
+    println(s"""{"sf_dir":"$sfDir","budget_only":$budgetOnly,""" +
+      s""""n_docs":$nDocs,"n_corpus":$nCorpus,"cap":$cap,""" +
       s""""planted_copies":$k,"block_candidates_closed_form":$blockCand,""" +
       s""""candidates_adaptive":$candAdaptive,"candidates_fixed50":$candFixed50,""" +
       s""""candidates_budget$budget":$candBudget,""" +
@@ -140,10 +152,14 @@ object CostContract {
       f""""secs_adaptive":$tAdaptive%.1f,"secs_fixed50":$tFixed%.1f,"secs_budget$budget":$tBudget%.1f}""")
     // contracts: adaptive must SEE the planted block (recall), and its
     // extra cost over fixed-50 must be exactly the closed form when the
-    // trade is live (cap > 50), zero when cap == 50
-    require(spansAdaptive > 0, "COST CONTRACT: adaptive rule lost the planted block")
+    // trade is live (cap > 50), zero when cap == 50. In budget_only mode
+    // the adaptive/fixed runs are skipped; the closed-form candidate
+    // contract (from the gram-df aggregate) is asserted regardless.
+    if (!budgetOnly) require(spansAdaptive > 0,
+      "COST CONTRACT: adaptive rule lost the planted block")
     val extra = candAdaptive - candFixed50
-    if (cap > 50L) require(extra == blockCand && spansFixed == 0,
+    if (cap > 50L) require(extra == blockCand &&
+      (budgetOnly || spansFixed == 0),
       s"COST CONTRACT: extra=$extra expected=$blockCand fixedSpans=$spansFixed")
     else require(extra == 0L, s"COST CONTRACT: cap at floor but extra=$extra")
     // budget contracts: when the block outgrows the budget the star tier
@@ -158,7 +174,7 @@ object CostContract {
       if (nStarGrams == nBlockGrams.toLong)
         require(candAdaptive - candBudget == blockCand - nBlockGrams.toLong * (k - 1),
           s"COST CONTRACT: budget collapse mismatch adaptive=$candAdaptive budget=$candBudget")
-    } else require(spansBudget == spansAdaptive,
+    } else require(budgetOnly || spansBudget == spansAdaptive,
       s"COST CONTRACT: budget inert but spans $spansBudget != $spansAdaptive")
     spark.stop()
   }

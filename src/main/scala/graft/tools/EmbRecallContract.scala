@@ -91,13 +91,18 @@ object EmbRecallContract {
       .as[(Long, Array[Float])].collect().sortBy(_._1).take(nBases)
 
     // per-level plant-id stride: the smallest power of 10 above every
-    // base id (floored at 10^7), so level-l ids can never collide with
+    // CORPUS id (floored at 10^7), so level-l ids can never collide with
     // level-(l+1) ids at corpora past 10M vectors (round-16 ADVICE:
-    // the fixed 10^7 stride silently corrupted counts above that)
-    val maxBaseId = bases.map(_._1).max
-    require(maxBaseId < off,
+    // the fixed 10^7 stride silently corrupted counts above that).
+    // Both the offset guard and the stride derive from the TRUE max id
+    // over the whole table, not the max of the sampled bases: a corpus
+    // id >= off that sampling skipped (not divisible by step, or cut by
+    // take(nBases)) could otherwise collide with planted-partner ids —
+    // the exact failure the guard claims to reject (r17 ADVICE)
+    val maxCorpusId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxCorpusId < off,
       s"vec_id space reaches the plant offset $off — contract ids would collide")
-    val stride = Iterator.iterate(10000000L)(_ * 10).dropWhile(_ <= maxBaseId).next()
+    val stride = Iterator.iterate(10000000L)(_ * 10).dropWhile(_ <= maxCorpusId).next()
     def plantId(lvl: Int, id: Long): Long = off + lvl * stride + id
 
     val plants: Seq[(Long, Array[Float])] = for {

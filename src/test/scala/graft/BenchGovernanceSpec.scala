@@ -140,6 +140,69 @@ class BenchGovernanceSpec extends AnyFunSuite {
     assert(Bench.retrySeverity(None, 6.0, 0.0) === 1.0)
   }
 
+  test("parseBaselineRows carries the floor column alongside the median") {
+    val md =
+      """| entry | sec | floor |
+        ||---|---|---|
+        || s04_stream_dedup | 2.19 | 1.27 |
+        || b12_zarr_native_scan | 0.27 | 0.19 |
+        |""".stripMargin
+    val f = java.io.File.createTempFile("baseline", ".md")
+    try {
+      java.nio.file.Files.write(f.toPath,
+        md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(Bench.parseBaselineRows(f.getPath) === Map(
+        "s04_stream_dedup" -> ((2.19, 1.27)),
+        "b12_zarr_native_scan" -> ((0.27, 0.19))))
+    } finally f.delete()
+  }
+
+  test("governRow caps host-noisy medians at 1.5x floor, healthy rows untouched") {
+    // the r17 ADVICE case: s04's row (2.19 median / 1.27 floor) was
+    // measured on a 1.05-1.9x degraded host — raw, a sustained ~1.7x
+    // regression over the honest floor would never trigger a retry
+    assert(Bench.governRow(2.19, 1.27) === 1.5 * 1.27)
+    // healthy-epoch rows (median <= ~1.4x floor) pass through unchanged
+    assert(Bench.governRow(0.27, 0.19) === 0.27)
+    assert(Bench.governRow(0.26, 0.23) === 0.26)
+    // degenerate floor: median stands
+    assert(Bench.governRow(1.0, 0.0) === 1.0)
+  }
+
+  test("interpolateHostFactor: piecewise-linear between probes, clamped at ends") {
+    val probes = Seq((0, 1.0), (50, 2.0), (100, 1.5))
+    assert(Bench.interpolateHostFactor(probes, 25) === 1.5) // midpoint
+    assert(Bench.interpolateHostFactor(probes, 0) === 1.0)
+    assert(Bench.interpolateHostFactor(probes, 75) === 1.75)
+    assert(Bench.interpolateHostFactor(probes, -5) === 1.0) // clamp low
+    assert(Bench.interpolateHostFactor(probes, 400) === 1.5) // clamp high
+    // no probes: unnormalized run, factor 1
+    assert(Bench.interpolateHostFactor(Nil, 10) === 1.0)
+    // single probe: constant factor
+    assert(Bench.interpolateHostFactor(Seq((10, 2.0)), 0) === 2.0)
+    // non-positive factors (failed calibration) are dropped, not trusted
+    assert(Bench.interpolateHostFactor(Seq((0, -1.0), (10, 2.0)), 5) === 2.0)
+    // unsorted input is sorted by position before interpolation
+    assert(Bench.interpolateHostFactor(Seq((50, 2.0), (0, 1.0)), 25) === 1.5)
+  }
+
+  test("interpolateHostFactor localizes the BENCH_r17 mid-run degradation") {
+    // r17's artifact had only the endpoints (1.124 at entry 0, 2.040 at
+    // entry 171): every mid-suite entry was forced onto one straight
+    // line and which families paid was unknowable. With a mid-suite
+    // probe showing the box still healthy at halfway (x50 = 1.15), the
+    // first half normalizes near 1.1 while the second half absorbs the
+    // degradation — the localization the round-17 verdict asked for.
+    val twoPoint = Seq((0, 1.124), (171, 2.040))
+    val fivePoint = Seq((0, 1.124), (43, 1.13), (86, 1.15), (129, 1.80), (171, 2.040))
+    // entry 40 (first quarter): two-point blames it for ~1.34x of host
+    // noise it may never have seen; five-point keeps it near its truth
+    assert(math.abs(Bench.interpolateHostFactor(twoPoint, 40) - 1.338) < 0.01)
+    assert(math.abs(Bench.interpolateHostFactor(fivePoint, 40) - 1.130) < 0.01)
+    // entry 150 (degraded tail): five-point assigns the full factor
+    assert(Bench.interpolateHostFactor(fivePoint, 150) > 1.9)
+  }
+
   test("isContended: own-floor disagreement fires without a baseline") {
     // median 3.1x its own min (the r14 d06 signature: 6.36 vs ~1.9 min)
     assert(Bench.isContended(None, 6.36, 2.0))
