@@ -1206,11 +1206,32 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc"),
         split(trim(col(textCol)), "\\s+").as("tk"))
       .filter(size(col("tk")) >= gramLen)
+    // gram key: xxhash64 LONG, not an md5 hex string — the key is a
+    // pure join/group key that never reaches the output (spans carry
+    // only doc ids + positions), so any collision-free hash yields
+    // identical spans, and the DuckDB oracle's md5-keyed replay still
+    // matches. An 8-byte key cuts the corpus-scale gram shuffle ~3×
+    // vs the 32-char hex string (the only corpus-wide exchange in this
+    // plan): at 57M docs that is ~110 GB → ~40 GB of shuffle — the
+    // r18 sf1,000 CostContract leg exhausted this box's disk on the
+    // md5 keys before this change.
+    // ONE corpus-wide exchange, shared by every consumer: the raw gram
+    // occurrences are explicitly hash-partitioned on gh, so the df
+    // aggregate (clustering satisfied — partial+final collapse into
+    // the same stage, no second exchange) and the df join (both sides
+    // co-partitioned) sit on top of the SAME shuffle, and AQE's stage
+    // cache materializes it once across all dense/star subtrees.
+    // Without this the probe and aggregate sides shuffle the corpus
+    // independently (the partial agg sits below the aggregate's
+    // exchange, so those subtrees never canonicalize equal) — 2× the
+    // corpus gram table on disk, which is what exhausted the sf1,000
+    // leg's disk in r18.
     val grams = toks.select(col("doc"),
       posexplode(transform(
         sequence(lit(0), size(col("tk")) - gramLen),
-        i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
         .as(Seq("pos", "gh")))
+      .repartition(col("gh"))
     val kept = grams.join(
       grams.groupBy("gh").agg(count(lit(1)).as("df")).filter(col("df") <= cap),
       "gh")
@@ -1235,30 +1256,34 @@ object Dedup {
       // needed
       case None => islands(allPairs(kept.drop("df")))
       case Some(b) =>
-        // the two-tier pair join consumes `kept` from four differently-
-        // filtered subtrees (no exchange reuse across them), so the
-        // tokenize + gram-explode + df-join — the dominant corpus-scale
-        // cost — is persisted for the duration of the call and released
-        // before returning (the tfidfTopTerms/finishPairs contract): the
-        // span result is eagerly materialized via localCheckpoint, the
-        // cache freed, and the returned frame self-contained
-        val k2 = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // dense tier: grams within budget keep the exact all-pairs join
-          val dense = allPairs(k2.filter(col("df") <= b).drop("df"))
-          // star tier: canonical occurrence = (min doc, then min pos in
-          // it); three gh-keyed ops over the cached occurrences
-          val over = k2.filter(col("df") > b).drop("df")
-          val canonDoc = over.groupBy("gh").agg(min("doc").as("m_doc"))
-          val canon = over.join(canonDoc, "gh")
-            .filter(col("doc") === col("m_doc"))
-            .groupBy("gh", "m_doc").agg(min("pos").as("m_pos"))
-          val star = over.join(canon, "gh")
-            .filter(col("doc") > col("m_doc"))
-            .select(col("m_doc").as("doc_a"), col("doc").as("doc_b"),
-              col("m_pos").cast("long").as("pos_a"), col("pos").cast("long").as("pos_b"))
-          islands(dense.unionByName(star)).localCheckpoint(true)
-        } finally k2.unpersist(blocking = false)
+        // SINGLE-QUERY two-tier plan, no persist: every consumer of
+        // `kept` — the dense self-join's two sides and the star tier's
+        // three over-budget reads — sits above the SAME canonical
+        // Exchange(grams by gh), so ReuseExchange serves all of them
+        // from ONE corpus-scale shuffle, exactly like the unbudgeted
+        // path. The earlier shape persisted the entire `kept` set
+        // (MEMORY_AND_DISK) to share the df-join across subtrees; at
+        // 57M docs that is a SECOND full copy of the corpus gram table
+        // on disk on top of the shuffle, and the r18 sf1,000 leg died
+        // on disk exhaustion under it. The trade is post-shuffle
+        // recompute (the df-join re-executes per consumer above the
+        // reused exchange) — CPU-linear, disk-free, and the star-side
+        // consumers filter to a vanishing row count (bounded by
+        // cap × #over-budget grams) before any further shuffle.
+        // dense tier: grams within budget keep the exact all-pairs join
+        val dense = allPairs(kept.filter(col("df") <= b).drop("df"))
+        // star tier: canonical occurrence = (min doc, then min pos in
+        // it); three gh-keyed ops sharing the reused gram exchange
+        val over = kept.filter(col("df") > b).drop("df")
+        val canonDoc = over.groupBy("gh").agg(min("doc").as("m_doc"))
+        val canon = over.join(canonDoc, "gh")
+          .filter(col("doc") === col("m_doc"))
+          .groupBy("gh", "m_doc").agg(min("pos").as("m_pos"))
+        val star = over.join(canon, "gh")
+          .filter(col("doc") > col("m_doc"))
+          .select(col("m_doc").as("doc_a"), col("doc").as("doc_b"),
+            col("m_pos").cast("long").as("pos_a"), col("pos").cast("long").as("pos_b"))
+        islands(dense.unionByName(star))
     }
   }
 

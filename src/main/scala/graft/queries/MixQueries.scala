@@ -44,11 +44,16 @@ object MixQueries {
       |  FROM documents)"""
 
   /** DuckDB CTE chain replaying the budgeted `substringSpans` run over
-    * `corpus` (13-gram md5 windows, cap 100000, pair budget 8: exact
+    * `corpus` (13-gram windows, cap 100000, pair budget 8: exact
     * all-pairs at df <= 8, star-to-canonical above) ending in a `spans`
-    * CTE with the operator's output columns. Shared by d26 (emits the
-    * spans) and d27 (cuts them). Plain string — no interpolator — so the
-    * `\s+` regex survives verbatim.
+    * CTE with the operator's output columns. The oracle keys grams with
+    * DuckDB's `md5` while the operator keys them with `xxhash64` — the
+    * gram hash is a pure join/group key that never reaches the span
+    * output, so any collision-free hash yields identical spans (the
+    * operator switched to 8-byte keys in r18 for ~3× less shuffle at
+    * corpus scale). Shared by d26 (emits the spans) and d27 (cuts
+    * them). Plain string — no interpolator — so the `\s+` regex
+    * survives verbatim.
     */
   private def budgetSpanCtes: String =
     """toks AS (

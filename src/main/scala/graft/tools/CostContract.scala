@@ -84,46 +84,64 @@ object CostContract {
     require(cap == k, s"plant sizing drifted: cap=$cap k=$k")
 
     // exact candidate-pair count from the gram-df aggregate: the
-    // self-join's group sizes, no join executed
-    val gramDf = corpus
-      .select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("tk"))
-      .filter(size(col("tk")) >= gramLen)
-      .select(posexplode(transform(
-        sequence(lit(0), size(col("tk")) - gramLen),
-        i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
-        .as(Seq("pos", "gh")))
-      .groupBy("gh").agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sum df(df-1) as exact longs, halve driver-side (Spark's `/` on
-    // integral operands returns double)
-    def candidates(capRule: Long): Long = gramDf
-      .filter(col("df") <= capRule)
-      .select(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("c"))
-      .collect()(0).getLong(0) / 2
-    val candAdaptive = candidates(cap)
-    val candFixed50 = candidates(50L)
-    // budgeted rule: all-pairs below the budget, star (df-1 pairs to the
-    // canonical occurrence) above it — the star term is an upper bound
-    // (exact when the canonical doc holds the gram once, true for the
-    // planted block)
+    // self-join's group sizes, no join executed. Scoped in a function
+    // so the aggregate's lineage (and with it the corpus-scale shuffle
+    // files ContextCleaner can only delete once the ShuffleDependency
+    // is unreachable) goes out of scope before the operator's own
+    // corpus-scale run — at sf1,000 each phase's gram shuffle is tens
+    // of GB and holding both killed this box's disk (r18).
     val budget = 64L
-    def candidatesBudget(capRule: Long, b: Long): Long = {
-      // dense tier bounded by BOTH rules: the operator drops grams above
-      // the cap before the budget split, so when cap < budget, grams with
-      // df in (cap, budget] contribute nothing (round-15 ADVICE: the
-      // unbounded filter overstated the metric at tiers where cap < b)
-      val dense = gramDf.filter(col("df") <= math.min(b, capRule))
-        .select(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)))
+    def gramPhase(): (Long, Long, Long, Long) = {
+      // gram key mirrors the operator's xxhash64 long (see
+      // Dedup.substringSpans) — only df VALUES matter here, and the
+      // 8-byte key is what makes this aggregate shuffle ~3× smaller
+      val gramDf = corpus
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= gramLen)
+        .select(posexplode(transform(
+          sequence(lit(0), size(col("tk")) - gramLen),
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
+          .as(Seq("pos", "gh")))
+        .groupBy("gh").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // sum df(df-1) as exact longs, halve driver-side (Spark's `/` on
+      // integral operands returns double)
+      def candidates(capRule: Long): Long = gramDf
+        .filter(col("df") <= capRule)
+        .select(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("c"))
         .collect()(0).getLong(0) / 2
-      val star = gramDf.filter(col("df") > b && col("df") <= capRule)
-        .select(coalesce(sum(col("df") - 1), lit(0L)))
-        .collect()(0).getLong(0)
-      dense + star
+      val candAdaptive = candidates(cap)
+      val candFixed50 = candidates(50L)
+      // budgeted rule: all-pairs below the budget, star (df-1 pairs to the
+      // canonical occurrence) above it — the star term is an upper bound
+      // (exact when the canonical doc holds the gram once, true for the
+      // planted block)
+      def candidatesBudget(capRule: Long, b: Long): Long = {
+        // dense tier bounded by BOTH rules: the operator drops grams above
+        // the cap before the budget split, so when cap < budget, grams with
+        // df in (cap, budget] contribute nothing (round-15 ADVICE: the
+        // unbounded filter overstated the metric at tiers where cap < b)
+        val dense = gramDf.filter(col("df") <= math.min(b, capRule))
+          .select(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)))
+          .collect()(0).getLong(0) / 2
+        val star = gramDf.filter(col("df") > b && col("df") <= capRule)
+          .select(coalesce(sum(col("df") - 1), lit(0L)))
+          .collect()(0).getLong(0)
+        dense + star
+      }
+      val candBudget = candidatesBudget(cap, budget)
+      val nStarGrams = gramDf.filter(col("df") > budget && col("df") <= cap).count()
+      gramDf.unpersist(blocking = true)
+      (candAdaptive, candFixed50, candBudget, nStarGrams)
     }
-    val candBudget = candidatesBudget(cap, budget)
-    val nStarGrams = gramDf.filter(col("df") > budget && col("df") <= cap).count()
-    gramDf.unpersist(blocking = false)
+    val (candAdaptive, candFixed50, candBudget, nStarGrams) = gramPhase()
+    // release phase-1 shuffle files before the operator phase: the
+    // dependency graph is now unreachable; a GC pass lets the async
+    // ContextCleaner delete the on-disk shuffle, and the short wait
+    // gives it time to finish before the next corpus-scale write
+    System.gc()
+    Thread.sleep(15000)
 
     // planted-block closed form: nBlockGrams * k(k-1)/2 kept iff cap>=k
     val blockCand = nBlockGrams.toLong * k * (k - 1) / 2
