@@ -55,8 +55,16 @@ object CostContract {
     // budgeted substringSpans runs end-to-end; its star-tier contracts
     // (spans == k-1, quadratic->linear candidate collapse) still hold.
     val budgetOnly = args.length > 1 && args(1) == "budget_only"
+    // Shuffle-partition count and IO codec are env-tunable for the
+    // corpus-scale legs: at 57M docs the single gram exchange is
+    // ~50 GB under lz4 on a 73 GB-free box — zstd buys ~25-30% and
+    // more, smaller partitions keep the join's per-task sort spills
+    // bounded (the r18 first attempt died spilling, not computing).
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -136,6 +144,15 @@ object CostContract {
       (candAdaptive, candFixed50, candBudget, nStarGrams)
     }
     val (candAdaptive, candFixed50, candBudget, nStarGrams) = gramPhase()
+    // planted-block closed form: nBlockGrams * k(k-1)/2 kept iff cap>=k
+    // (printed EARLY, on stderr, so a phase-2 failure — e.g. the disk
+    // exhaustion the first sf1,000 attempt hit — still leaves the
+    // candidate-collapse measurement on record)
+    System.err.println(s"""[cost] phase1 {"n_docs":$nDocs,"n_corpus":$nCorpus,""" +
+      s""""cap":$cap,"planted_copies":$k,""" +
+      s""""block_candidates_closed_form":${nBlockGrams.toLong * k * (k - 1) / 2},""" +
+      s""""candidates_adaptive":$candAdaptive,"candidates_fixed50":$candFixed50,""" +
+      s""""candidates_budget$budget":$candBudget,"n_star_grams":$nStarGrams}""")
     // release phase-1 shuffle files before the operator phase: the
     // dependency graph is now unreachable; a GC pass lets the async
     // ContextCleaner delete the on-disk shuffle, and the short wait
