@@ -203,6 +203,54 @@ class BenchGovernanceSpec extends AnyFunSuite {
     assert(Bench.interpolateHostFactor(fivePoint, 150) > 1.9)
   }
 
+  test("headline queries map keeps every entry ever shipped in a driver artifact") {
+    // Contract: entries may be ADDED to the bench line's `queries` map but
+    // never removed or renamed. BENCH_r17.json (the last driver-captured
+    // artifact) carried exactly these 57 names; a mid-r18 edit dropped six
+    // (a05/a10/a12/a24/a29/a31) to make byte room for the normalization
+    // fields — the room must come from unprotected fields instead.
+    val r17Shipped = Seq(
+      "q01_tpch_agg", "q05_m2m_semi_join", "q09_search_rank",
+      "q10_is_latest_window", "q19_window_tumbling", "q21_join_agg_revenue",
+      "q22_salted_join", "q26_asof_join", "q27_range_join", "q31_get_ladder",
+      "q32_include_annotation", "b01_ingest_1k_dedup", "b02_bfs_10_levels",
+      "b05_lineitem_stats_exact", "b07_cc_190k_edges", "b08_new_docs_bloom",
+      "b10_skewed_dups", "b11_h5ad_native_scan", "b12_zarr_native_scan",
+      "b13_zarr_sharded_scan", "a19_zarr_v3_scan", "a23_zarr_v3_sink_roundtrip",
+      "a24_zarr_append", "a28_zarr_v3_append", "a29_zarr_dense_append",
+      "a31_zarr_aux_append", "a33_spatial_zarr_sink", "a20_spatial_table",
+      "c01_validate", "c04_cat_violations", "d01_exact_dedup",
+      "d02_token_stats", "d05_minhash_lsh", "d06_simhash", "d07_langid",
+      "d09_minhash_portable", "d10_simhash_portable", "d34_simhash128",
+      "d11_pii_detect", "d17_dup_clusters", "d23_dsir_topk",
+      "d24_substring_spans", "e01_knn_cosine", "e03_embedding_dedup",
+      "e05_embedding_dedup_lsh", "e09_bm25_topk", "l01_label_weights",
+      "m01_multimodal_decode", "m03_resize_roundtrip", "a03_anndata_append",
+      "a05_h5ad_x_colsum", "a10_h5ad_dsv2_scan", "a12_zarr_native_scan",
+      "s01_stream_window", "s04_stream_dedup",
+      "x00_calibration", "x99_calibration")
+    val missing = r17Shipped.filterNot(Bench.headlineEntries.contains)
+    assert(missing.isEmpty, s"contract-protected queries entries missing from the line: $missing")
+  }
+
+  test("worst-case bench line stays under the driver's ~2 KB stdout-tail capture") {
+    // Simulate the line at adversarial field widths: every headline entry
+    // at a 6-char median (99.999 — nothing in four rounds has exceeded
+    // 17 s), the total at 4 integer digits, all five calibration points
+    // present, retries maxed, contamination fields fully populated. The
+    // driver keeps ~1,926 usable bytes of tail after trailing sbt noise
+    // (BENCH_r09's 3.2 KB line arrived head-truncated and parsed null).
+    val qs = Bench.headlineEntries
+      .map(k => "\"" + k + "\":99.999").mkString("{", ",", "}")
+    val drift = """"calib_drift":9.999,"calib_drift_end":9.999,""" +
+      """"contaminated":false,""" +
+      """"calib_points":[[0,9.99],[47,9.99],[91,9.99],[135,9.99],[179,9.99]],""" +
+      """"normalized_total":9999.999,"normalized_ratio":99.999,"""
+    val line = Bench.formatLine("9999.999", 9999, qs, 16, drift,
+      "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"line would be ${line.length} bytes")
+  }
+
   test("isContended: own-floor disagreement fires without a baseline") {
     // median 3.1x its own min (the r14 d06 signature: 6.36 vs ~1.9 min)
     assert(Bench.isContended(None, 6.36, 2.0))
