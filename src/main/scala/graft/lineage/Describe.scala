@@ -18,12 +18,13 @@ object Describe {
     * JSON value) and `label` (linked ulabels). Callers render or filter
     * (e.g. down to store-independent items for cross-engine compare).
     */
+  private def entry(section: String, item: String, detail: org.apache.spark.sql.Column,
+            value: org.apache.spark.sql.Column) =
+    struct(lit(section).as("section"), lit(item).as("item"),
+      detail.cast("string").as("detail"), value.cast("string").as("value"))
+
   def rows(cat: Catalog, artifactId: Long): DataFrame = {
     val art = cat.table("artifact").filter(col("id") === artifactId)
-    def entry(section: String, item: String, detail: org.apache.spark.sql.Column,
-              value: org.apache.spark.sql.Column) =
-      struct(lit(section).as("section"), lit(item).as("item"),
-        detail.cast("string").as("detail"), value.cast("string").as("value"))
     val core = art.select(explode(array(
       entry("core", "uid", lit(null), col("uid")),
       entry("core", "key", lit(null), col("key")),
@@ -57,6 +58,63 @@ object Describe {
       .select(lit("label").as("section"), col("name").as("item"),
         lit(null).cast("string").as("detail"), lit("linked").as("value"))
     core.unionByName(provenance).unionByName(features).unionByName(labels)
+  }
+
+  /** Batched twin of [[rows]]: the same four describe sections for MANY
+    * artifacts in ONE plan, each tagged with its caller-supplied key as
+    * `art_key`. Per-id `rows` unioned N ways builds an O(N·sections)
+    * physical plan (q46 at 5 shards planned 584 operators — planning and
+    * 5× repeated catalog scans dominate the wall); here every section
+    * scans each catalog table once with an `isin` id filter, so the plan
+    * is O(sections) regardless of N. Row set per id is identical to
+    * `rows(cat, id)` by construction (same projections, same inner-join
+    * provenance semantics — a null run_id drops the provenance row in
+    * both shapes), pinned by the q46 DuckDB oracle.
+    */
+  def rowsMany(cat: Catalog, keyedIds: Seq[(String, Long)]): DataFrame = {
+    val spark = cat.table("artifact").sparkSession
+    val ids = keyedIds.map(_._2)
+    val keyById = spark.createDataFrame(
+      keyedIds.map { case (k, id) => (id, k) }).toDF("__art_id", "art_key")
+    val art = cat.table("artifact").filter(col("id").isin(ids: _*))
+    val core = art.select(col("id").as("__art_id"), explode(array(
+      entry("core", "uid", lit(null), col("uid")),
+      entry("core", "key", lit(null), col("key")),
+      entry("core", "suffix", lit(null), col("suffix")),
+      entry("core", "kind", lit(null), col("kind")),
+      entry("core", "size", lit(null), col("size")),
+      entry("core", "hash", col("hash_type"), col("hash")),
+      entry("core", "branch", lit(null), col("branch_id")),
+      entry("core", "is_latest", lit(null), col("is_latest")))).as("e"))
+      .select(col("__art_id"), col("e.section"), col("e.item"),
+        col("e.detail"), col("e.value"))
+    val provenance = art.select(col("id").as("__art_id"), col("run_id"))
+      .join(cat.table("run").select(col("id").as("run_id"),
+        col("transform_id"), col("status_code")), "run_id")
+      .join(cat.table("transform").select(col("id").as("transform_id"),
+        col("key").as("tkey")), "transform_id")
+      .select(col("__art_id"), lit("provenance").as("section"),
+        lit("run").as("item"), col("tkey").cast("string").as("detail"),
+        col("status_code").cast("string").as("value"))
+    val features = cat.table("artifact_json_values")
+      .filter(col("artifact_id").isin(ids: _*))
+      .join(cat.table("json_value")
+        .select(col("id").as("json_value_id"), col("feature_id"), col("value_json")),
+        "json_value_id")
+      .join(cat.table("feature")
+        .select(col("id").as("feature_id"), col("name"), col("dtype")), "feature_id")
+      .select(col("artifact_id").as("__art_id"), lit("feature").as("section"),
+        col("name").as("item"), col("dtype").cast("string").as("detail"),
+        col("value_json").as("value"))
+    val labels = cat.table("artifact_ulabels")
+      .filter(col("artifact_id").isin(ids: _*))
+      .join(cat.table("ulabel").select(col("id").as("ulabel_id"), col("name")), "ulabel_id")
+      .select(col("artifact_id").as("__art_id"), lit("label").as("section"),
+        col("name").as("item"), lit(null).cast("string").as("detail"),
+        lit("linked").as("value"))
+    core.unionByName(provenance).unionByName(features).unionByName(labels)
+      .join(broadcast(keyById), "__art_id")
+      .select("art_key", "section", "item", "detail", "value")
   }
 
   def artifact(cat: Catalog, artifactId: Long): String = {

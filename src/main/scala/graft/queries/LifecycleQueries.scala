@@ -487,13 +487,14 @@ object LifecycleQueries {
       // block per source-shard artifact; store-dependent items (uid,
       // size, hash, branch) are projected out so DuckDB can replay the
       // remaining tree from the base table alone
+      // ONE batched plan for all shards (Describe.rowsMany): the per-id
+      // rows() unioned 5 ways planned 584 physical operators and scanned
+      // every catalog table 5x — planning dominated the wall (r18,
+      // plans/r18/q46_describe_before.txt); row set is identical
       val (cat, arts) = describeCatalog(spark, dir)
-      arts.map { case (s, id) =>
-        graft.lineage.Describe.rows(cat, id)
-          .filter(!col("item").isin("uid", "size", "hash", "branch"))
-          .withColumn("art_key", lit(s"src/$s"))
-      }.reduce(_ unionByName _)
-        .select("art_key", "section", "item", "detail", "value")
+      graft.lineage.Describe
+        .rowsMany(cat, arts.map { case (s, id) => (s"src/$s", id) })
+        .filter(!col("item").isin("uid", "size", "hash", "branch"))
         .orderBy("art_key", "section", "item", "value")
     }),
 

@@ -35,6 +35,44 @@ class DescribeSpec extends AnyFunSuite {
     assert(byName.contains("validated-batch"))
   }
 
+  test("rowsMany equals the union of per-id rows (the q46 batched plan, r18)") {
+    import org.apache.spark.sql.functions._
+    val root = TestSpark.tmpDir("descmany")
+    val cat = Catalog.deterministic(spark, root)
+    val store = new ArtifactStore(cat)
+    val lin = new Lineage(cat)
+    val af = new graft.eav.ArtifactFeatures(cat)
+
+    lin.track("many.scala", "v1")
+    val arts = Seq("a", "b", "c").map { k =>
+      k -> store.fromDataFrame(Seq((1, k)).toDF("id", "v"), s"p/$k", root)("id").asInstanceOf[Long]
+    }
+    lin.finish()
+    // asymmetric annotations so per-id row sets differ: features on a,
+    // a label on b, nothing extra on c
+    af.addValues(arts.head._2, Map("n" -> 7L))
+    val lid = cat.insert("ulabel", Map("name" -> "L"))("id").asInstanceOf[Long]
+    cat.insert("artifact_ulabels", Map("artifact_id" -> arts(1)._2, "ulabel_id" -> lid))
+
+    val batched = Describe.rowsMany(cat, arts.map { case (k, id) => (s"key/$k", id) })
+      .orderBy("art_key", "section", "item", "value")
+      .collect().map(_.toSeq).toSeq
+    val unioned = arts.map { case (k, id) =>
+      Describe.rows(cat, id).withColumn("art_key", lit(s"key/$k"))
+        .select("art_key", "section", "item", "detail", "value")
+    }.reduce(_ unionByName _)
+      .orderBy("art_key", "section", "item", "value")
+      .collect().map(_.toSeq).toSeq
+    assert(batched === unioned)
+    // and the batched plan stays O(sections): one Union of 4 subtrees,
+    // not 4 x N (the per-id shape planned 584 operators for 5 ids)
+    val n = arts.size
+    val batchedPlan = Describe.rowsMany(cat, arts.map { case (k, id) => (k, id) })
+      .queryExecution.executedPlan.toString
+    val unionArms = batchedPlan.linesIterator.count(_.contains("Union")) // 1 union node
+    assert(unionArms <= 2, s"batched plan should hold one Union regardless of n=$n")
+  }
+
   test("viewLineage walks producer runs to their inputs recursively") {
     val root = TestSpark.tmpDir("vl")
     val cat = Catalog.deterministic(spark, root)
