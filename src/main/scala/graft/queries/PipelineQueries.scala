@@ -72,16 +72,19 @@ object PipelineQueries {
           ((col("doc_id") * 7 + col("k") * 3) % 16).as("var_id"),
           ((col("doc_id") + col("k")) % 9 * 0.5).as("value"))
       val stage = LifecycleQueries.TempRoot.dir("graft_s06src")
-      coo.repartitionByRange(3, col("obs_name")).write
-        .mode("overwrite").parquet(s"$stage/src")
       val store = s"$stage/grow.zarr"
-      graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
-        spark.range(0).select(col("id").as("obs_id"),
-          concat(lit("c"), col("id")).as("obs_name"), lit("xx").as("lang")),
-        spark.range(16).select(col("id").as("var_id"),
-          concat(lit("g"), col("id")).as("var_name")),
-        spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
-          col("id").cast("double").as("value"))), store, chunkElems = 512)
+      // the source staging write and the empty-store bootstrap touch
+      // disjoint directories — overlap them (guide §2.6; Par.jobs)
+      graft.core.Par.jobs(
+        () => coo.repartitionByRange(3, col("obs_name")).write
+          .mode("overwrite").parquet(s"$stage/src"),
+        () => graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
+          spark.range(0).select(col("id").as("obs_id"),
+            concat(lit("c"), col("id")).as("obs_name"), lit("xx").as("lang")),
+          spark.range(16).select(col("id").as("var_id"),
+            concat(lit("g"), col("id")).as("var_name")),
+          spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
+            col("id").cast("double").as("value"))), store, chunkElems = 512))
       val q = graft.streaming.ZarrStreamSink.streamAppendZarr(
         spark.readStream.schema(coo.schema).option("maxFilesPerTrigger", 1)
           .parquet(s"$stage/src"),
@@ -110,17 +113,19 @@ object PipelineQueries {
           col("pos").cast("long").as("var_id"),
           col("col").cast("double").as("value"))
       val stage = LifecycleQueries.TempRoot.dir("graft_s07src")
-      coo.repartitionByRange(3, col("obs_name")).write
-        .mode("overwrite").parquet(s"$stage/src")
       val store = s"$stage/emb.zarr"
-      graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
-        spark.range(0).select(col("id").as("obs_id"),
-          concat(lit("v"), col("id")).as("obs_name")),
-        spark.range(dim).select(col("id").as("var_id"),
-          concat(lit("d"), col("id")).as("var_name")),
-        spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
-          col("id").cast("double").as("value"))),
-        store, chunkElems = 4096, denseSlots = Set("X"))
+      // disjoint-directory writes overlap (guide §2.6; Par.jobs)
+      graft.core.Par.jobs(
+        () => coo.repartitionByRange(3, col("obs_name")).write
+          .mode("overwrite").parquet(s"$stage/src"),
+        () => graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
+          spark.range(0).select(col("id").as("obs_id"),
+            concat(lit("v"), col("id")).as("obs_name")),
+          spark.range(dim).select(col("id").as("var_id"),
+            concat(lit("d"), col("id")).as("var_name")),
+          spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
+            col("id").cast("double").as("value"))),
+          store, chunkElems = 4096, denseSlots = Set("X")))
       val q = graft.streaming.ZarrStreamSink.streamAppendZarr(
         spark.readStream.schema(coo.schema).option("maxFilesPerTrigger", 1)
           .parquet(s"$stage/src"),
@@ -170,8 +175,6 @@ object PipelineQueries {
           ((col("doc_id") * 5 + col("k")) % 12).as("var_id"),
           ((col("doc_id") + col("k") * 2) % 9 * 0.5).as("value"))
       val stage = LifecycleQueries.TempRoot.dir("graft_s08src")
-      cooRna.repartitionByRange(3, col("obs_name")).write
-        .mode("overwrite").parquet(s"$stage/src")
       val mu = s"$stage/mu.zarr"
       // static adt modality derived from the sources table: obs_id must
       // be a DENSE 0..n-1 row index (the zarr writer addresses X rows by
@@ -203,16 +206,26 @@ object PipelineQueries {
         .crossJoin(spark.range(4).select(col("id").as("k")))
         .select(col("obs_id"), col("k").as("var_id"),
           ((col("sfx") * 3 + col("k")) % 5 * 1.0).as("value"))
-      graft.zarr.AnnZarrWriter.writeMu(
-        Map("adt" -> graft.artifact.AnnDataset(adtObs, adtVars, adtX)), mu)
-      // empty rna modality bootstrapped under the container root
-      graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
-        spark.range(0).select(col("id").as("obs_id"),
-          concat(lit("d"), col("id")).as("obs_name"), lit("xx").as("lang")),
-        spark.range(12).select(col("id").as("var_id"),
-          concat(lit("g"), col("id")).as("var_name")),
-        spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
-          col("id").cast("double").as("value"))), s"$mu/mod/rna", chunkElems = 512)
+      // the source staging write is independent of the container
+      // bootstrap chain (disjoint subdirs of `stage`); overlap them
+      // (guide §2.6; Par.jobs). The chain itself stays sequential:
+      // writeMu deletes+recreates the container root, so the rna
+      // modality may only bootstrap after it returns.
+      graft.core.Par.jobs(
+        () => cooRna.repartitionByRange(3, col("obs_name")).write
+          .mode("overwrite").parquet(s"$stage/src"),
+        () => {
+          graft.zarr.AnnZarrWriter.writeMu(
+            Map("adt" -> graft.artifact.AnnDataset(adtObs, adtVars, adtX)), mu)
+          // empty rna modality bootstrapped under the container root
+          graft.zarr.AnnZarrWriter.write(graft.artifact.AnnDataset(
+            spark.range(0).select(col("id").as("obs_id"),
+              concat(lit("d"), col("id")).as("obs_name"), lit("xx").as("lang")),
+            spark.range(12).select(col("id").as("var_id"),
+              concat(lit("g"), col("id")).as("var_name")),
+            spark.range(0).select(col("id").as("obs_id"), col("id").as("var_id"),
+              col("id").cast("double").as("value"))), s"$mu/mod/rna", chunkElems = 512)
+        })
       val q = graft.streaming.ZarrStreamSink.streamAppendZarr(
         spark.readStream.schema(cooRna.schema).option("maxFilesPerTrigger", 1)
           .parquet(s"$stage/src"),
