@@ -12,6 +12,26 @@ package graft.core
   * settle, so no branch is silently abandoned mid-write.
   */
 object Par {
+  /** Spread a NARROW input across the cluster before per-row CPU-heavy
+    * work (optimization-guide §2.5: one huge unsplittable input —
+    * repartition immediately after the read). The bench fixtures arrive
+    * as single-row-group parquet files, so a scan plans 1-2 partitions
+    * and the tokenize/md5/regex kernels serialize on 1-2 of the 32
+    * cores. Repartition up to `defaultParallelism` ONLY when the input
+    * is narrower: wide inputs (the 100 TB case — thousands of file
+    * splits) pass through untouched, so no shuffle is ever added at
+    * scale. Callers must be partition-order insensitive (integer vote
+    * sums, array mins, per-row expressions, deterministically
+    * tie-broken windows) — which every current caller is. Streaming
+    * frames pass through (`.rdd` is illegal on a streaming plan).
+    */
+  def spreadForCpu(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
   def jobs(bodies: (() => Unit)*): Unit = {
     require(bodies.nonEmpty)
     if (bodies.size == 1) { bodies.head.apply(); return }

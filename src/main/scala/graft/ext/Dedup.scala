@@ -238,7 +238,7 @@ object Dedup {
     // eagerly via finishPairs and the signature cache released before
     // returning, so repeated pipeline calls in one session never
     // accumulate corpus-sized cached frames.
-    val withSig = df
+    val withSig = graft.core.Par.spreadForCpu(df)
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .select(col("id"), shingleHashesFromTokenHashes(col("th"), shingleN).as("sh"))
       .select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
@@ -283,7 +283,7 @@ object Dedup {
   def minhashClusterEdges(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                           verifyThreshold: Option[Double] = None): DataFrame = {
-    val withSig = df
+    val withSig = graft.core.Par.spreadForCpu(df)
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
       .select(col("id"), shingleHashesFromTokenHashes(col("th"), shingleN).as("sh"))
       .select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
@@ -324,7 +324,7 @@ object Dedup {
   def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 16, bands: Int = 4, threshold: Double = 0.4,
                            shingleN: Int = 3, seed: Long = 7L): DataFrame = {
-    val withSig = df
+    val withSig = graft.core.Par.spreadForCpu(df)
       .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("tk"))
       .select(col("id"), shinglesFromTokens(col("tk"), shingleN).as("sh"))
       .select(col("id"), col("sh"),
@@ -407,7 +407,7 @@ object Dedup {
     * eval — measured ~20× slower.
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHashes = df
+    val tokenHashes = graft.core.Par.spreadForCpu(df)
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { bit =>
@@ -547,7 +547,7 @@ object Dedup {
                                 bandPlan: Option[(Int, Int)] = None,
                                 maxBucketDf: Option[Int] = None): DataFrame = {
     val bits = 60
-    val tok = df
+    val tok = graft.core.Par.spreadForCpu(df)
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val votes = (0 until bits).map { bit =>
@@ -645,7 +645,7 @@ object Dedup {
     * shape as [[simhashDf]] (the per-row fold form breaks codegen).
     */
   def simhash128Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHashes = df
+    val tokenHashes = graft.core.Par.spreadForCpu(df)
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h0", xxhash64(col("tok")))
       .withColumn("h1", xxhash64(col("tok"), lit(1L)))
@@ -723,7 +723,7 @@ object Dedup {
                                    bandPlan: Option[(Int, Int)] = None,
                                    maxBucketDf: Option[Int] = None): DataFrame = {
     val wb = 60
-    val tok = df
+    val tok = graft.core.Par.spreadForCpu(df)
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("m", md5(col("tok")))
       .withColumn("h0", conv(substring(col("m"), 1, 15), 16, 10).cast("long"))
@@ -1090,7 +1090,7 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given candidate pairs. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs
+    val sh = graft.core.Par.spreadForCpu(docs)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .select(col(idCol), shinglesFromTokens(col("__toks"), n).as("sh"))
     pairs
@@ -1113,7 +1113,7 @@ object Dedup {
     */
   def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
                        textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs
+    val sh = graft.core.Par.spreadForCpu(docs)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .select(col(idCol), shinglesFromTokens(col("__toks"), n).as("sh"))
     pairs
@@ -1202,7 +1202,7 @@ object Dedup {
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"substringSpans: gram-df cap $cap (adaptive=${maxGramDf.isEmpty})" +
         pairBudget.fold("")(b => s", per-gram pair budget $b (star above)"))
-    val toks = docs
+    val toks = graft.core.Par.spreadForCpu(docs)
       .select(col(idCol).cast("long").as("doc"),
         split(trim(col(textCol)), "\\s+").as("tk"))
       .filter(size(col("tk")) >= gramLen)

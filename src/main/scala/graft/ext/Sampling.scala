@@ -225,7 +225,7 @@ object Sampling {
   def importanceTopK(docs: DataFrame, textCol: String, idCol: String,
                      isTarget: org.apache.spark.sql.Column, k: Int,
                      buckets: Int = 4096): DataFrame = {
-    val tok = docs
+    val tok = graft.core.Par.spreadForCpu(docs)
       .select(col(idCol), isTarget.as("__tgt"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
       .filter(col("__w") =!= "")

@@ -49,7 +49,7 @@ object TextOps {
   def qualityColumns(df: DataFrame, textCol: String,
                      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
     val text = col(textCol)
-    df.withColumn("n_tokens", tokenCount(text))
+    graft.core.Par.spreadForCpu(df).withColumn("n_tokens", tokenCount(text))
       .withColumn("mean_token_len",
         length(regexp_replace(trim(text), "\\s+", "")).cast("double") / col("n_tokens"))
       .withColumn("punct_ratio", punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double"))
@@ -112,7 +112,7 @@ object TextOps {
     }
     // argmax: max overlap, ties broken toward the lexicographically
     // larger language code (struct comparison order)
-    toClassify
+    graft.core.Par.spreadForCpu(toClassify)
       .select(col(idCol), normalized(col(textCol)).as("__norm"))
       .select(col(idCol), array_distinct(trigramsOfNormalized(col("__norm"))).as("__tg"))
       .select(col(idCol), array_max(array(scoreStructs: _*)).as("best"))
@@ -156,7 +156,7 @@ object TextOps {
   def piiColumns(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
     def count(re: String) = size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
-    df.withColumn("n_emails", count(EmailRe))
+    graft.core.Par.spreadForCpu(df).withColumn("n_emails", count(EmailRe))
       .withColumn("n_phones", count(PhoneRe))
       .withColumn("n_ssn", count(SsnRe))
       .withColumn("n_ipv4", count(Ipv4Re))
@@ -186,7 +186,7 @@ object TextOps {
   def repetitionColumns(df: DataFrame, idCol: String, textCol: String,
                         lineTokens: Int = 8): DataFrame = {
     val id = col(idCol)
-    val base = df
+    val base = graft.core.Par.spreadForCpu(df)
       .select(id, tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .withColumn("__norm_len", length(concat_ws(" ", col("__toks"))).cast("double"))
@@ -276,6 +276,10 @@ object TextOps {
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val id = col(idCol)
+    // no spreadForCpu here: the per-row map work is a bare whitespace
+    // split feeding a partial aggregate — too light to pay for the extra
+    // exchange stages a spread inserts (measured 1.35 s → 1.39/1.74 s);
+    // the token explode redistributes at the groupBy anyway
     val terms = df.select(id, explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -323,7 +327,9 @@ object TextOps {
                     textCol: String): DataFrame = {
     def bigrams(df: DataFrame) = {
       // pad with <s> so every token has a predecessor and indices stay
-      // in bounds under ANSI element_at
+      // in bounds under ANSI element_at (no spreadForCpu: split-only map
+      // work ahead of an aggregate — the extra stages cost more than the
+      // parallelism buys; measured 1.41 s → 1.76 s with it)
       val base = df.select(col(idCol),
           concat(array(lit("<s>")), tokens(col(textCol))).as("__padded"))
         .withColumn("__n", size(col("__padded")))
@@ -373,6 +379,10 @@ object TextOps {
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
                     threshold: Double = 0.1): DataFrame = {
+    // spread only the CORPUS side (xxhash shingling is the heavy per-row
+    // kernel); the eval side feeds a distinct → broadcast build where the
+    // extra exchange stages cost more than the parallelism buys (the eval
+    // set is benchmark-sized by contract)
     def grams(df: DataFrame) = df
       .select(col(idCol).as("id"), Dedup.tokenHashes(col(textCol)).as("__th"))
       .select(col("id"), Dedup.shingleHashesFromTokenHashes(col("__th"), n).as("g"))
@@ -384,7 +394,7 @@ object TextOps {
     val evalGrams = grams(evalSet)
       .select(explode_outer(col("g")).as("gram")).distinct()
       .withColumn("__hit", lit(1L))
-    grams(corpus)
+    grams(graft.core.Par.spreadForCpu(corpus))
       .select(col("id"), size(col("g")).as("n_ngrams"), explode_outer(col("g")).as("gram"))
       .join(evalGrams, Seq("gram"), "left")
       .groupBy(col("id").as(idCol))

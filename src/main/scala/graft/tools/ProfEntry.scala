@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Per-stage profile of a bench entry: `ProfEntry <sfDir> <name> [name...]`.
+  * Runs the same action the bench times (`queryExecution.toRdd.count()`),
+  * once untimed (codegen warm) then once under a stage listener, and
+  * prints every stage's wall duration, task count and summed task time —
+  * the local stand-in for the Spark UI's stage table (UI is disabled in
+  * bench runs). A 1-task stage with most of the wall = an unsplittable
+  * scan serializing the map work; wall >> task-time sum = scheduling gaps
+  * between many tiny jobs.
+  */
+object ProfEntry {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("d10_simhash_portable")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    case class St(name: String, tasks: Int, wallMs: Long, taskMs: Long, submitted: Long)
+    val stages = mutable.ArrayBuffer[St]()
+    var nJobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = synchronized { nJobs += 1 }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+        val i = sc.stageInfo
+        stages += St(i.name.takeWhile(_ != '\n').take(70), i.numTasks,
+          (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(-1L),
+          i.taskMetrics.executorRunTime, i.submissionTime.getOrElse(0L))
+      }
+    }
+
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries.get(n)
+      def body(): Unit = fn match {
+        case Some(f) => f(spark, sfDir).queryExecution.toRdd.count()
+        case None => sys.error(s"unknown entry $n (only SparkEntry.queries supported)")
+      }
+      body() // plan/codegen warm, untimed — matches the bench protocol
+      stages.clear(); nJobs = 0
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      body()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"== $n: wall $wall%.3f s, $nJobs jobs, ${stages.size} stages, " +
+        f"stage-wall sum ${stages.map(_.wallMs).filter(_ > 0).sum / 1e3}%.3f s, " +
+        f"task-time sum ${stages.map(_.taskMs).sum / 1e3}%.3f s")
+      stages.sortBy(_.submitted).foreach { s =>
+        println(f"   ${s.wallMs}%6d ms wall  ${s.taskMs}%6d ms task  ${s.tasks}%4d tasks  ${s.name}")
+      }
+    }
+    spark.stop()
+  }
+}
