@@ -935,6 +935,12 @@ object Dedup {
                           idBCol: String = "id_b", maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = pairs.sparkSession
+    // NOTE (r18 optimization review): pre-partitioning this cache by dst
+    // (`.repartition(col("dst"))` before persist) was tried and REVERTED
+    // — the per-round edges ⋈ labels join plans as a BroadcastHashJoin
+    // of the label frame (verified in the executed plan), so the edge
+    // side is never dst-shuffled in any round and the extra build-time
+    // exchange is pure cost (b07 5.7 → 6.1 s).
     val edges = pairs
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
       .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
