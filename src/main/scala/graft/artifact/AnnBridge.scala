@@ -85,7 +85,14 @@ final case class AnnDataset(obs: DataFrame, vars: DataFrame, x: DataFrame,
     */
   def subsetVars(pred: Column): AnnDataset = {
     val kept = vars.filter(pred)
-    val keptIds = kept.select("var_id")
+    // broadcast the kept var ids: the var axis is the bounded feature
+    // dimension (same justification as the perVarStats name-attach
+    // broadcast below), and the native X frames expose no size stats,
+    // so without the hint the planner shuffle-sorts the FULL matrix for
+    // a semi-join against a handful of ids (SortMergeJoin in a05's
+    // plan) — at corpus scale that is a full-matrix exchange for a
+    // feature-space filter
+    val keptIds = broadcast(kept.select("var_id"))
     copy(
       vars = kept,
       x = x.join(keptIds, Seq("var_id"), "left_semi"),
