@@ -340,7 +340,16 @@ object TextOps {
             element_at(col("__padded"), i + 1).as("term")))).as("bg"))
         .select(col(idCol), col("bg.prev"), col("bg.term"))
     }
+    // the bigram-count table is consumed by THREE plans (the vocab-size
+    // count, the model build that the broadcast materializes, and
+    // prevTotals inside it) — without materialization each re-explodes
+    // and re-aggregates the TRAIN corpus, i.e. two extra full training
+    // passes at any scale. localCheckpoint is safe here because the
+    // table is vocabulary-sized (distinct bigrams), not corpus-sized;
+    // its blocks are reclaimed by the ContextCleaner with the returned
+    // frame, same lifecycle as tfidfTopTerms' output checkpoint.
     val counts = bigrams(train).groupBy("prev", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val prevTotals = counts.groupBy("prev")
       .agg(sum("c").as("prev_total"), count(lit(1)).as("n_follow"))
     val vocab = counts.select("term").distinct().count()
