@@ -707,7 +707,7 @@ object Bench {
   /** 200k nodes in 10k chains of 20: component count and a spot label
     * verify the clustering, not just the timing.
     */
-  private def benchCC(spark: SparkSession): Unit = {
+  private[graft] def benchCC(spark: SparkSession): Unit = {
     val edges = spark.range(0, 200000).filter(col("id") % 20 =!= 19)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
     val cc = graft.ext.Dedup.connectedComponents(edges)
@@ -753,7 +753,7 @@ object Bench {
     * the clique path would need 1.25B candidate pairs here, so finishing
     * at all (in seconds) is the property under test.
     */
-  private def benchSkewedDups(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def benchSkewedDups(spark: SparkSession, sfDir: String): Unit = {
     val t0 = System.nanoTime()
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
     // cluster ids offset by DupOffset: clear of the real doc-id space at

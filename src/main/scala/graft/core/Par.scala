@@ -27,10 +27,32 @@ object Par {
     */
   def spreadForCpu(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     if (df.isStreaming) df
+    else if (!isNarrowPlan(df)) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     }
+
+  /** True when the frame is scan-shaped (projections/filters/unions/
+    * generators over sources) with NO exchange-introducing operator.
+    * Two jobs for one check: (a) a frame that already shuffles upstream
+    * redistributes anyway, so spreading it is pointless; (b) under AQE,
+    * `Dataset.rdd` on a plan WITH exchanges eagerly executes every
+    * upstream query stage just to read a partition count — the caller
+    * would pay the upstream work twice (code-review finding, r18). On a
+    * narrow plan `.rdd` builds the DAG without running a job, so the
+    * partition-count gate stays free exactly where it is used.
+    */
+  private def isNarrowPlan(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    !df.queryExecution.optimizedPlan.exists {
+      case _: Aggregate | _: Join | _: Window | _: Sort | _: GlobalLimit |
+           _: Deduplicate => true
+      case r: Repartition => r.shuffle // coalesce(n) is narrow; repartition(n) is not
+      case _: RepartitionByExpression => true
+      case _ => false
+    }
+  }
 
   def jobs(bodies: (() => Unit)*): Unit = {
     require(bodies.nonEmpty)

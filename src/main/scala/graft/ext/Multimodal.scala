@@ -23,14 +23,12 @@ object Multimodal {
   /** Codec kernels are CPU-bound per row, so their parallelism should be
     * the cluster's, not the input file count's: a small parquet input
     * arrives as 1-2 partitions and would serialize the whole encode/
-    * decode chain on one core. Repartition up to `defaultParallelism`
-    * only when the input is narrower — wide inputs (the 100 TB case,
-    * thousands of file splits) pass through untouched, no shuffle.
+    * decode chain on one core. Delegates to the shared gate (this was
+    * the precedent it generalized from): wide inputs pass through with
+    * no shuffle; narrow ones spread to `defaultParallelism`.
     */
-  private def spreadForCpu(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spreadForCpu(df: DataFrame): DataFrame =
+    graft.core.Par.spreadForCpu(df)
 
   /** Attach a deterministic binary payload derived from a text column —
     * stands in for real image bytes so the pipeline has data to move.

@@ -41,24 +41,12 @@ object ProfEntry {
 
     names.foreach { n =>
       val fn = graft.SparkEntry.queries.get(n)
-      // replicas of the two private Bench catalog bodies worth profiling
+      // the two CC-loop bench bodies profile the REAL Bench workloads
+      // (private[graft] — a hand copy here would silently drift when the
+      // bench constants change; code-review finding, r18)
       def body(): Unit = (n, fn) match {
-        case ("b07_cc_190k_edges", _) =>
-          val edges = spark.range(0, 200000).filter(org.apache.spark.sql.functions.col("id") % 20 =!= 19)
-            .select(org.apache.spark.sql.functions.col("id").as("id_a"),
-              (org.apache.spark.sql.functions.col("id") + 1).as("id_b"))
-          val cc = graft.ext.Dedup.connectedComponents(edges)
-          require(cc.select("cluster_id").distinct().count() == 10000)
-        case ("b10_skewed_dups", _) =>
-          import org.apache.spark.sql.functions._
-          val base = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
-          val off = 1000000000L
-          val cluster = spark.range(50000).select((col("id") + off).as("doc_id"),
-            lit("the same boilerplate license header repeated across every corpus mirror").as("text"))
-          val edges = graft.ext.Dedup.minhashClusterEdges(
-            base.unionByName(cluster), "doc_id", "text", k = 16, bands = 8)
-          val cc = graft.ext.Dedup.connectedComponents(edges)
-          require(cc.filter(col("id") >= off).select("cluster_id").distinct().count() == 1)
+        case ("b07_cc_190k_edges", _) => graft.Bench.benchCC(spark)
+        case ("b10_skewed_dups", _) => graft.Bench.benchSkewedDups(spark, sfDir)
         case (_, Some(f)) => f(spark, sfDir).queryExecution.toRdd.count()
         case _ => sys.error(s"unknown entry $n")
       }
@@ -68,7 +56,16 @@ object ProfEntry {
       val t0 = System.nanoTime()
       body()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain
+      // drain the listener bus: poll until the stage table stops growing
+      // (a fixed sleep drops late completions on a loaded box and the
+      // missing rows are exactly the entry's final stages)
+      var seen = -1
+      var stable = 0
+      while (stable < 3) { // three consecutive 100 ms windows with no growth
+        Thread.sleep(100)
+        val now = synchronized(stages.size)
+        if (now == seen) stable += 1 else { stable = 0; seen = now }
+      }
       spark.sparkContext.removeSparkListener(listener)
       println(f"== $n: wall $wall%.3f s, $nJobs jobs, ${stages.size} stages, " +
         f"stage-wall sum ${stages.map(_.wallMs).filter(_ > 0).sum / 1e3}%.3f s, " +

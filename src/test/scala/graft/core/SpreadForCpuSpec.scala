@@ -25,12 +25,26 @@ class SpreadForCpuSpec extends AnyFunSuite {
     assert(spread.count() == 100)
   }
 
-  test("wide input passes through with no added exchange") {
+  test("wide input passes through untouched") {
     val target = spark.sparkContext.defaultParallelism
     val wide = spark.range(0, 1000, 1, target + 2).toDF()
-    val out = Par.spreadForCpu(wide)
-    assert(out eq wide, "an already-wide frame must be returned as-is")
-    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(Par.spreadForCpu(wide) eq wide, "an already-wide frame must be returned as-is")
+  }
+
+  test("input with exactly defaultParallelism partitions passes through (strict-< gate)") {
+    val target = spark.sparkContext.defaultParallelism
+    val exact = spark.range(0, 1000, 1, target).toDF()
+    assert(Par.spreadForCpu(exact) eq exact)
+  }
+
+  test("a frame with an upstream shuffle passes through (no .rdd materialization)") {
+    // spreading after an exchange is pointless (the shuffle already
+    // redistributes) and Dataset.rdd on an AQE plan with query stages
+    // would EXECUTE them just to read a partition count — the gate must
+    // return such frames untouched without planning their RDD
+    val agg = spark.range(100).coalesce(1).groupBy((col("id") % 7).as("k"))
+      .agg(sum("id").as("s"))
+    assert(Par.spreadForCpu(agg) eq agg)
   }
 
   test("streaming frame passes through") {
