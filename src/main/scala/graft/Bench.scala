@@ -135,6 +135,16 @@ object Bench {
   private[graft] def retrySeverity(baseline: Option[Double], med: Double, mn: Double): Double =
     baseline.filter(_ > 0).map(med / _).getOrElse(if (mn > 0) med / mn else 1.0)
 
+  /** Workload position whose host factor normalizes an entry's KEPT
+    * measurement: the first-pass position normally, the last probe's
+    * position when the kept median came from the end-of-suite retry
+    * pass (retries run after x99, so the end factor is the one in
+    * effect when the number was actually measured).
+    */
+  private[graft] def measurementPosition(firstPassPos: Int, keptRetry: Boolean,
+      lastProbePos: Int): Int =
+    if (keptRetry) lastProbePos else firstPassPos
+
   /** The JSON-line `queries` subset. Contract: entries may be ADDED but
     * never removed or renamed — every name that has appeared in a
     * driver-captured BENCH artifact's `queries` map must keep appearing
@@ -509,7 +519,13 @@ object Bench {
     // x-prefixed calibration rows — the capped, mixed-scope count made
     // the >5% criterion unsatisfiable past 320 entries (r17 ADVICE)
     val nContendedWorkload = contended.count(!_._1.startsWith("x"))
-    val retryNames = contended.sortBy(-_._2).map(_._1).take(16)
+    // calibration rows never enter the retry budget: their retried
+    // medians feed nothing (calibPoints/calibDrift deliberately read the
+    // FIRST pass), so on a degraded box they would only displace
+    // genuinely drifted workload entries from the 16 slots — the exact
+    // failure the severity ranking exists to prevent (r18 review)
+    val retryNames = contended.filterNot(_._1.startsWith("x"))
+      .sortBy(-_._2).map(_._1).take(16)
     val retryTimes: Map[String, (Double, Double)] =
       retryNames.map(n => n -> median3(bodyByName(n)())).toMap
 
@@ -594,8 +610,20 @@ object Bench {
       case (nm, (med, _)) if !nm.startsWith("x") && med > 0 && baselineGov.contains(nm) =>
         (nm, med, baselineGov(nm))
     }
-    val normalizedTotal = matched
-      .map { case (nm, med, _) => med / interpolateHostFactor(probePts, posByName(nm)) }.sum
+    // a kept RETRY median was measured in the end-of-suite retry pass,
+    // AFTER x99 — normalize it by the host factor where it was MEASURED
+    // (the last probe position), not at the entry's first-pass position:
+    // on a mid-run-degraded box the first-pass factor is the inflated
+    // one, and dividing a healthy retry by it would systematically
+    // understate normalized_total (r18 review)
+    val keptRetry: Set[String] = firstPass.collect {
+      case (n, first) if retryTimes.get(n).exists(r => r._1 > 0 && r._1 < first._1) => n
+    }.toSet
+    val lastProbePos = if (probePts.isEmpty) 0 else probePts.map(_._1).max
+    val normalizedTotal = matched.map { case (nm, med, _) =>
+      med / interpolateHostFactor(probePts,
+        measurementPosition(posByName(nm), keptRetry(nm), lastProbePos))
+    }.sum
     val baselineTotal = matched.map(_._3).sum
     val hasNorm = matched.nonEmpty && probePts.nonEmpty
     // the full (name, position, factor) probe series plus baseline_total

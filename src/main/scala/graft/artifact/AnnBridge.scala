@@ -191,28 +191,22 @@ object AnnBridge {
     val slotFrames = Seq("obs" -> ds.obs, "var" -> ds.vars, "X" -> ds.x) ++
       ds.obsm.toSeq.sortBy(_._1).map { case (k, m) => s"obsm.$k" -> m } ++
       ds.layers.toSeq.sortBy(_._1).map { case (k, l) => s"layers.$k" -> l }
-    // per-slot hash jobs are independent — overlap them from a small
-    // driver pool (the fromSlots write pattern, guide §2.6); the md5
-    // combine keeps the deterministic slot order
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(slotFrames.size, 4))
-    val parts = try {
-      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      slotFrames.map { case (name, df) =>
-        scala.concurrent.Future {
-          // to_json keeps field names, so a null/missing field can't alias a
-          // neighboring column's value the way a plain concat would
-          val cols = df.columns.sorted.map(c => col(c).cast("string").as(c))
-          // decimal sum: a long sum of 64-bit hashes overflows (ANSI error)
-          val s = df.select(xxhash64(to_json(struct(cols.toIndexedSeq: _*)))
-              .cast("decimal(38,0)").as("h"))
-            .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
-            .head.getDecimal(0)
-          s"$name:$s"
-        }(ec)
-      }.map(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
+    // per-slot hash jobs are independent — overlap them via the shared
+    // await-all pool (guide §2.6; Par.results); the md5 combine keeps
+    // the deterministic slot order
+    val parts = graft.core.Par.results(slotFrames.map { case (name, df) =>
+      () => {
+        // to_json keeps field names, so a null/missing field can't alias a
+        // neighboring column's value the way a plain concat would
+        val cols = df.columns.sorted.map(c => col(c).cast("string").as(c))
+        // decimal sum: a long sum of 64-bit hashes overflows (ANSI error)
+        val s = df.select(xxhash64(to_json(struct(cols.toIndexedSeq: _*)))
+            .cast("decimal(38,0)").as("h"))
+          .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")))
+          .head.getDecimal(0)
+        s"$name:$s"
+      }
+    })
     graft.core.Hashing.md5String(parts.mkString("|"))
   }
 

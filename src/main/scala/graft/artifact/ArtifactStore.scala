@@ -82,29 +82,27 @@ final class ArtifactStore(val cat: Catalog) {
     slots.foreach { case (slot, _) =>
       require(slot.matches("[A-Za-z0-9_.-]+"), s"bad slot name '$slot'")
     }
-    // Slot writes are INDEPENDENT output jobs, so they overlap from a
-    // small driver thread pool (guide §2.6: Spark's scheduler runs
-    // concurrent jobs; FIFO back-fills the tail of one write with the
-    // next one's tasks). Sequentially, an AnnData append pays
-    // sum(per-slot job latency) for obs+var+X+aux+ledger — measured as
-    // the dominant cost of a03 at local scale, and idle-cluster time at
-    // 100 TB where each small slot occupies a sliver of the executors.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(slots.size, 4))
-    try {
-      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      slots.map { case (slot, df) =>
-        scala.concurrent.Future {
-          // small slots (obs/var metadata) collapse to one file; a huge X
-          // keeps its incoming partitioning (same stats gate as catalog
-          // snapshots — don't funnel a 100 TB matrix through one task)
-          val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-          val out = if (est > (1L << 30)) df else df.coalesce(1)
-          out.write.mode("overwrite").parquet(s"$stagePath/$slot")
-        }(ec)
-      }.foreach(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
+    // Slot writes are INDEPENDENT output jobs, so they overlap from the
+    // shared driver pool (guide §2.6: Spark's scheduler runs concurrent
+    // jobs; FIFO back-fills the tail of one write with the next one's
+    // tasks). Sequentially, an AnnData append pays sum(per-slot job
+    // latency) for obs+var+X+aux+ledger — measured as the dominant cost
+    // of a03 at local scale, and idle-cluster time at 100 TB where each
+    // small slot occupies a sliver of the executors. Par.jobs awaits
+    // ALL branches before rethrowing, so a failed slot write can never
+    // leave a sibling still writing into $stagePath while the caller
+    // cleans it up (r18 review: the previous in-order fail-fast Await
+    // had exactly that race).
+    graft.core.Par.jobs(slots.map { case (slot, df) =>
+      () => {
+        // small slots (obs/var metadata) collapse to one file; a huge X
+        // keeps its incoming partitioning (same stats gate as catalog
+        // snapshots — don't funnel a 100 TB matrix through one task)
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val out = if (est > (1L << 30)) df else df.coalesce(1)
+        out.write.mode("overwrite").parquet(s"$stagePath/$slot")
+      }
+    }: _*)
     val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
     findByHash(hash) match {
       case Some(existing) =>

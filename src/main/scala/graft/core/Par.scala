@@ -55,20 +55,31 @@ object Par {
   }
 
   def jobs(bodies: (() => Unit)*): Unit = {
+    results(bodies.map(b => () => { b(); () }), maxThreads = 4)
+    ()
+  }
+
+  /** `jobs` with return values: run the bodies from a bounded pool,
+    * await ALL of them (an abandoned concurrent write could otherwise
+    * race a caller's cleanup of the same directory tree — fail-fast
+    * Await chains leak exactly that), then rethrow the first failure or
+    * return every result in input order. The single shared
+    * implementation behind `jobs`, `fromSlots`' slot writes and
+    * `slotHash`'s per-slot aggregates (r18 review: three divergent
+    * copies of this pool, one of them fail-fast).
+    */
+  def results[T](bodies: Seq[() => T], maxThreads: Int = 4): Seq[T] = {
     require(bodies.nonEmpty)
-    if (bodies.size == 1) { bodies.head.apply(); return }
+    if (bodies.size == 1) return Seq(bodies.head.apply())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(bodies.size, 4))
+      math.min(bodies.size, maxThreads))
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val fs = bodies.map(b => scala.concurrent.Future(b())(ec))
-      // await ALL (collecting the first failure) rather than failing fast:
-      // an abandoned concurrent write could otherwise race a caller's
-      // cleanup of the same directory tree
-      val results = fs.map(f =>
+      val settled = fs.map(f =>
         scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf).value.get)
-      results.collectFirst { case scala.util.Failure(e) => throw e }
-      ()
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      settled.map(_.get)
     } finally pool.shutdown()
   }
 }

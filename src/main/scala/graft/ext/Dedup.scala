@@ -1212,17 +1212,16 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc"),
         split(trim(col(textCol)), "\\s+").as("tk"))
       .filter(size(col("tk")) >= gramLen)
-    // gram key: xxhash64 LONG, not an md5 hex string — the key is a
-    // pure join/group key that never reaches the output (spans carry
-    // only doc ids + positions), so any collision-free hash yields
-    // identical spans, and the DuckDB oracle's md5-keyed replay still
-    // matches. An 8-byte key cuts the corpus-scale gram shuffle ~3×
-    // vs the 32-char hex string (the only corpus-wide exchange in this
-    // plan): at 57M docs that is ~110 GB → ~40 GB of shuffle — the
-    // r18 sf1,000 CostContract leg exhausted this box's disk on the
-    // md5 keys before this change.
+    // gram key: two xxhash64 LONGs, not an md5 hex string — the key is
+    // a pure join/group key that never reaches the output (spans carry
+    // only doc ids + positions), so an effectively-collision-free hash
+    // yields identical spans and the DuckDB oracle's md5-keyed replay
+    // still matches. 16 key bytes cut the corpus-scale gram shuffle
+    // ~2.5× vs the 32-char hex string (the only corpus-wide exchange
+    // in this plan): the r18 sf1,000 CostContract leg exhausted this
+    // box's disk on the md5 keys before the narrower key landed.
     // ONE corpus-wide exchange, shared by every consumer: the raw gram
-    // occurrences are explicitly hash-partitioned on gh, so the df
+    // occurrences are explicitly hash-partitioned on (gh0,gh1), so the df
     // aggregate (clustering satisfied — partial+final collapse into
     // the same stage, no second exchange) and the df join (both sides
     // co-partitioned) sit on top of the SAME shuffle, and AQE's stage
@@ -1232,18 +1231,34 @@ object Dedup {
     // exchange, so those subtrees never canonicalize equal) — 2× the
     // corpus gram table on disk, which is what exhausted the sf1,000
     // leg's disk in r18.
+    // 128-bit gram key: TWO seeded xxhash64 words over the gram string
+    // (the simhash128Df precedent). A single 64-bit key makes cross-gram
+    // collisions statistically EXPECTED at the scale this operator
+    // targets (~5e9 distinct 13-grams at 57M docs -> O(1) birthday
+    // collisions, each one either dropping a real duplicate gram group
+    // past the df cap or fabricating a span between unrelated docs that
+    // cutSpans would then excise) — r18 review. Two words push the
+    // collision odds to ~1e-19 at 1e10 grams while the exchange still
+    // carries 16 key bytes instead of the md5 path's 32-hex string.
+    // The gram string explodes BEFORE hashing so concat_ws/slice run
+    // once per gram (inside the transform lambda each of the two hash
+    // calls would re-evaluate them — no CSE across lambda boundaries).
     val grams = toks.select(col("doc"),
       posexplode(transform(
         sequence(lit(0), size(col("tk")) - gramLen),
-        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen))))))
-        .as(Seq("pos", "gh")))
-      .repartition(col("gh"))
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen)))))
+        .as(Seq("pos", "g")))
+      .select(col("doc"), col("pos"),
+        xxhash64(col("g")).as("gh0"), xxhash64(col("g"), lit(1L)).as("gh1"))
+      .repartition(col("gh0"), col("gh1"))
+    val gh = Seq("gh0", "gh1")
     val kept = grams.join(
-      grams.groupBy("gh").agg(count(lit(1)).as("df")).filter(col("df") <= cap),
-      "gh")
+      grams.groupBy(gh.map(col): _*).agg(count(lit(1)).as("df")).filter(col("df") <= cap),
+      gh)
     def allPairs(occ: DataFrame): DataFrame =
       occ.as("a").join(occ.as("b"),
-          col("a.gh") === col("b.gh") && col("a.doc") < col("b.doc"))
+          col("a.gh0") === col("b.gh0") && col("a.gh1") === col("b.gh1") &&
+            col("a.doc") < col("b.doc"))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
           col("a.pos").cast("long").as("pos_a"), col("b.pos").cast("long").as("pos_b"))
     def islands(pairs: DataFrame): DataFrame = {
@@ -1281,11 +1296,11 @@ object Dedup {
         // star tier: canonical occurrence = (min doc, then min pos in
         // it); three gh-keyed ops sharing the reused gram exchange
         val over = kept.filter(col("df") > b).drop("df")
-        val canonDoc = over.groupBy("gh").agg(min("doc").as("m_doc"))
-        val canon = over.join(canonDoc, "gh")
+        val canonDoc = over.groupBy(gh.map(col): _*).agg(min("doc").as("m_doc"))
+        val canon = over.join(canonDoc, gh)
           .filter(col("doc") === col("m_doc"))
-          .groupBy("gh", "m_doc").agg(min("pos").as("m_pos"))
-        val star = over.join(canon, "gh")
+          .groupBy(col("gh0"), col("gh1"), col("m_doc")).agg(min("pos").as("m_pos"))
+        val star = over.join(canon, gh)
           .filter(col("doc") > col("m_doc"))
           .select(col("m_doc").as("doc_a"), col("doc").as("doc_b"),
             col("m_pos").cast("long").as("pos_a"), col("pos").cast("long").as("pos_b"))

@@ -73,10 +73,15 @@ object Describe {
     */
   def rowsMany(cat: Catalog, keyedIds: Seq[(String, Long)]): DataFrame = {
     val spark = cat.table("artifact").sparkSession
-    val ids = keyedIds.map(_._2)
     val keyById = spark.createDataFrame(
       keyedIds.map { case (k, id) => (id, k) }).toDF("__art_id", "art_key")
-    val art = cat.table("artifact").filter(col("id").isin(ids: _*))
+    // id scoping via a broadcast semi-join against the SAME keyById
+    // frame the final key-attach uses — an `isin` literal list is O(N)
+    // expression nodes and blows up codegen at thousands of ids, which
+    // would silently reintroduce the plan-size pathology this function
+    // exists to remove (r18 review)
+    val idSet = broadcast(keyById.select(col("__art_id").as("id")))
+    val art = cat.table("artifact").join(idSet, Seq("id"), "left_semi")
     val core = art.select(col("id").as("__art_id"), explode(array(
       entry("core", "uid", lit(null), col("uid")),
       entry("core", "key", lit(null), col("key")),
@@ -97,7 +102,7 @@ object Describe {
         lit("run").as("item"), col("tkey").cast("string").as("detail"),
         col("status_code").cast("string").as("value"))
     val features = cat.table("artifact_json_values")
-      .filter(col("artifact_id").isin(ids: _*))
+      .join(idSet.withColumnRenamed("id", "artifact_id"), Seq("artifact_id"), "left_semi")
       .join(cat.table("json_value")
         .select(col("id").as("json_value_id"), col("feature_id"), col("value_json")),
         "json_value_id")
@@ -107,7 +112,7 @@ object Describe {
         col("name").as("item"), col("dtype").cast("string").as("detail"),
         col("value_json").as("value"))
     val labels = cat.table("artifact_ulabels")
-      .filter(col("artifact_id").isin(ids: _*))
+      .join(idSet.withColumnRenamed("id", "artifact_id"), Seq("artifact_id"), "left_semi")
       .join(cat.table("ulabel").select(col("id").as("ulabel_id"), col("name")), "ulabel_id")
       .select(col("artifact_id").as("__art_id"), lit("label").as("section"),
         col("name").as("item"), lit(null).cast("string").as("detail"),

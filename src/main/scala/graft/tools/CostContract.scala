@@ -156,9 +156,14 @@ object CostContract {
     // release phase-1 shuffle files before the operator phase: the
     // dependency graph is now unreachable; a GC pass lets the async
     // ContextCleaner delete the on-disk shuffle, and the short wait
-    // gives it time to finish before the next corpus-scale write
-    System.gc()
-    Thread.sleep(15000)
+    // gives it time to finish before the next corpus-scale write.
+    // Only in budget_only mode — that is the disk-constrained
+    // corpus-scale leg this exists for; the default small-sf contract
+    // check has no disk pressure and should not stall 15 s (r18 review)
+    if (budgetOnly) {
+      System.gc()
+      Thread.sleep(15000)
+    }
 
     // planted-block closed form: nBlockGrams * k(k-1)/2 kept iff cap>=k
     val blockCand = nBlockGrams.toLong * k * (k - 1) / 2

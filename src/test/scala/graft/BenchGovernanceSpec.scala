@@ -261,4 +261,14 @@ class BenchGovernanceSpec extends AnyFunSuite {
     // failed entry (-1) never retries
     assert(!Bench.isContended(Some(1.0), -1.0, -1.0))
   }
+
+  test("measurementPosition: kept retries normalize at the last probe, first-pass at its own slot") {
+    // r18 review: a retry is measured AFTER x99 — dividing it by the
+    // host factor at the entry's ORIGINAL position would mis-normalize
+    // exactly the degraded-mid-run artifacts normalization exists for
+    // (first-pass at pos 100 under a 2x factor, healthy 1x retry: the
+    // kept 2 s must divide by the END factor, not the inflated mid one)
+    assert(Bench.measurementPosition(100, keptRetry = false, lastProbePos = 179) == 100)
+    assert(Bench.measurementPosition(100, keptRetry = true, lastProbePos = 179) == 179)
+  }
 }
