@@ -182,10 +182,19 @@ object Bench {
     * (a head-truncated line parses as null — worse than any field loss).
     */
   private[graft] def formatLine(total: String, nEntries: Int, qs: String,
-      nRetried: Int, drift: String, sfDir: String): String =
+      nRetried: Int, drift: String, detail: String, sfDir: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","n_entries":$nEntries,""" +
       s""""queries":$qs,"n_retried":$nRetried,""" + drift +
-      s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s""""detail":"$detail","sf":"$sfDir"}"""
+
+  /** Single source of truth for the retry-keep rule (r18 ADVICE: the
+    * predicate was duplicated at the median-keep and the
+    * normalization-position sites and could silently diverge): a retry
+    * replaces the first-pass number ONLY when it is a valid measurement
+    * (>0) and strictly faster than the first pass.
+    */
+  private[graft] def keepsRetry(first: (Double, Double), retry: (Double, Double)): Boolean =
+    retry._1 > 0 && retry._1 < first._1
 
   /** Committed 20000x256 native-HDF5 bench fixture (tools/gen_h5ad.py). */
   private def h5adBenchFixture: String =
@@ -552,7 +561,7 @@ object Bench {
       b <- baselineMed.get("x99_calibration") if b > 0 && first > 0
     } yield first / b
     val all: Map[String, (Double, Double)] = firstPass.toMap.map { case (n, first) =>
-      n -> retryTimes.get(n).filter(r => r._1 > 0 && r._1 < first._1).getOrElse(first)
+      n -> retryTimes.get(n).filter(keepsRetry(first, _)).getOrElse(first)
     }
     // The driver captures a bounded ~2 KB tail of stdout (BENCH_r09.json:
     // even round-9's 3-decimal full-map line, ~3.2 KB, arrived mid-line
@@ -577,7 +586,11 @@ object Bench {
     }.mkString("{", ",", "}")
     // calibration entries are governance instrumentation, not workload
     val total = all.collect { case (k, v) if !k.startsWith("x") && v._1 > 0 => v._1 }.sum
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    // detail default carries the core count (r18 verdict ask #7: the
+    // driver's 8-core scaling leg clobbered the 32-core leg's floors —
+    // BENCH_DETAIL.json was a single shared path)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      s"/root/repo/BENCH_DETAIL_${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}.json")
     // nEntries for the retry-fraction criterion excludes the
     // calibration rows — they are instrumentation, not workload
     val workloadN = all.keys.count(!_.startsWith("x"))
@@ -617,7 +630,7 @@ object Bench {
     // one, and dividing a healthy retry by it would systematically
     // understate normalized_total (r18 review)
     val keptRetry: Set[String] = firstPass.collect {
-      case (n, first) if retryTimes.get(n).exists(r => r._1 > 0 && r._1 < first._1) => n
+      case (n, first) if retryTimes.get(n).exists(keepsRetry(first, _)) => n
     }.toSet
     val lastProbePos = if (probePts.isEmpty) 0 else probePts.map(_._1).max
     val normalizedTotal = matched.map { case (nm, med, _) =>
@@ -666,7 +679,8 @@ object Bench {
         s""""fam":$fams,""" + driftField +
         s""""queries":$medians,"queries_min":$mins,"retried":$retriedJson,"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(formatLine(r3(total), all.size, qs, retriedLog.size, driftFieldLine, sfDir))
+    println(formatLine(r3(total), all.size, qs, retriedLog.size, driftFieldLine,
+      java.nio.file.Paths.get(detailPath).getFileName.toString, sfDir))
     spark.stop()
   }
 

@@ -155,8 +155,10 @@ object AnnBridge {
       Seq("obs" -> ds.obs, "var" -> ds.vars, "X" -> ds.x) ++
         ds.obsm.toSeq.sortBy(_._1).map { case (k, m) => s"obsm.$k" -> m } ++
         ds.layers.toSeq.sortBy(_._1).map { case (k, l) => s"layers.$k" -> l }
+    // n_observations = the obs slot's row count, measured on the slot's
+    // own write job (nObsSlot) — not a separate ds.obs.count() pass
     store.fromSlots(slots, key, storageRoot, suffix = ".anndata", otype = "AnnData",
-      nObservations = Some(ds.nObs), description = description)
+      description = description, nObsSlot = Some("obs"))
   }
 
   /** Backed open: every slot is a lazy Parquet scan — nothing loads until
@@ -237,7 +239,17 @@ object AnnBridge {
     val spark = slice.obs.sparkSession
     import spark.implicits._
 
-    val sh = sliceHash(slice)
+    // the slice hash (per-slot agg jobs) and the two axis-offset
+    // aggregates are independent read-only probes — overlap them from
+    // the shared driver pool (guide §2.6) instead of paying three full
+    // sequential job latencies; the offsets are computed speculatively
+    // on the resume path (two tiny max() jobs wasted there, hidden
+    // under the slice-hash wall)
+    val probes = graft.core.Par.results[Any](Seq(
+      () => sliceHash(slice),
+      () => base.obs.agg(coalesce(max(col("obs_id")), lit(-1L))).head.getLong(0) + 1,
+      () => base.vars.agg(coalesce(max(col("var_id")), lit(-1L))).head.getLong(0) + 1))
+    val sh = probes(0).asInstanceOf[String]
     val ledger =
       if (store.listSlots(baseUid).contains(LedgerSlot)) store.openSlot(baseUid, LedgerSlot)
       else Seq.empty[String].toDF("slice_hash")
@@ -247,16 +259,14 @@ object AnnBridge {
     // ---- obs registration: sequential ids past the current axis ------
     // the registration step is a bounded global sort over the INCOMING
     // batch only (row_number over one window) — never over the store
-    val obsOffset = base.obs.agg(coalesce(max(col("obs_id")), lit(-1L)))
-      .head.getLong(0) + 1
+    val obsOffset = probes(1).asInstanceOf[Long]
     val obsMap = slice.obs.select(col("obs_id").as("__src_obs"))
       .distinct()
       .withColumn("__dst_obs",
         lit(obsOffset) + row_number().over(Window.orderBy("__src_obs")) - 1)
 
     // ---- var registration by name --------------------------------------
-    val varOffset = base.vars.agg(coalesce(max(col("var_id")), lit(-1L)))
-      .head.getLong(0) + 1
+    val varOffset = probes(2).asInstanceOf[Long]
     val byName = slice.vars
       .select(col("var_id").as("__src_var"), col("var_name"))
       .join(base.vars.select(col("var_name"), col("var_id").as("__dst_var")),
@@ -301,9 +311,12 @@ object AnnBridge {
         merged.layers.toSeq.sortBy(_._1).map { case (k, l) => s"layers.$k" -> l } ++
         Seq(LedgerSlot -> ledger.unionByName(Seq(sh).toDF("slice_hash")))
     // same key + new content hash → the family machinery mints the next
-    // version uid and flips is_latest heads (createArtifact revises path)
+    // version uid and flips is_latest heads (createArtifact revises path).
+    // n_observations rides the obs slot's write (nObsSlot): merged.nObs
+    // would re-run the whole base∪remapped-slice obs plan for a count
+    // the write already materializes.
     store.fromSlots(slots, key, storageRoot, suffix = ".anndata", otype = "AnnData",
-      nObservations = Some(merged.nObs), description = description)
+      description = description, nObsSlot = Some("obs"))
   }
 
   /** `AnnDataCurator` (`curators/core.py:1155`): slot-wise curation over

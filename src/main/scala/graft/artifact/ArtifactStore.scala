@@ -47,22 +47,47 @@ final class ArtifactStore(val cat: Catalog) {
     * `Artifact.from_dataframe`, `artifact.py:2245-2348`).
     */
   def fromDataFrame(df: DataFrame, key: String, storageRoot: String,
-                    description: String = null): Map[String, Any] = {
+                    description: String = null): Map[String, Any] =
+    fromDataFrames(Seq(df -> key), storageRoot, description).head
+
+  /** Batched `fromDataFrame`: stage every frame's write CONCURRENTLY from
+    * the shared driver pool (guide §2.6 — the writes are independent
+    * output jobs into disjoint staging dirs; sequentially each pays full
+    * per-job driver latency while the cluster idles), then run the
+    * single-writer catalog decisioning (hash dedup / versioning /
+    * inserts) SEQUENTIALLY in input order so catalog ids and uid draws
+    * stay deterministic. `n_observations` rides the staged write as an
+    * `Observation` metric instead of a second full count job — the
+    * staged write materializes every row anyway.
+    */
+  def fromDataFrames(items: Seq[(DataFrame, String)], storageRoot: String,
+                     description: String = null): Seq[Map[String, Any]] = {
+    if (items.isEmpty) return Seq.empty
     val storageId = ensureStorage(storageRoot)
-    // stage, hash the staged parquet, then dedup-or-register
-    val stagePath = s"$storageRoot/.staging/${cat.uid(8)}"
-    df.write.mode("overwrite").parquet(stagePath)
-    val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
-    val existing = findByHash(hash)
-    if (existing.isDefined) {
-      deletePath(stagePath)
-      return existing.get
+    // uid draws stay on the caller thread: the catalog rng is seeded for
+    // reproducible runs, and pool-order draws would interleave randomly
+    val stagePaths = items.map(_ => s"$storageRoot/.staging/${cat.uid(8)}")
+    val staged = graft.core.Par.results(items.zip(stagePaths).map {
+      case ((df, _), stagePath) => () => {
+        val ob = org.apache.spark.sql.Observation()
+        df.observe(ob, count(lit(1)).as("n")).write.mode("overwrite").parquet(stagePath)
+        val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
+        (hash, hashType, nFiles, size, ob.get.apply("n").asInstanceOf[Long])
+      }
+    })
+    items.zip(stagePaths).zip(staged).map {
+      case (((_, key), stagePath), (hash, hashType, nFiles, size, nObs)) =>
+        findByHash(hash) match {
+          case Some(existing) =>
+            deletePath(stagePath)
+            existing
+          case None =>
+            val row = createArtifact(hash, hashType, size, nFiles, key, ".parquet",
+              storageId, "dataset", description, nObservations = Some(nObs))
+            movePath(stagePath, artifactPath(row, storageRoot))
+            row
+        }
     }
-    val row = createArtifact(hash, hashType, size, nFiles, key, ".parquet", storageId,
-      "dataset", description, nObservations = Some(df.count()))
-    val finalPath = artifactPath(row, storageRoot)
-    movePath(stagePath, finalPath)
-    row
   }
 
   /** Write a MULTI-SLOT dataset (named sub-tables) as ONE managed
@@ -75,13 +100,20 @@ final class ArtifactStore(val cat: Catalog) {
     */
   def fromSlots(slots: Seq[(String, DataFrame)], key: String, storageRoot: String,
                 suffix: String, otype: String, nObservations: Option[Long] = None,
-                description: String = null): Map[String, Any] = {
+                description: String = null,
+                nObsSlot: Option[String] = None): Map[String, Any] = {
     require(slots.nonEmpty, "at least one slot required")
     val storageId = ensureStorage(storageRoot)
     val stagePath = s"$storageRoot/.staging/${cat.uid(8)}"
     slots.foreach { case (slot, _) =>
       require(slot.matches("[A-Za-z0-9_.-]+"), s"bad slot name '$slot'")
     }
+    // n_observations as a metric on the counting slot's OWN write job
+    // (`nObsSlot`): the write materializes every obs row anyway, so a
+    // separate count pass re-reads the whole merged obs plan for a number
+    // the write already knows (r18 verdict ask #4 — fuse the extra pass)
+    val obsCounter = nObsSlot.filter(s => slots.exists(_._1 == s))
+      .map(_ -> org.apache.spark.sql.Observation())
     // Slot writes are INDEPENDENT output jobs, so they overlap from the
     // shared driver pool (guide §2.6: Spark's scheduler runs concurrent
     // jobs; FIFO back-fills the tail of one write with the next one's
@@ -93,16 +125,21 @@ final class ArtifactStore(val cat: Catalog) {
     // leave a sibling still writing into $stagePath while the caller
     // cleans it up (r18 review: the previous in-order fail-fast Await
     // had exactly that race).
-    graft.core.Par.jobs(slots.map { case (slot, df) =>
+    graft.core.Par.jobs(slots.map { case (slot, df0) =>
       () => {
+        val df = obsCounter match {
+          case Some((s, ob)) if s == slot => df0.observe(ob, count(lit(1)).as("n"))
+          case _ => df0
+        }
         // small slots (obs/var metadata) collapse to one file; a huge X
         // keeps its incoming partitioning (same stats gate as catalog
         // snapshots — don't funnel a 100 TB matrix through one task)
-        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val est = df0.queryExecution.optimizedPlan.stats.sizeInBytes
         val out = if (est > (1L << 30)) df else df.coalesce(1)
         out.write.mode("overwrite").parquet(s"$stagePath/$slot")
       }
     }: _*)
+    val nObs = obsCounter.map(_._2.get.apply("n").asInstanceOf[Long]).orElse(nObservations)
     val (hash, hashType, nFiles, size) = Hashing.stat(stagePath)
     findByHash(hash) match {
       case Some(existing) =>
@@ -110,7 +147,7 @@ final class ArtifactStore(val cat: Catalog) {
         existing
       case None =>
         val row = createArtifact(hash, hashType, size, nFiles, key, suffix, storageId,
-          "dataset", description, nObservations = nObservations, otype = Some(otype))
+          "dataset", description, nObservations = nObs, otype = Some(otype))
         movePath(stagePath, artifactPath(row, storageRoot))
         row
     }
@@ -413,14 +450,30 @@ final class ArtifactStore(val cat: Catalog) {
     * match the computed physical path — real_path for referenced
     * artifacts, root + auto-key for managed ones.
     */
-  def getByPath(path: String): Map[String, Any] = {
+  def getByPath(path: String): Map[String, Any] =
+    getByPaths(Seq(path))(path)
+
+  /** Batched path-based get: ONE catalog plan resolves EVERY path (the
+    * q46 `rowsMany` shape — n sequential `head()` jobs, each a full
+    * driver round-trip over metadata-sized frames, collapse into one
+    * isin-filtered collect). Missing paths throw like `getByPath`;
+    * results are keyed by the resolved path.
+    */
+  def getByPaths(paths: Seq[String]): Map[String, Map[String, Any]] = {
+    if (paths.isEmpty) return Map.empty
     val storages = cat.table("storage").select(col("id").as("storage_id"), col("root"))
+    val pathCol = coalesce(col("real_path"),
+      concat(col("root"), lit("/.lamindb/"), col("uid"), coalesce(col("suffix"), lit(""))))
     val rows = cat.table("artifact").join(broadcast(storages), "storage_id")
-      .filter(coalesce(col("real_path"),
-        concat(col("root"), lit("/.lamindb/"), col("uid"), coalesce(col("suffix"), lit("")))) === path)
-      .head(2)
-    if (rows.isEmpty) throw new DoesNotExist(s"no artifact at path $path")
-    rowToMap(rows.head)
+      .withColumn("__path", pathCol)
+      .filter(col("__path").isin(paths: _*))
+      .collect()
+    val byPath = rows.groupBy(_.getAs[String]("__path"))
+    paths.map { p =>
+      val hit = byPath.getOrElse(p, Array.empty[Row]).headOption
+        .getOrElse(throw new DoesNotExist(s"no artifact at path $p"))
+      p -> (rowToMap(hit) - "__path")
+    }.toMap
   }
 
   /** Local cache copy (API parity with `artifact.cache()`,

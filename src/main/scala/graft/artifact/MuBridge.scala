@@ -27,9 +27,9 @@ object MuBridge {
              description: String = null): Map[String, Any] = {
     val slots = flatten(ds)
     require(slots.nonEmpty, "MuData dataset has no slots")
-    val nObs = ds.global.get("obs").map(_.count())
+    // n_observations rides the global obs slot's write job when present
     store.fromSlots(slots, key, storageRoot, suffix = ".mudata", otype = "MuData",
-      nObservations = nObs, description = description)
+      description = description, nObsSlot = Some("obs"))
   }
 
   /** Backed open: rebuild the modality tree from the slot listing; every

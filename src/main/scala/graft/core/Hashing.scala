@@ -55,18 +55,23 @@ object Hashing {
     */
   def hashDir(fs: FileSystem, dir: Path): (String, Long, Long) = {
     val it = fs.listFiles(dir, true)
-    var hashes = List.empty[String]
-    var nFiles = 0L
+    var files = List.empty[Path]
     var size = 0L
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
-        hashes ::= md5Stream(fs.open(st.getPath))
-        nFiles += 1
+        files ::= st.getPath
         size += st.getLen
       }
     }
-    (md5String(hashes.sorted.mkString), nFiles, size)
+    // member files hash CONCURRENTLY (driver-side md5 is the serial tail
+    // of every multi-slot artifact registration); the combine is over the
+    // SORTED member digests, so the result is byte-identical to the
+    // sequential walk regardless of completion order
+    val hashes =
+      if (files.lengthCompare(1) <= 0) files.map(p => md5Stream(fs.open(p)))
+      else Par.results(files.map(p => () => md5Stream(fs.open(p))))
+    (md5String(hashes.sorted.mkString), files.size.toLong, size)
   }
 
   def fileSystem(pathStr: String, conf: Configuration = new Configuration()): FileSystem =

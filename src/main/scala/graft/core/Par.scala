@@ -17,20 +17,42 @@ object Par {
     * repartition immediately after the read). The bench fixtures arrive
     * as single-row-group parquet files, so a scan plans 1-2 partitions
     * and the tokenize/md5/regex kernels serialize on 1-2 of the 32
-    * cores. Repartition up to `defaultParallelism` ONLY when the input
-    * is narrower: wide inputs (the 100 TB case — thousands of file
-    * splits) pass through untouched, so no shuffle is ever added at
-    * scale. Callers must be partition-order insensitive (integer vote
-    * sums, array mins, per-row expressions, deterministically
-    * tie-broken windows) — which every current caller is. Streaming
-    * frames pass through (`.rdd` is illegal on a streaming plan).
+    * cores. Repartition ONLY when the input is narrower than the
+    * target: wide inputs (the 100 TB case — thousands of file splits)
+    * pass through untouched, so no shuffle is ever added at scale.
+    * Callers must be partition-order insensitive (integer vote sums,
+    * array mins, per-row expressions, deterministically tie-broken
+    * windows) — which every current caller is. Streaming frames pass
+    * through (`.rdd` is illegal on a streaming plan).
+    *
+    * The target is `min(defaultParallelism, ceil(estimatedBytes /
+    * spreadFloorBytes))`, NOT bare defaultParallelism (r18 verdict: the
+    * driver's 8-core leg beat the 32-core leg on every spread kernel —
+    * 32 partitions of a few hundred rows each is scheduling + exchange
+    * overhead with no CPU to amortize). The floor only ever bites on
+    * small inputs: at production widths `estimatedBytes/floor` dwarfs
+    * any core count, so the cap is `defaultParallelism` exactly as
+    * before. An unknown size estimate (LogicalRDD leaves report
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue) lands in the same
+    * branch — treat unknown as huge, never as empty. The per-partition
+    * floor is `spark.graft.spread.floorBytes` (default 64 KiB — sized
+    * so the sf0.1 ~600 KB corpus spreads ~10 ways, the width its
+    * 8-vs-32-core timings say the kernels actually amortize).
     */
+  private[graft] val SpreadFloorKey = "spark.graft.spread.floorBytes"
+  private[graft] val SpreadFloorDefault = 65536L
+
   def spreadForCpu(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     if (df.isStreaming) df
     else if (!isNarrowPlan(df)) df
     else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      val sess = df.sparkSession
+      val cores = sess.sparkContext.defaultParallelism
+      val floor = BigInt(math.max(1L,
+        sess.conf.get(SpreadFloorKey, SpreadFloorDefault.toString).toLong))
+      val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val target = ((size + floor - 1) / floor).min(BigInt(cores)).max(BigInt(1)).toInt
+      if (target > 1 && df.rdd.getNumPartitions < target) df.repartition(target) else df
     }
 
   /** True when the frame is scan-shaped (projections/filters/unions/
@@ -49,7 +71,12 @@ object Par {
       case _: Aggregate | _: Join | _: Window | _: Sort | _: GlobalLimit |
            _: Deduplicate => true
       case r: Repartition => r.shuffle // coalesce(n) is narrow; repartition(n) is not
-      case _: RepartitionByExpression => true
+      case _: RepartitionByExpression | _: RebalancePartitions => true
+      // clustering-distribution operators (r18 ADVICE): no current caller
+      // builds these, but a frame shaped this way would hit the same
+      // eager-AQE-stage pathology in Dataset.rdd the gate exists to avoid
+      case _: MapGroups | _: CoGroup | _: FlatMapGroupsWithState |
+           _: ScriptTransformation => true
       case _ => false
     }
   }

@@ -407,7 +407,12 @@ object Dedup {
     * eval — measured ~20× slower.
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHashes = graft.core.Par.spreadForCpu(df)
+    // NO spreadForCpu here (r18 verdict regression d06 0.39×): xxhash64
+    // per token is the CHEAP hash — split-only map work in front of a
+    // plain aggregate, where the added exchange was measured pure cost
+    // (same empirical rule as tfidf/bigram/b05; the md5-based portable
+    // twin below is where spreading pays).
+    val tokenHashes = df
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { bit =>
@@ -645,10 +650,17 @@ object Dedup {
     * shape as [[simhashDf]] (the per-row fold form breaks codegen).
     */
   def simhash128Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHashes = graft.core.Par.spreadForCpu(df)
+    // NO spreadForCpu (r18 verdict regression d34 0.62×): two xxhash64
+    // per token is still the cheap-hash case — see simhashDf above.
+    val tokenHashes = df
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h0", xxhash64(col("tok")))
-      .withColumn("h1", xxhash64(col("tok"), lit(1L)))
+      // salt FIRST (r18 ADVICE): the salt-last form xxhash64(tok, 1L)
+      // folds sequentially = hash(1L, seed=h0), a pure function of h0 —
+      // the second 64 vote words would carry zero extra token entropy.
+      // xxhash64(1L, tok) re-hashes the token bytes under an independent
+      // seed, so sim1 really is a second independent signature word.
+      .withColumn("h1", xxhash64(lit(1L), col("tok")))
     val votes = (0 until 128).map { bit =>
       val w = if (bit < 64) col("h0") else col("h1")
       sum(when(shiftright(w, bit % 64).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$bit")
@@ -985,10 +997,10 @@ object Dedup {
     labelsCk.count() // eager, like the old eager initial checkpoint
     var iter = 0
     var done = false
-    // previous round's stepped checkpoint: next round's lazy `labels`
-    // (the jump) reads it during that round's probe, so it can only be
-    // freed AFTER the following probe materializes the jump.
-    var prevSteppedCk: DataFrame = null
+    // checkpoints the CURRENT lazy `labels` chain still reads (the
+    // stepped frame and the first jump): next round's probe materializes
+    // the chain, so they can only be freed AFTER that probe runs.
+    var pendingFree: List[DataFrame] = Nil
     while (!done && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
@@ -1012,28 +1024,32 @@ object Dedup {
       // consumers. Empty edges converge on round 0, no separate isEmpty.
       done = stepped.filter(col("comp") =!= col("old_comp")).count() == 0
       // the probe materialized `stepped` (and the current lazy `labels`
-      // checkpoint that feeds it) — the round-before-last's stepped is
-      // now dead. Without this, every CC call leaked ~2 checkpointed
-      // RDDs per round into the block manager (round-11 verdict: later
-      // bench entries paid for the accumulated pressure).
-      if (prevSteppedCk != null) {
-        freeCheckpoint(prevSteppedCk); prevSteppedCk = null
-      }
+      // chain that feeds it) — the previous round's lazy inputs are now
+      // dead. Without this, every CC call leaked ~2 checkpointed RDDs
+      // per round into the block manager (round-11 verdict: later bench
+      // entries paid for the accumulated pressure).
+      pendingFree.foreach(freeCheckpoint)
+      pendingFree = Nil
       if (!done) {
-        // pointer jump: follow the label one hop (comp is itself a node
-        // id). Also a lazy checkpoint: both of next round's consumers
-        // read it during next round's probe job, computing the jump join
-        // over the ALREADY-cached stepped — no separate eager pass.
+        // DOUBLE pointer jump: follow the label one hop, twice (comp is
+        // itself a node id). Simulated on chain graphs: 2 jumps/round
+        // cut rounds 5→3 at diameter 20 (the b07 shape) and 10→6 at
+        // 1000, and every round saved is one fewer full-edge-set join —
+        // the dominant per-round cost at corpus scale. Both jumps are
+        // lazy checkpoints: next round's probe job materializes the
+        // chain over the ALREADY-cached stepped, no separate eager pass.
         val oldLabelsCk = labelsCk
-        val jumped = ckpt(stepped
-          .join(stepped.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+        def jump(df: DataFrame): (DataFrame, DataFrame) = ckpt(df
+          .join(df.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp")))
-        labels = jumped._1
-        labelsCk = jumped._2
-        // the jump reads only `stepped`; the pre-step labels are dead
+        val (j1, j1Ck) = jump(stepped)
+        val (j2, j2Ck) = jump(j1)
+        labels = j2
+        labelsCk = j2Ck
+        // the jump chain reads stepped → j1; the pre-step labels are dead
         freeCheckpoint(oldLabelsCk)
-        prevSteppedCk = steppedCk
+        pendingFree = List(steppedCk, j1Ck)
       } else {
         // converged: stepped equals labels in comp — the pre-step labels
         // (already materialized) are what we return; drop the duplicate
@@ -1042,11 +1058,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    if (prevSteppedCk != null) {
-      // maxIters exhausted with a still-lazy final jump: materialize it
-      // so its stepped input can be freed (pathological case only)
+    if (pendingFree.nonEmpty) {
+      // maxIters exhausted with a still-lazy final jump chain:
+      // materialize it so its inputs can be freed (pathological case)
       labels.count()
-      freeCheckpoint(prevSteppedCk)
+      pendingFree.foreach(freeCheckpoint)
+      pendingFree = Nil
     }
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
@@ -1231,14 +1248,20 @@ object Dedup {
     // exchange, so those subtrees never canonicalize equal) — 2× the
     // corpus gram table on disk, which is what exhausted the sf1,000
     // leg's disk in r18.
-    // 128-bit gram key: TWO seeded xxhash64 words over the gram string
-    // (the simhash128Df precedent). A single 64-bit key makes cross-gram
-    // collisions statistically EXPECTED at the scale this operator
-    // targets (~5e9 distinct 13-grams at 57M docs -> O(1) birthday
-    // collisions, each one either dropping a real duplicate gram group
-    // past the df cap or fabricating a span between unrelated docs that
-    // cutSpans would then excise) — r18 review. Two words push the
-    // collision odds to ~1e-19 at 1e10 grams while the exchange still
+    // 128-bit gram key: TWO INDEPENDENTLY seeded xxhash64 words over the
+    // gram string. A single 64-bit key makes cross-gram collisions
+    // statistically EXPECTED at the scale this operator targets (~5e9
+    // distinct 13-grams at 57M docs -> O(1) birthday collisions, each
+    // one either dropping a real duplicate gram group past the df cap
+    // or fabricating a span between unrelated docs that cutSpans would
+    // then excise) — r18 review. The salt goes FIRST in the second
+    // word: Spark's multi-arg xxhash64 folds sequentially, so the
+    // salt-LAST form xxhash64(g, 1L) = hash(1L, seed=xxhash64(g)) is a
+    // pure function of gh0 and adds ZERO collision resistance (r18
+    // ADVICE: any gh0 collision is automatically a gh1 collision).
+    // xxhash64(1L, g) = hash(g, seed=hash(1L, 42)) re-hashes the gram
+    // BYTES under an independent seed, so the composite key's collision
+    // odds really are ~1e-19 at 1e10 grams while the exchange still
     // carries 16 key bytes instead of the md5 path's 32-hex string.
     // The gram string explodes BEFORE hashing so concat_ws/slice run
     // once per gram (inside the transform lambda each of the two hash
@@ -1249,7 +1272,7 @@ object Dedup {
         i => concat_ws(" ", slice(col("tk"), i + 1, lit(gramLen)))))
         .as(Seq("pos", "g")))
       .select(col("doc"), col("pos"),
-        xxhash64(col("g")).as("gh0"), xxhash64(col("g"), lit(1L)).as("gh1"))
+        xxhash64(col("g")).as("gh0"), xxhash64(lit(1L), col("g")).as("gh1"))
       .repartition(col("gh0"), col("gh1"))
     val gh = Seq("gh0", "gh1")
     val kept = grams.join(

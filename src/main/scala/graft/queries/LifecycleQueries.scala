@@ -560,11 +560,17 @@ object LifecycleQueries {
       val store = new graft.artifact.ArtifactStore(cat)
       val colls = new graft.artifact.Collections(cat, store)
       val d = docs(spark, dir)
-      def shardArt(s: String) = store.fromDataFrame(
-        d.filter(col("source") === s).select("doc_id", "source", "n_chars"),
-        s"shard/$s", root)("id").asInstanceOf[Long]
-      val v1 = colls.create("corpus/shards", Seq(shardArt("src0"), shardArt("src1")))
-      val v2 = colls.append(v1("id").asInstanceOf[Long], Seq(shardArt("src2")))
+      // all three shard writes staged concurrently (fromDataFrames pools
+      // the independent output jobs; catalog registration stays ordered) —
+      // the collection create/append still sees src0/src1 before src2
+      def shardDf(s: String) = d.filter(col("source") === s)
+        .select("doc_id", "source", "n_chars")
+      val shardArts = store.fromDataFrames(
+        Seq(shardDf("src0") -> "shard/src0", shardDf("src1") -> "shard/src1",
+          shardDf("src2") -> "shard/src2"), root)
+        .map(_("id").asInstanceOf[Long])
+      val v1 = colls.create("corpus/shards", shardArts.take(2))
+      val v2 = colls.append(v1("id").asInstanceOf[Long], Seq(shardArts(2)))
       require(v2("uid") != v1("uid"), "append must version the collection")
       colls.open(v2("id").asInstanceOf[Long])
         .groupBy("source")
@@ -640,8 +646,15 @@ object LifecycleQueries {
       // catalogs); the measured operator is the path→row resolution.
       val (root, cat, arts) = pathGetFixture(spark, dir)
       val store = new graft.artifact.ArtifactStore(cat)
-      val resolvedKeys = arts.collect { case (s, a) if s.drop(3).toInt % 2 == 0 =>
-        val byPath = store.getByPath(s"$root/.lamindb/${a("uid")}${a("suffix")}")
+      // ONE batched resolution plan for all even-suffix paths instead of
+      // a sequential per-path head() job (r18 verdict ask #5: q43 ran 46
+      // driver jobs totalling 0.11 s of task time in 1.13 s of wall)
+      val wanted = arts.collect { case (s, a) if s.drop(3).toInt % 2 == 0 =>
+        (s, a, s"$root/.lamindb/${a("uid")}${a("suffix")}")
+      }
+      val byPaths = store.getByPaths(wanted.map(_._3))
+      val resolvedKeys = wanted.map { case (s, a, p) =>
+        val byPath = byPaths(p)
         require(byPath("id") == a("id"), s"path get resolved the wrong artifact for $s")
         (byPath("key").toString, byPath("n_observations").asInstanceOf[Long])
       }

@@ -47,6 +47,19 @@ object ProfEntry {
       def body(): Unit = (n, fn) match {
         case ("b07_cc_190k_edges", _) => graft.Bench.benchCC(spark)
         case ("b10_skewed_dups", _) => graft.Bench.benchSkewedDups(spark, sfDir)
+        // the two xxhash fast-path drills mirror Bench's inline bodies
+        // (same corpus, same hamming cut) so their stage profiles are the
+        // bench's, not an approximation
+        case ("d06_simhash", _) =>
+          graft.ext.Dedup.simhashCandidates(
+              graft.queries.TextQueries.corpusWithNearDups(spark, sfDir), "doc_id", "text")
+            .filter(org.apache.spark.sql.functions.col("hamming") <= 6)
+            .queryExecution.toRdd.count(): Unit
+        case ("d34_simhash128", _) =>
+          graft.ext.Dedup.simhash128Candidates(
+              graft.queries.TextQueries.corpusWithNearDups(spark, sfDir), "doc_id", "text")
+            .filter(org.apache.spark.sql.functions.col("hamming") <= 12)
+            .queryExecution.toRdd.count(): Unit
         case (_, Some(f)) => f(spark, sfDir).queryExecution.toRdd.count()
         case _ => sys.error(s"unknown entry $n")
       }

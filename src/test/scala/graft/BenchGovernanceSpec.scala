@@ -247,8 +247,19 @@ class BenchGovernanceSpec extends AnyFunSuite {
       """"calib_points":[[0,9.99],[47,9.99],[91,9.99],[135,9.99],[179,9.99]],""" +
       """"normalized_total":9999.999,"normalized_ratio":99.999,"""
     val line = Bench.formatLine("9999.999", 9999, qs, 16, drift,
-      "/root/testdata/sf0.1")
+      "BENCH_DETAIL_32.json", "/root/testdata/sf0.1")
     assert(line.length < 1900, s"line would be ${line.length} bytes")
+  }
+
+  test("keepsRetry: single retry-keep rule for median AND normalization position") {
+    // faster valid retry replaces the first pass
+    assert(Bench.keepsRetry((2.0, 1.8), (1.5, 1.4)))
+    // slower retry is discarded
+    assert(!Bench.keepsRetry((1.0, 0.9), (1.5, 1.2)))
+    // failed retry (-1) never replaces
+    assert(!Bench.keepsRetry((1.0, 0.9), (-1.0, -1.0)))
+    // equal medians keep the first pass (strict <)
+    assert(!Bench.keepsRetry((1.0, 0.9), (1.0, 0.8)))
   }
 
   test("isContended: own-floor disagreement fires without a baseline") {
